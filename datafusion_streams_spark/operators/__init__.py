@@ -1,0 +1,65 @@
+"""Operator/query registry.
+
+Every operator from SURVEY.md §2 (plus the north-star LLM-pipeline
+extensions) registers here as a named query: a Spark callable
+``(spark, sf_dir) -> DataFrame`` paired with an equivalent DuckDB
+oracle SQL string (or ``None`` for genuinely non-SQL-expressible ops,
+which downgrade to a rows-only check).
+
+Parity contract: the Spark result and the oracle result must match on
+column names, schema, and an order-insensitive value hash. All float
+aggregates therefore route through exact decimal arithmetic (see
+``datafusion_streams_spark.functions``) and all float folds are
+deterministic left-to-right reductions mirrored verbatim in the SQL.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: "OrderedDict[str, QuerySpec]" = OrderedDict()
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a query implementation + its DuckDB oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+def _populate() -> None:
+    # Import for side effects: each module registers its queries.
+    from datafusion_streams_spark.operators import (  # noqa: F401
+        reference,
+        relational,
+        sql_surface,
+        windows,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+    )
+    from datafusion_streams_spark.streaming import queries as streaming_queries  # noqa: F401
+
+
+_populate()

@@ -1,0 +1,115 @@
+"""Multimodal (binary-column) operators.
+
+Images/audio/video are opaque ``binary`` columns plus typed metadata —
+directly echoing the reference's binary (key, value) data model
+(`/root/reference/src/lib.rs:7-12`). The decode step is STUBBED (no
+image/audio libs in this container): ``decode_image`` raises
+NotImplementedError, while the Spark-side plumbing — schema, Arrow
+batch shape, mapInPandas signature, partitioning — is real and tested.
+
+The fixture payload is a deterministic fake: the document text UTF-8
+encoded, standing in for image bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from datafusion_streams_spark.operators import query
+
+META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("header", StringType()),
+        StructField("digest", StringType()),
+        StructField("f0", DoubleType()),
+        StructField("f1", DoubleType()),
+        StructField("f2", DoubleType()),
+        StructField("f3", DoubleType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """STUB — image decode requires PIL/libvips, absent in this
+    container. The production implementation decodes inside the same
+    mapInPandas batch loop ``_extract_meta`` uses, so the Spark plan
+    (Arrow exchange, partitioning, schema) is identical."""
+    raise NotImplementedError(
+        "image decode stub: install an image codec and decode payload bytes here"
+    )
+
+
+def _extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched metadata extraction over binary payloads.
+
+    Each batch arrives as a pandas DataFrame (columnar, zero-copy from
+    Arrow); per-row work is byte inspection + md5 — this is where a
+    real decoder (see decode_image) would run. Deterministic fake
+    features: first 4 md5 digest bytes scaled to [0, 1].
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        digests = [hashlib.md5(bytes(p)).hexdigest() for p in payloads]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(bytes(p)) for p in payloads],
+                "header": [bytes(p)[:4].hex() for p in payloads],
+                "digest": digests,
+                "f0": [int(d[0:2], 16) / 255.0 for d in digests],
+                "f1": [int(d[2:4], 16) / 255.0 for d in digests],
+                "f2": [int(d[4:6], 16) / 255.0 for d in digests],
+                "f3": [int(d[6:8], 16) / 255.0 for d in digests],
+            }
+        )
+
+
+def _hexpair_sql(d: str, i: int) -> str:
+    """SQL: int value of hex digit pair (2i, 2i+1) of digest string d."""
+    hi = f"(strpos('0123456789abcdef', substr({d}, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({d}, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo}) / 255.0"
+
+
+_MULTIMODAL_ORACLE = f"""
+WITH p AS (SELECT doc_id, text, md5(text) AS digest FROM documents)
+SELECT
+    doc_id,
+    CAST(octet_length(encode(text)) AS BIGINT)      AS n_bytes,
+    lower(hex(encode(substr(text, 1, 4))))          AS header,
+    digest,
+    {_hexpair_sql('digest', 0)} AS f0,
+    {_hexpair_sql('digest', 1)} AS f1,
+    {_hexpair_sql('digest', 2)} AS f2,
+    {_hexpair_sql('digest', 3)} AS f3
+FROM p
+"""
+
+
+@query("multimodal_binary_meta", oracle=_MULTIMODAL_ORACLE, tags=("multimodal", "pandas-udf"))
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> typed metadata + fake features via mapInPandas.
+
+    Scale: mapInPandas streams Arrow batches executor-side — no
+    collect, no shuffle; partition count follows the input scan. The
+    fixture texts are ASCII (verified), so the oracle's char-substr
+    equals the byte-substr the pandas side performs.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return payloads.mapInPandas(_extract_meta, META_SCHEMA)

@@ -1,0 +1,678 @@
+"""Relational operator surface (SURVEY.md §2 Tier C).
+
+The reference delegates this entire layer to DataFusion (zero lines of
+join/agg/sort code of its own — SURVEY.md §2.3); here it is Spark's
+native DataFrame API, so Catalyst supplies predicate pushdown, column
+pruning, broadcast-join selection, partial aggregation and AQE for
+free. Every query is paired with a DuckDB oracle.
+
+Scale notes appear per-query. Common posture:
+  - money/quantity aggregates go through exact DECIMAL (see
+    ``functions``) — exact under any partitioning, so partial
+    aggregation (map-side combine) never changes the answer;
+  - dimension tables (region/nation/customer/supplier/part) sit under
+    the broadcast threshold at TPC-H ratios, so fact-table joins are
+    broadcast hash joins with no fact shuffle;
+  - sorts with LIMIT compile to TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_streams_spark.catalog import load_events, load_tables
+from datafusion_streams_spark.functions import davg, dec, disc_price, charged_price, dsum
+from datafusion_streams_spark.operators import query
+
+# SQL fragment mirroring functions.disc_price / charged_price exactly.
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+_CHARGED_PRICE_SQL = f"{_DISC_PRICE_SQL} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+
+
+# ---------------------------------------------------------------------------
+# q1 — pricing summary (filter → grouped aggregate, TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = f"""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)       AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)  AS sum_base_price,
+    CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE)                       AS sum_disc_price,
+    CAST(SUM({_CHARGED_PRICE_SQL}) AS DOUBLE)                    AS sum_charge,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+    CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*)       AS avg_disc,
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", oracle=_Q1_ORACLE, tags=("agg", "filter"))
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregate with exact-decimal sums.
+
+    Scale: the filter pushes to the parquet scan; the group-by has 6
+    groups so partial aggregation reduces ~everything map-side — the
+    shuffle moves 6 rows per task regardless of input size.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(charged_price()).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", 3, 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3 — shipping priority (3-way join → agg → top-k)
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = f"""
+SELECT
+    l_orderkey,
+    CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+    CAST(o_orderdate AS DATE)              AS o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=_Q3_ORACLE, tags=("join", "agg", "topk"))
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim filter → fact join → grouped agg → deterministic top-10.
+
+    Scale: customer (filtered) broadcasts, so lineitem — the 100 TB
+    side — never shuffles for the join; the final ORDER BY + LIMIT is
+    TakeOrderedAndProject (per-partition heap, driver merge of 10 rows).
+    """
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < "1997-01-01")
+    li = t["lineitem"].filter(F.col("l_shipdate") > "1997-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q5 — local supplier volume (6-way join → agg)
+# ---------------------------------------------------------------------------
+
+_Q5_ORACLE = f"""
+SELECT
+    n_name,
+    CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@query("q5_local_supplier_volume", oracle=_Q5_ORACLE, tags=("join", "agg"))
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join, all dimension sides broadcast.
+
+    Scale: region→nation→supplier chain collapses to one broadcast of
+    the filtered supplier set; customer broadcasts too at TPC-H ratios
+    (or AQE converts to shuffle join if it grows past threshold). The
+    only big-big join is lineitem⋈orders on the orderkey — co-shuffled
+    once, reused through the aggregation.
+    """
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q6 — revenue forecast (pure filter + scalar agg)
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+    COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_revenue_forecast", oracle=_Q6_ORACLE, tags=("filter", "agg"))
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highly selective filter → scalar aggregate.
+
+    Scale: all four predicates push down to the parquet scan (min/max
+    row-group pruning on shipdate); only two columns are read.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount", 3, 2)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — returned items (4-way join → agg → top-k)
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT
+    c_custkey,
+    c_name,
+    CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+    c_acctbal,
+    n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items", oracle=_Q10_ORACLE, tags=("join", "agg", "topk"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue per customer, top 20, deterministic tiebreak."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# filter + projection pushdown
+# ---------------------------------------------------------------------------
+
+_FILTER_ORACLE = f"""
+SELECT
+    l_orderkey,
+    l_linenumber,
+    l_quantity,
+    CAST({_DISC_PRICE_SQL} AS DOUBLE) AS net_price
+FROM lineitem
+WHERE l_quantity >= 48 AND l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+"""
+
+
+@query("filter_project_pushdown", oracle=_FILTER_ORACLE, tags=("filter", "projection"))
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + narrow projection; the plan must show PushedFilters and a
+    6-column ReadSchema (asserted in tests/test_plans.py). Map-only at
+    any scale — no shuffle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter((F.col("l_quantity") >= 48) & (F.col("l_shipdate") >= "2000-01-01"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            disc_price().cast("double").alias("net_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation variants
+# ---------------------------------------------------------------------------
+
+_COUNT_DISTINCT_ORACLE = """
+SELECT
+    o_orderpriority,
+    COUNT(DISTINCT o_custkey) AS n_customers,
+    COUNT(*)                  AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("agg_count_distinct", oracle=_COUNT_DISTINCT_ORACLE, tags=("agg", "distinct"))
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) alongside plain aggregates.
+
+    Scale: Spark expands this to a two-phase partial-distinct plan
+    automatically; for cardinality estimation at 100 TB one would add
+    approx_count_distinct (HLL) — exposed in tests, kept out of the
+    oracle because it is approximate by design.
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_spend"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT
+    COALESCE(l_returnflag, 'ALL') AS return_flag,
+    COALESCE(l_linestatus, 'ALL') AS line_status,
+    COUNT(*) AS n_items,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@query("agg_rollup", oracle=_ROLLUP_ORACLE, tags=("agg", "rollup"))
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals; NULL grouping keys normalized to 'ALL'."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("return_flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("line_status"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+_CUBE_ORACLE = """
+SELECT
+    COALESCE(o_orderstatus, 'ALL')    AS order_status,
+    COALESCE(o_orderpriority, 'ALL')  AS order_priority,
+    COUNT(*) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+@query("agg_cube", oracle=_CUBE_ORACLE, tags=("agg", "cube"))
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 2^2 grouping sets in one pass."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_spend"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
+            "n_orders",
+            "total_spend",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join variants
+# ---------------------------------------------------------------------------
+
+_BROADCAST_JOIN_ORACLE = """
+SELECT
+    p_type,
+    COUNT(*) AS n_items,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10
+GROUP BY p_type
+"""
+
+
+@query("join_broadcast_dim", oracle=_BROADCAST_JOIN_ORACLE, tags=("join", "broadcast"))
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with an explicit broadcast hint: the lineitem side never
+    shuffles (asserted BroadcastHashJoin in tests/test_plans.py)."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_size") <= 10)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+"""
+
+
+@query("join_left_semi", oracle=_SEMI_ORACLE, tags=("join", "semi"))
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): emits each customer at most once, and the
+    probe side only ships join keys — the cheapest join shape at scale."""
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 300000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+)
+"""
+
+
+@query("join_left_anti", oracle=_ANTI_ORACLE, tags=("join", "anti"))
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+_OUTER_ORACLE = """
+SELECT
+    c_custkey,
+    COUNT(o_orderkey) AS n_orders,
+    CAST(SUM(CAST(COALESCE(o_totalprice, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+@query("join_left_outer_agg", oracle=_OUTER_ORACLE, tags=("join", "outer", "agg"))
+def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving order-less customers, then aggregate."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(dec(F.coalesce(F.col("o_totalprice"), F.lit(0)))).cast("double").alias("total_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sorts / top-k
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+@query("sort_topk_global", oracle=_TOPK_ORACLE, tags=("sort", "topk"))
+def sort_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100: compiles to TakeOrderedAndProject — per-partition
+    heaps + a 100-row driver merge, no global sort even at 100 TB."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+_SET_A = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_SET_B = "SELECT c_custkey FROM customer WHERE c_acctbal > 5000"
+
+
+@query("set_union", oracle=f"{_SET_A} UNION {_SET_B}", tags=("setop",))
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@query("set_intersect", oracle=f"{_SET_A} INTERSECT {_SET_B}", tags=("setop",))
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.intersect(b)
+
+
+@query("set_except", oracle=f"{_SET_A} EXCEPT {_SET_B}", tags=("setop",))
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# scalar function packs (string / date / math / json)
+# ---------------------------------------------------------------------------
+
+_STRING_PACK_ORACLE = r"""
+SELECT
+    p_partkey,
+    upper(p_name)                                   AS up_name,
+    lower(p_brand)                                  AS lo_brand,
+    substr(p_name, 1, 5)                            AS name5,
+    concat_ws('-', p_brand, p_type)                 AS brand_type,
+    CAST(length(p_name) AS BIGINT)                  AS name_len,
+    replace(p_name, ' ', '_')                       AS name_us,
+    lpad(CAST(p_size AS VARCHAR), 3, '0')           AS size_pad,
+    regexp_extract(p_name, '^(\w+)', 1)             AS first_word,
+    reverse(p_name)                                 AS rev_name
+FROM part
+"""
+
+
+@query("scalar_string_pack", oracle=_STRING_PACK_ORACLE, tags=("scalar", "string"))
+def scalar_string_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery (extends the reference's single exercised
+    scalar, ``length`` — `/root/reference/tests/basic_tests.rs:60`)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("lo_brand"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_pad"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.reverse("p_name").alias("rev_name"),
+    )
+
+
+_DATE_PACK_ORACLE = """
+SELECT
+    o_orderkey,
+    CAST(year(o_orderdate) AS BIGINT)    AS order_year,
+    CAST(month(o_orderdate) AS BIGINT)   AS order_month,
+    CAST(day(o_orderdate) AS BIGINT)     AS order_day,
+    CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+    CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+    CAST(o_orderdate AS DATE) + 30                 AS plus_30d,
+    CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98
+FROM orders
+"""
+
+
+@query("scalar_date_pack", oracle=_DATE_PACK_ORACLE, tags=("scalar", "date"))
+def scalar_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(d, 30).alias("plus_30d"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d).cast("long").alias("days_to_98"),
+    )
+
+
+_MATH_PACK_ORACLE = """
+SELECT
+    l_orderkey,
+    l_linenumber,
+    CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS tithe,
+    abs(l_extendedprice - 50000.0)                     AS dist_50k,
+    CAST(ceiling(l_quantity / 7.0) AS BIGINT)          AS qty_weeks,
+    CAST(floor(l_quantity / 7.0) AS BIGINT)            AS qty_weeks_floor,
+    sqrt(l_extendedprice)                              AS price_sqrt,
+    round(ln(l_extendedprice + 1), 6)                  AS price_ln,
+    round(power(l_discount + 1, 2), 6)                 AS disc_sq,
+    l_orderkey % 7                                     AS key_mod
+FROM lineitem
+"""
+
+
+@query("scalar_math_pack", oracle=_MATH_PACK_ORACLE, tags=("scalar", "math"))
+def scalar_math_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery. Transcendentals (ln/pow) are rounded to 6dp: libm
+    implementations may differ in the last ulp across engines; sqrt is
+    IEEE-correctly-rounded so it passes through raw. The 2dp rounding
+    (tithe) runs as round() over exact decimal — double round() is
+    engine-dependent at representation boundaries (Spark rounds the
+    shortest decimal string, DuckDB the binary value), and decimal
+    scale-down CASTs disagree too (Spark HALF_UP, DuckDB truncates);
+    round(decimal) is HALF_UP/half-away in both — identical for
+    positive values."""
+    from pyspark.sql.types import DecimalType
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(dec("l_extendedprice") * F.lit(0.1).cast(DecimalType(2, 1)), 2)
+        .cast("double")
+        .alias("tithe"),
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("dist_50k"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_weeks"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_weeks_floor"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT
+    event_id,
+    event_type,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+"""
+
+
+@query("scalar_json_extract", oracle=_JSON_ORACLE, tags=("scalar", "json"))
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props payload column."""
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None, tags=("agg", "approx", "scale"))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count — THE cardinality operator at 100 TB
+    (fixed memory per group vs. the unbounded set an exact distinct
+    shuffles). Approximate by design, so no value oracle; accuracy is
+    bounded against the exact count in tests/test_oracle_parity.py."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+    )

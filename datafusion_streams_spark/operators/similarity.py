@@ -1,0 +1,320 @@
+"""Embedding similarity search over the ``embeddings`` table.
+
+Three operators:
+  - ann_topk_bruteforce: exact cosine top-k (the correctness baseline)
+  - similarity_pairs:    all pairs above a cosine threshold
+  - ann_lsh_bucketed:    sign-random-projection LSH -> bucket join ->
+                         verified pairs (the scale path)
+
+Float determinism: cosine is computed as a strict left-to-right fold
+over double-cast arrays (see functions.dot) and the DuckDB oracle uses
+``list_reduce`` — also a left fold — over the same double values, so
+scores are bit-identical and rankings cannot diverge.
+
+Scale posture: brute force is O(n_queries x n_corpus) — fine for a
+broadcast query set, wrong for all-pairs at 100 TB. The LSH variant
+bounds the join to same-bucket candidates; its hyperplanes are
+compile-time constants (md5-derived +-1 vectors), so both engines and
+every executor agree on them with zero coordination.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_streams_spark.functions import as_double_array, cosine, dot
+from datafusion_streams_spark.operators import query
+
+EMBED_DIM = 64
+N_PLANES = 16  # sign bits
+N_SIGN_BANDS = 4  # 4 bands x 4 bits
+TOP_K = 5
+PAIR_THRESHOLD = 0.4
+
+
+def _sign_planes() -> list[list[float]]:
+    """Deterministic +-1 hyperplanes from md5 parity — public-knowledge
+    sign-random-projection LSH (Charikar, STOC 2002) with a seedable,
+    engine-independent source of randomness."""
+    planes = []
+    for j in range(N_PLANES):
+        row = []
+        for i in range(EMBED_DIM):
+            digest = hashlib.md5(f"{j}_{i}".encode()).hexdigest()
+            row.append(1.0 if int(digest[0], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+SIGNS = _sign_planes()
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL mirror of functions.dot: left-to-right fold, init-equivalent
+    (0.0 + x1 == x1 bitwise, so list_reduce's first-element seed matches
+    Spark aggregate's 0.0 seed)."""
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+
+
+# ---------------------------------------------------------------------------
+# brute-force top-k
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+    SELECT q.q_id, e.vec_id AS neighbor_id,
+           {_cosine_sql('q.qv', 'e.v')} AS score
+    FROM q CROSS JOIN e
+    WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY q_id ORDER BY score DESC, neighbor_id
+    ) AS BIGINT) AS rn
+    FROM scored
+)
+SELECT q_id, neighbor_id, score, rn FROM ranked WHERE rn <= {TOP_K}
+"""
+
+
+@query("ann_topk_bruteforce", oracle=_ANN_ORACLE, tags=("similarity", "ann", "window"))
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for each query vector (vec_id < 10).
+
+    Scale: the query set broadcasts (it is small by construction); the
+    corpus streams through map tasks — no corpus shuffle. The top-k
+    window partitions by query id, so state is k rows per query.
+    """
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# threshold pairs (brute force)
+# ---------------------------------------------------------------------------
+
+_PAIRS_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       {_cosine_sql('a.v', 'b.v')} AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_cosine_sql('a.v', 'b.v')} >= {PAIR_THRESHOLD}
+"""
+
+
+@query("similarity_pairs", oracle=_PAIRS_ORACLE, tags=("similarity", "join"))
+def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= 0.4 (brute-force; the LSH
+    variant below is the scale path for the same semantics)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine(F.col("av"), F.col("bv")).alias("score"))
+        .filter(F.col("score") >= PAIR_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH bucketed pairs
+# ---------------------------------------------------------------------------
+
+
+def _signs_sql(j: int) -> str:
+    vals = ", ".join(str(s) for s in SIGNS[j])
+    return f"([{vals}]::DOUBLE[])"  # parens: the literal is indexed as x[i]
+
+
+def _lsh_oracle() -> str:
+    bit_cols = ",\n        ".join(
+        f"CASE WHEN {_dot_sql('v', _signs_sql(j))} > 0 THEN 1 ELSE 0 END AS b{j}"
+        for j in range(N_PLANES)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        "    SELECT vec_id, {band} AS band, "
+        "CAST(b{i0} AS VARCHAR) || CAST(b{i1} AS VARCHAR) || CAST(b{i2} AS VARCHAR) || CAST(b{i3} AS VARCHAR) AS bkey "
+        "FROM sig".format(band=b, i0=4 * b, i1=4 * b + 1, i2=4 * b + 2, i3=4 * b + 3)
+        for b in range(N_SIGN_BANDS)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+    SELECT vec_id, v,
+        {bit_cols}
+    FROM e
+),
+bands AS (
+{band_selects}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+)
+SELECT c.a_id, c.b_id, {_cosine_sql('ea.v', 'eb.v')} AS score
+FROM cand c
+JOIN e ea ON c.a_id = ea.vec_id
+JOIN e eb ON c.b_id = eb.vec_id
+WHERE {_cosine_sql('ea.v', 'eb.v')} >= {PAIR_THRESHOLD}
+"""
+
+
+@query("ann_lsh_bucketed", oracle=_lsh_oracle(), tags=("similarity", "lsh", "join"))
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH: 16 hyperplane bits -> 4 bands of 4 ->
+    same-bucket candidate pairs -> cosine-verified at >= 0.4.
+
+    Scale: replaces the all-pairs join with a bucket equi-join whose
+    keys are uniform by construction; candidate verification touches
+    only bucket collisions. Recall is tunable via bands/bits (this
+    config: P(candidate | cos=0.5) ~ 0.59, and the oracle replays the
+    identical bucketing, so correctness is checked on exactly what the
+    operator claims to produce).
+    """
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    bit_cols = [
+        F.when(dot(F.col("v"), F.array(*[F.lit(s) for s in SIGNS[j]])) > 0, 1)
+        .otherwise(0)
+        .alias(f"b{j}")
+        for j in range(N_PLANES)
+    ]
+    sig = e.select("vec_id", "v", *bit_cols)
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "", *[F.col(f"b{4 * b + i}").cast("string") for i in range(4)]
+                        ).alias("bkey"),
+                    )
+                    for b in range(N_SIGN_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
+    eb = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    return (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select("a_id", "b_id", cosine(F.col("av"), F.col("bv")).alias("score"))
+        .filter(F.col("score") >= PAIR_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# vectorized scale path (Arrow/numpy) — rows-only check
+# ---------------------------------------------------------------------------
+
+
+@query("ann_topk_vectorized", oracle=None, tags=("similarity", "ann", "pandas-udf", "scale"))
+def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-speed exact top-k: numpy matmul inside mapInPandas.
+
+    Same semantics as ann_topk_bruteforce (validated against it in
+    tests/test_similarity.py) but ~2 orders of magnitude faster per
+    batch: the corpus streams through Arrow batches, each batch is one
+    BLAS matmul against the broadcast query matrix, followed by a
+    per-query global top-k window. No oracle entry: BLAS summation
+    order makes scores differ from the strict-fold definition in the
+    last float bits (ranking is identical on this data — asserted in
+    tests), so this registers as the rows-only scale variant.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q_rows = (
+        e.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
+    )  # tiny by construction: the query set, not the corpus
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("q_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = q_mat @ mat.T  # (n_queries, batch)
+            for qi, q_id in enumerate(q_ids):
+                mask = ids != q_id
+                n = min(TOP_K, mask.sum())
+                if n == 0:
+                    continue
+                row = sims[qi][mask]
+                cand = np.argpartition(-row, n - 1)[:n]
+                yield pd.DataFrame(
+                    {
+                        "q_id": q_id,
+                        "neighbor_id": ids[mask][cand],
+                        "score": row[cand],
+                    }
+                )
+
+    scored = e.select("vec_id", "embedding").mapInPandas(score_batches, out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+    )

@@ -1,0 +1,70 @@
+"""SQL entry point + subquery surface.
+
+The reference *intended* a SQL/catalog layer — ``src/kafka/context.rs``
+is an empty placeholder and ``src/kafka/mod.rs:1`` declares it — but
+never built it (SURVEY.md §3, entry point 3). In Spark it is
+``createOrReplaceTempView`` + ``spark.sql``. These queries run ONE SQL
+text through both engines: the string passed to ``spark.sql`` is
+byte-identical to the DuckDB oracle, which also demonstrates dialect-
+portable SQL (exact-decimal aggregate discipline included).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_streams_spark.catalog import register_views
+from datafusion_streams_spark.operators import query
+
+_SQL_ENTRY = """
+SELECT
+    n_name,
+    COUNT(*) AS n_suppliers,
+    CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@query("sql_entry_point", oracle=_SQL_ENTRY, tags=("sql", "join", "agg"))
+def sql_entry_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register topic/table views, run SQL — the catalog layer the
+    reference left as an empty file. The SQL text is shared verbatim
+    with the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_ENTRY)
+
+
+_SQL_CORRELATED = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier s
+WHERE s_acctbal > (
+    SELECT CAST(SUM(CAST(s2.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM supplier s2
+    WHERE s2.s_nationkey = s.s_nationkey
+)
+"""
+
+
+@query("sql_correlated_subquery", oracle=_SQL_CORRELATED, tags=("sql", "subquery"))
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (above-per-group-average). Catalyst
+    decorrelates this into an aggregate + join — no per-row re-execution
+    at any scale."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_CORRELATED)
+
+
+_SQL_IN = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+"""
+
+
+@query("sql_in_subquery", oracle=_SQL_IN, tags=("sql", "subquery", "semi"))
+def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery — planned as a (broadcastable) left-semi join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_IN)

@@ -1,0 +1,223 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Language ID (marker-word heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting. All pure
+column expressions — whole-stage codegen, map-only, no shuffle except
+the fingerprint group-by — so they scale linearly with input bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_streams_spark.functions import tokens
+from datafusion_streams_spark.operators import query
+
+# Marker stopwords per language (tiny, deterministic; a real system
+# would use character n-gram profiles — the operator shape is the same).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "los", "que"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "les", "des", "est", "une"],
+    "zh": ["de5", "le5", "shi4"],  # romanized placeholders; fixture text is ASCII
+}
+LANG_ORDER = ["en", "es", "de", "fr", "zh"]
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _marker_count(toks: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def _marker_count_sql(markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"CAST(len(list_filter(tk, t -> list_contains([{lst}], t))) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# language ID
+# ---------------------------------------------------------------------------
+
+
+def _langid_oracle() -> str:
+    counts = ",\n        ".join(
+        f"{_marker_count_sql(LANG_MARKERS[lang])} AS {lang}_hits" for lang in LANG_ORDER
+    )
+    # argmax with fixed priority order (first language wins ties), 'und' if all zero
+    conds = []
+    for i, lang in enumerate(LANG_ORDER):
+        others = [f"{lang}_hits >= {o}_hits" for o in LANG_ORDER if o != lang]
+        conds.append(f"WHEN {lang}_hits > 0 AND {' AND '.join(others)} THEN '{lang}'")
+    case = "CASE " + " ".join(conds) + " ELSE 'und' END"
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents
+),
+scored AS (
+    SELECT doc_id, lang,
+        {counts}
+    FROM toks
+)
+SELECT doc_id, lang, {', '.join(f'{lang}_hits' for lang in LANG_ORDER)},
+       {case} AS pred_lang
+FROM scored
+"""
+
+
+@query("text_langid", oracle=_langid_oracle(), tags=("text", "langid"))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with a deterministic argmax (priority
+    order breaks ties, 'und' when nothing matches)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens("text")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        *[_marker_count(toks, LANG_MARKERS[lang]).alias(f"{lang}_hits") for lang in LANG_ORDER],
+    )
+    pred = None
+    for lang in LANG_ORDER:
+        cond = (F.col(f"{lang}_hits") > 0)
+        for other in LANG_ORDER:
+            if other != lang:
+                cond = cond & (F.col(f"{lang}_hits") >= F.col(f"{other}_hits"))
+        branch = F.when(cond, F.lit(lang))
+        pred = branch if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+    return d.select(
+        "doc_id",
+        "lang",
+        *[f"{lang}_hits" for lang in LANG_ORDER],
+        pred.alias("pred_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_QUALITY_ORACLE = rf"""
+WITH base AS (
+    SELECT doc_id,
+        regexp_split_to_array(lower(text), '\s+') AS tk,
+        CAST(length(text) AS BIGINT) AS n_chars_calc,
+        CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS BIGINT) AS n_punct
+    FROM documents
+),
+m AS (
+    SELECT doc_id, n_chars_calc, n_punct,
+        CAST(len(tk) AS BIGINT) AS n_tokens,
+        {_marker_count_sql(STOPWORDS)} AS n_stop,
+        CAST(list_reduce(list_transform(tk, t -> length(t)), (a, b) -> a + b) AS BIGINT) AS token_chars
+    FROM base
+)
+SELECT doc_id, n_tokens, n_chars_calc, n_punct, n_stop,
+    CAST(token_chars AS DOUBLE) / n_tokens AS avg_token_len,
+    least(n_tokens / 100.0, 1.0) * 0.5
+      + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+      + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_calc) * 0.2 AS quality
+FROM m
+"""
+
+
+@query("text_quality_score", oracle=_QUALITY_ORACLE, tags=("text", "quality"))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality: length saturation + stopword ratio +
+    punctuation penalty. Every term is a single-op float expression
+    mirrored verbatim in the oracle (identical FP results)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens("text")
+    base = docs.select(
+        "doc_id",
+        toks.alias("tk"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        F.length(F.regexp_replace("text", r"[\w\s]", "")).cast("long").alias("n_punct"),
+    )
+    m = base.select(
+        "doc_id",
+        "n_chars_calc",
+        "n_punct",
+        F.size("tk").cast("long").alias("n_tokens"),
+        _marker_count(F.col("tk"), STOPWORDS).alias("n_stop"),
+        F.aggregate(F.transform("tk", F.length), F.lit(0), lambda a, b: a + b)
+        .cast("long")
+        .alias("token_chars"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_calc",
+        "n_punct",
+        "n_stop",
+        (F.col("token_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        (
+            F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+            + (F.col("n_stop").cast("double") / F.col("n_tokens")) * 0.3
+            + (F.lit(1.0) - F.col("n_punct").cast("double") / F.col("n_chars_calc")) * 0.2
+        ).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_TOKEN_ORACLE = rf"""
+SELECT
+    doc_id,
+    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT)           AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT)          AS bpe_tokens,
+    CAST(len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS distinct_tokens,
+    CAST(length(text) AS BIGINT)                                             AS n_chars_calc
+FROM documents
+"""
+
+
+@query("text_token_stats", oracle=_TOKEN_ORACLE, tags=("text", "tokens"))
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts (the cheap proxy every
+    training-data pipeline needs before the real tokenizer runs)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)).cast("long").alias("bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+
+_FINGERPRINT_ORACLE = r"""
+WITH fp AS (
+    SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(lower(text), '\s+'))), ' ')) AS fingerprint
+    FROM documents
+)
+SELECT fingerprint, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
+FROM fp GROUP BY fingerprint
+"""
+
+
+@query("text_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("text", "fingerprint", "dedup"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive bag-of-words fingerprint: md5 over the sorted
+    distinct token set. Catches re-ordered copies that exact hashing
+    misses and costs one map + one digest-keyed shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(tokens("text"))), " "))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )

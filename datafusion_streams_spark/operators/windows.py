@@ -1,0 +1,273 @@
+"""Window functions + event-time windows (batch form).
+
+The reference inherits window capability from DataFusion but never
+exercises it (SURVEY.md §2.3); here each family is implemented and
+oracle-checked. Every OVER clause carries a total tiebreak order so
+results are deterministic under any partitioning — at 100 TB the row
+order within a shuffle partition is never reproducible, so
+nondeterministic window frames are latent correctness bugs.
+
+The streaming (watermarked) variants of the event-time windows live in
+``datafusion_streams_spark.streaming.queries``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_streams_spark.catalog import load_events
+from datafusion_streams_spark.functions import dec, dsum
+from datafusion_streams_spark.operators import query
+
+# ---------------------------------------------------------------------------
+# ranking: top-k per group
+# ---------------------------------------------------------------------------
+
+_TOPK_GROUP_ORACLE = """
+SELECT * FROM (
+    SELECT
+        o_custkey,
+        o_orderkey,
+        o_totalprice,
+        CAST(row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+        ) AS BIGINT) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+@query("window_topk_per_group", oracle=_TOPK_GROUP_ORACLE, tags=("window", "topk"))
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number.
+
+    Scale: one shuffle on o_custkey; skewed customers are handled by
+    AQE skew-split. For extreme skew, pre-aggregate with a salted
+    partial top-k before the window (same pattern as salted joins).
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytic: running total
+# ---------------------------------------------------------------------------
+
+_RUNNING_ORACLE = """
+SELECT
+    o_custkey,
+    o_orderkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+@query("window_running_total", oracle=_RUNNING_ORACLE, tags=("window", "analytic"))
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend; decimal accumulation keeps the running
+    values exact regardless of partition/merge order."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytic: lag / delta over an event stream
+# ---------------------------------------------------------------------------
+
+_LAG_ORACLE = """
+SELECT
+    event_id,
+    user_id,
+    value,
+    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+FROM events
+"""
+
+
+@query("window_lag_delta", oracle=_LAG_ORACLE, tags=("window", "analytic", "events"))
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-event value delta (lag)."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        prev.alias("prev_value"),
+        (F.col("value") - prev).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ranking battery: rank / dense_rank / ntile
+# ---------------------------------------------------------------------------
+
+_RANK_ORACLE = """
+SELECT
+    s_suppkey,
+    s_nationkey,
+    s_acctbal,
+    CAST(rank()       OVER w AS BIGINT) AS bal_rank,
+    CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
+    CAST(ntile(4)     OVER w AS BIGINT) AS bal_quartile
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+"""
+
+
+@query("window_rank_battery", oracle=_RANK_ORACLE, tags=("window", "rank"))
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (batch form of the streaming ops)
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT
+    date_trunc('hour', ts) AS window_start,
+    event_type,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_tumbling_hour", oracle=_TUMBLING_ORACLE, tags=("window", "events", "streaming-batch"))
+def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (batch form; the streaming form
+    in streaming/queries.py must produce the identical result — the
+    prefix-consistency property from the Structured Streaming paper)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SLIDING_ORACLE = """
+WITH buckets AS (
+    SELECT date_trunc('hour', ts) + (INTERVAL 30 MINUTE) * CAST(floor(minute(ts) / 30) AS INTEGER) AS half_hour, *
+    FROM events
+), slides AS (
+    SELECT half_hour                        AS window_start, event_type, value FROM buckets
+    UNION ALL
+    SELECT half_hour - INTERVAL 30 MINUTE   AS window_start, event_type, value FROM buckets
+)
+SELECT
+    window_start,
+    event_type,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM slides
+GROUP BY 1, 2
+"""
+
+
+@query("events_sliding_window", oracle=_SLIDING_ORACLE, tags=("window", "events", "streaming-batch"))
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour width, 30-minute slide — each event lands in
+    exactly two windows. The oracle reconstructs the assignment by
+    bucketing + self-union."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+    SELECT
+        user_id, ts, event_id, value,
+        CASE
+            WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+            WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE THEN 1
+            ELSE 0
+        END AS is_new
+    FROM events
+), numbered AS (
+    SELECT *,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+    FROM flagged
+)
+SELECT
+    user_id,
+    MIN(ts)                       AS session_start,
+    MAX(ts) + INTERVAL 30 MINUTE  AS session_end,
+    COUNT(*)                      AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, grp
+"""
+
+
+@query("events_session_window", oracle=_SESSION_ORACLE, tags=("window", "events", "session", "streaming-batch"))
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap (batch form of
+    F.session_window). Oracle reconstructs sessions via gaps-and-islands:
+    a session merges an event iff its ts is strictly before the current
+    session end (last event + gap) — Spark's [start, end) convention."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,125 @@
+"""Kafka-style sources.
+
+The reference's single real operator is a Kafka micro-batch scan
+producing the fixed schema ``key binary (non-null), value binary
+(non-null)`` (`/root/reference/src/lib.rs:7-12`), one consumer per
+Kafka partition (`/root/reference/src/kafka/execution.rs:62-112`).
+
+Two entry points:
+
+* ``kafka_source`` — the real thing: Spark's built-in Kafka source,
+  whose schema (key binary, value binary, topic, partition, offset,
+  timestamp, timestampType) is a strict superset of the reference's.
+  Config passthrough mirrors the reference's ``conf: HashMap``
+  (`/root/reference/src/kafka/execution.rs:34`). Requires a broker +
+  the spark-sql-kafka package; unavailable in the test container, so
+  it is exercised only via the emulation below.
+
+* ``kafka_like_from_events`` / ``kafka_like_stream`` — broker-free
+  emulation: a deterministic Kafka-shaped table/stream derived from
+  the ``events`` fixture, with the reference's exact non-null binary
+  semantics (absent key/payload → empty bytes, not NULL —
+  `/root/reference/src/kafka/execution.rs:137,140`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# ts declared long: the fixture parquet stores TIMESTAMP(NANOS), which
+# Spark reads as raw nanos (spark.sql.legacy.parquet.nanosAsLong);
+# normalize_event_ts converts to a microsecond TIMESTAMP_NTZ.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """ns-long -> microsecond TIMESTAMP_NTZ (integer floor division,
+    matching DuckDB's nanos->micros narrowing)."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+
+
+def kafka_source(
+    spark: SparkSession,
+    topic: str,
+    bootstrap_servers: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    conf: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming DataFrame over a real Kafka topic.
+
+    Maps the reference's operator surface 1:1:
+      - start at beginning (`…/execution.rs:77-79`) → startingOffsets=earliest
+      - micro-batch row cap (`…/execution.rs:87`) → maxOffsetsPerTrigger
+      - consumer config map (`…/execution.rs:34`) → option("kafka." + k, v)
+      - per-Kafka-partition parallelism (`…/execution.rs:47-49,75`) →
+        built into the source (1 topic-partition = 1 input partition)
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    for k, v in (conf or {}).items():
+        reader = reader.option(f"kafka.{k}", v)
+    return reader.load()
+
+
+def to_reference_schema(df: DataFrame) -> DataFrame:
+    """Project any Kafka-shaped frame onto the reference's exact schema:
+    non-nullable binary (key, value), absent → empty bytes
+    (`/root/reference/src/kafka/execution.rs:135-142`)."""
+    empty = F.encode(F.lit(""), "UTF-8")
+    return df.select(
+        F.coalesce(F.col("key"), empty).alias("key"),
+        F.coalesce(F.col("value"), empty).alias("value"),
+    )
+
+
+def kafka_like_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Kafka-shaped batch table from the events fixture.
+
+    Message generators copy the reference's test fixture format
+    (`/root/reference/tests/utils.rs:214-220`): key "Key {id}",
+    value "Message {id}", UTF-8 encoded to binary.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        F.encode(F.concat(F.lit("Key "), F.col("event_id").cast("string")), "UTF-8").alias("key"),
+        F.encode(F.concat(F.lit("Message "), F.col("event_id").cast("string")), "UTF-8").alias("value"),
+    )
+
+
+def kafka_like_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming (micro-batch) variant of ``kafka_like_from_events``.
+
+    A parquet file-stream source stands in for the broker; Structured
+    Streaming's MicroBatchExecution supplies the reference's
+    per-micro-batch replan loop (`…/execution.rs:119-132`) natively.
+    """
+    # glob form: the file streaming source requires a directory basePath
+    ev = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
+    return ev.select(
+        F.encode(F.concat(F.lit("Key "), F.col("event_id").cast("string")), "UTF-8").alias("key"),
+        F.encode(F.concat(F.lit("Message "), F.col("event_id").cast("string")), "UTF-8").alias("value"),
+    )

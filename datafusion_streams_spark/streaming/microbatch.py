@@ -1,0 +1,80 @@
+"""Micro-batch runners mirroring the reference's execution semantics.
+
+Reference semantics -> Spark mapping (SURVEY.md §4.2):
+  1. batch closes on min(time_window, batch_size rows)
+     (`/root/reference/src/kafka/execution.rs:87`)
+     -> trigger(processingTime) + maxOffsetsPerTrigger / maxFilesPerTrigger
+  2. drain-then-stop on partition EOF (`…/execution.rs:93-96`)
+     -> Trigger.AvailableNow
+  3. start at earliest offset (`…/execution.rs:77-79`)
+     -> startingOffsets=earliest (and, unlike the reference, Spark
+     checkpoints offsets -> exactly-once instead of replay-always)
+  4. per-source-partition parallelism (`…/execution.rs:47-49,75`)
+     -> built into every Spark source
+
+The reference's per-micro-batch replan hook (StreamingProvider::recv,
+`…/execution.rs:119-132`) is MicroBatchExecution itself — nothing to
+implement.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def run_drain_to_memory(
+    df: DataFrame,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> tuple[str, StreamingQuery]:
+    """Drain-then-stop (reference EOF mode, A4): process everything
+    available, write to an in-memory table, stop. Returns the memory
+    table name; read results with ``spark.table(name)``."""
+    name = f"mb_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dfs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return name, q
+
+
+def run_microbatch(
+    df: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    trigger_interval: str | None = None,
+    available_now: bool = True,
+    timeout_sec: int = 120,
+) -> StreamingQuery:
+    """foreachBatch runner — the programmatic sink the reference's test
+    loop emulates by iterating ``execute_stream`` batches
+    (`/root/reference/tests/basic_tests.rs:63-72`)."""
+    writer = df.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", tempfile.mkdtemp(prefix="dfs_ckpt_")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    q = writer.start()
+    q.awaitTermination(timeout_sec)
+    return q
+
+
+def rate_micro_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Unbounded test stream (rate source) for trigger/backpressure tests
+    — stands in for a live Kafka topic in broker-free environments."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )

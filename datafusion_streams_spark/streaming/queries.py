@@ -1,0 +1,72 @@
+"""Streaming queries registered in the correctness gate.
+
+Each runs a genuine Structured Streaming micro-batch execution
+(Trigger.AvailableNow — the reference's drain-then-stop mode) and
+returns the materialized result, which must equal the batch oracle:
+the prefix-consistency property from the Structured Streaming paper
+(SIGMOD 2018), checked mechanically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_streams_spark.functions import dsum
+from datafusion_streams_spark.operators import query
+from datafusion_streams_spark.operators.reference import _REF_PIPELINE_ORACLE
+from datafusion_streams_spark.operators.windows import _TUMBLING_ORACLE
+from datafusion_streams_spark.sources.kafka import EVENTS_RAW_SCHEMA, kafka_like_stream, normalize_event_ts
+from datafusion_streams_spark.streaming.microbatch import run_drain_to_memory
+
+
+@query(
+    "streaming_ref_pipeline",
+    oracle=_REF_PIPELINE_ORACLE,
+    tags=("streaming", "reference"),
+)
+def streaming_ref_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full demonstrated path, actually streamed:
+    micro-batch source -> cast key/value to UTF-8 -> length projection
+    -> drain-then-stop (`/root/reference/tests/basic_tests.rs:53-72`,
+    EOF mode `…/src/kafka/execution.rs:93-96`), via a real
+    MicroBatchExecution. Stateless, so output mode is append."""
+    msgs = kafka_like_stream(spark, sf_dir)
+    out = msgs.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.length(F.col("value").cast("string")).alias("len_value"),
+    )
+    name, _ = run_drain_to_memory(out, output_mode="append")
+    return spark.table(name)
+
+
+@query(
+    "streaming_tumbling_hour",
+    oracle=_TUMBLING_ORACLE,
+    tags=("streaming", "window"),
+)
+def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window over a streamed read of events —
+    must produce exactly the batch result (prefix consistency).
+
+    Output mode is complete (window state re-emitted per trigger) so no
+    watermark is needed and no late rows are dropped; the watermarked
+    append-mode variant is exercised in tests/test_streaming.py, where
+    late-data dropping is the *expected* behavior under test.
+    """
+    ev = normalize_event_ts(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
+    )
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name, _ = run_drain_to_memory(agg, output_mode="complete")
+    return spark.table(name)

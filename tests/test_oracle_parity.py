@@ -1,0 +1,75 @@
+"""The correctness gate, locally: every registered query runs on Spark
+and on DuckDB (oracle SQL) at sf0.01 and must match exactly —
+mirroring the driver's CORRECTNESS check."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_streams_spark.operators import REGISTRY
+from tests.conftest import SF_DIR, assert_frames_match
+
+ORACLE_QUERIES = [name for name, spec in REGISTRY.items() if spec.oracle is not None]
+ROWS_ONLY_QUERIES = [name for name, spec in REGISTRY.items() if spec.oracle is None]
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    spec = REGISTRY[name]
+    spark_pdf = spec.fn(spark, SF_DIR).toPandas()
+    oracle_pdf = duck.execute(spec.oracle).fetchdf()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_DIR)
+    assert df.count() >= 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"key", "value", "len_value"}
+
+
+def test_registry_complete():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert len(q) >= 25, f"expected a wide inventory, got {len(q)}"
+    assert set(o) <= set(q)
+
+
+def test_approx_distinct_accuracy(spark, duck):
+    """HLL estimate within 5% of the exact distinct count per group."""
+    approx = {
+        r["o_orderpriority"]: r["approx_customers"]
+        for r in REGISTRY["agg_approx_distinct"].fn(spark, SF_DIR).collect()
+    }
+    exact = dict(
+        duck.execute(
+            "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) FROM orders GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= 0.05 * v, (k, approx[k], v)
+
+
+def test_vectorized_ann_matches_bruteforce(spark):
+    """The numpy scale path must return the same neighbor sets (same
+    ranking on this data) as the strict-fold bruteforce definition."""
+    brute = {
+        (r.q_id, r.rn): r.neighbor_id
+        for r in REGISTRY["ann_topk_bruteforce"].fn(spark, SF_DIR).collect()
+    }
+    fast = {
+        (r.q_id, r.rn): r.neighbor_id
+        for r in REGISTRY["ann_topk_vectorized"].fn(spark, SF_DIR).collect()
+    }
+    assert brute == fast

@@ -1,0 +1,168 @@
+"""Streaming-semantics tests: the reference's execution behaviors
+(micro-batch boundaries, drain-then-stop, earliest-offset start) plus
+the Spark capabilities that exceed it (watermarks, stateful dedup) —
+SURVEY.md §2 Tier A and §4.2.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from datafusion_streams_spark.sources.kafka import kafka_like_stream, to_reference_schema
+from datafusion_streams_spark.streaming.microbatch import run_drain_to_memory, run_microbatch
+from tests.conftest import SF_DIR_SMALL
+
+
+def test_drain_then_stop_processes_everything(spark):
+    """A4: PartitionEOF drain mode == Trigger.AvailableNow — the stream
+    consumes all available input, then terminates on its own."""
+    msgs = kafka_like_stream(spark, SF_DIR_SMALL)
+    name, q = run_drain_to_memory(msgs, output_mode="append")
+    assert not q.isActive, "AvailableNow query must self-terminate"
+    got = spark.table(name).count()
+    expected = spark.read.parquet(f"{SF_DIR_SMALL}/events.parquet").count()
+    assert got == expected
+
+
+def test_microbatch_boundaries_foreachbatch(spark):
+    """A2/A7: micro-batch re-plan loop. maxFilesPerTrigger bounds each
+    batch (the file-source analogue of the reference's row cap — its
+    Kafka analogue is maxOffsetsPerTrigger); foreachBatch observes every
+    batch id, mirroring the reference's execute_stream iteration
+    (/root/reference/tests/basic_tests.rs:63-72)."""
+    seen: list[tuple[int, int]] = []
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .withColumn("key", F.encode(F.concat(F.lit("Key "), F.col("value").cast("string")), "UTF-8"))
+    )
+
+    def collect(batch_df, batch_id: int) -> None:
+        seen.append((batch_id, batch_df.count()))
+
+    q = (
+        src.writeStream.foreachBatch(collect)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline and len([c for _, c in seen if c > 0]) < 2:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    nonempty = [c for _, c in seen if c > 0]
+    assert len(nonempty) >= 2, f"expected multiple micro-batches, saw {seen}"
+
+
+def test_reference_schema_nonnull_binary(spark):
+    """A5: absent key/payload -> empty bytes, never NULL
+    (/root/reference/src/kafka/execution.rs:135-142)."""
+    df = spark.createDataFrame(
+        [(None, bytearray(b"v")), (bytearray(b"k"), None)],
+        "key binary, value binary",
+    )
+    out = to_reference_schema(df).collect()
+    assert all(r.key is not None and r.value is not None for r in out)
+    assert out[0].key == bytearray(b"") and out[1].value == bytearray(b"")
+
+
+def test_streaming_batch_equivalence_stateless(spark):
+    """Prefix consistency (Structured Streaming paper §: the streaming
+    result of a stateless pipeline over a bounded source equals the
+    batch result over the same data)."""
+    msgs = kafka_like_stream(spark, SF_DIR_SMALL).select(
+        F.col("key").cast("string").alias("key"),
+        F.length(F.col("value").cast("string")).alias("len_value"),
+    )
+    name, _ = run_drain_to_memory(msgs, output_mode="append")
+    streamed = spark.table(name).toPandas().sort_values("key").reset_index(drop=True)
+
+    from datafusion_streams_spark.sources.kafka import kafka_like_from_events
+
+    batch = (
+        kafka_like_from_events(spark, SF_DIR_SMALL)
+        .select(
+            F.col("key").cast("string").alias("key"),
+            F.length(F.col("value").cast("string")).alias("len_value"),
+        )
+        .toPandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(streamed, batch)
+
+
+def test_watermark_drops_late_rows(spark):
+    """Watermarked append-mode window agg: rows later than the watermark
+    delay are dropped — the late-data semantics the reference lacks
+    entirely (SURVEY.md §2.3 'Spark exceeds the reference here')."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    src_dir = tempfile.mkdtemp(prefix="dfs_late_")
+
+    def write_batch(subdir: str, rows: list[tuple[int, str]], mtime: float) -> None:
+        df = spark.createDataFrame(rows, "id long, ts_str string").select(
+            "id", F.col("ts_str").cast("timestamp").alias("ts")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/{subdir}")
+        for p in glob.glob(f"{src_dir}/{subdir}/part-*.parquet"):
+            os.utime(p, (mtime, mtime))
+
+    now = time.time()
+    # FileStreamSource orders by modification time: b1 (on-time, pushes
+    # watermark to 09:59) -> b2 (keep-alive batch; late-event filtering
+    # uses the PREVIOUS micro-batch's watermark per SPARK-40925, so the
+    # watermark must be set one batch before the late row arrives) ->
+    # b3 (one late row at 08:00, below watermark -> dropped) -> b4
+    # (event at 12:00, closes the 10:00 window).
+    write_batch("b1", [(i, f"2024-01-01 10:{i:02d}:00") for i in range(10)], now - 400)
+    write_batch("b2", [(50, "2024-01-01 10:09:00")], now - 300)
+    write_batch("b3", [(100, "2024-01-01 08:00:00")], now - 200)
+    write_batch("b4", [(200, "2024-01-01 12:00:00")], now - 100)
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*/part-*.parquet")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name, _ = run_drain_to_memory(stream, output_mode="append")
+    result = spark.table(name).select(F.col("window.start").alias("ws"), "n").toPandas()
+    hours = {ts.hour for ts in result["ws"]}
+    assert 10 in hours, f"on-time window missing from {result}"
+    assert 8 not in hours, f"late row leaked into {result}"
+    assert int(result[result["ws"].dt.hour == 10]["n"].iloc[0]) == 11
+
+
+def test_drop_duplicates_within_watermark(spark):
+    """Stateful streaming dedup: duplicate event ids collapse within the
+    watermark window (the streaming counterpart of dedup_exact)."""
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix="dfs_dupe_")
+    rows = [(i % 5, "2024-01-01 10:00:00") for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, ts_str string").select(
+        "id", F.col("ts_str").cast("timestamp").alias("ts")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{src_dir}/b1")
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .parquet(f"{src_dir}/b*/part-*.parquet")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    name, _ = run_drain_to_memory(stream, output_mode="append")
+    assert spark.table(name).count() == 5
