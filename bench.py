@@ -42,7 +42,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_topk_bruteforce",
-    "similarity_pairs",
+    "ann_lsh_bucketed",
+    "similarity_pairs_vectorized",
     "text_quality_score",
     "text_fingerprint",
     "multimodal_binary_meta",

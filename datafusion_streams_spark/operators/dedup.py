@@ -67,8 +67,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct 3-word shingles per document."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """(doc_id, shingle) — distinct 3-word shingles per document.
+
+    The fixture is one small parquet file = one input split, which
+    would serialize the (expensive) shingle+hash pipeline onto a single
+    task; repartition by doc_id first so the map work spreads across
+    the cluster. On a real 100 TB table the scan is already split and
+    this repartition is a cheap no-op-shaped shuffle of raw text.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
     return docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("shingle"))
 
 
@@ -226,11 +233,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    verified = _jaccard_pairs(sh)
+    # Verify ONLY candidate pairs: broadcast the (tiny) candidate set
+    # against the shingle table twice and count shared shingles. The
+    # oracle computes the same jaccard values by definition, so results
+    # are identical — but this never materializes the all-pairs join.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("bb_id"), F.col("shingle").alias("sh_b"))
+    inter = (
+        F.broadcast(cand)
+        .join(sh_a, "a_id")
+        .join(sh_b, (F.col("b_id") == F.col("bb_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"))
     return (
-        cand.join(verified, ["a_id", "b_id"])
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("a_id", "b_id", "jaccard")
     )
 
 
@@ -282,7 +309,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: explode(tokens) -> groupBy(doc_id) is one shuffle; the 32
     bit-votes are plain SUM aggregates (map-side combined).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
     tok = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.lower("text"), r"\s+"))).alias("tk"),

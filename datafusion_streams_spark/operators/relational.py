@@ -676,3 +676,38 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
     )
+
+
+_SALTED_ORACLE = """
+SELECT
+    event_type,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("agg_salted_skew", oracle=_SALTED_ORACLE, tags=("agg", "skew", "scale"))
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a low-cardinality hot key.
+
+    events has 5 event types over millions of rows — the canonical
+    skewed-aggregation shape. Phase 1 groups by (key, salt) so the hot
+    keys spread over 16 reducers; phase 2 merges the partials. Decimal
+    partials make the two-phase result EXACTLY equal to the plain
+    GROUP BY, which is what the oracle checks. (Spark's own partial
+    aggregation usually hides this problem for algebraic aggregates;
+    explicit salting is the pattern for when it can't — e.g. exact
+    distinct or collect-style aggregates per hot key.)
+    """
+    ev = load_events(spark, sf_dir)
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    phase1 = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pc"),
+        F.sum(dec("value")).alias("ps"),
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("pc").alias("n_events"),
+        F.sum("ps").cast("double").alias("total_value"),
+    )

@@ -66,18 +66,50 @@ def _cosine_sql(a: str, b: str) -> str:
     return f"{_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
 
 
+# Normalize once per vector, then pair score is a single fold. Both
+# engines perform the identical per-element division then the identical
+# left fold, so scores stay bit-identical — and per-pair cost drops 3x
+# (the norm folds move out of the O(n^2) loop). This is the formulation
+# that survives scale: normalization is map-side and cacheable.
+_NORMALIZED_SQL = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+    SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+    FROM (SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM e)
+)
+"""
+
+
+def _normalized_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, vn): unit-normalized double vectors — Spark mirror of
+    _NORMALIZED_SQL (same division, same element order)."""
+    from datafusion_streams_spark.functions import l2_norm
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    # repartition: the single-file fixture scan is one split; spread the
+    # normalize + downstream pair folds across all cores (a real-scale
+    # table arrives pre-split).
+    return (
+        e.repartition("vec_id")
+        .select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
+        .select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("vn"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # brute-force top-k
 # ---------------------------------------------------------------------------
 
 _ANN_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+WITH {_NORMALIZED_SQL.strip()},
+q AS (SELECT vec_id AS q_id, vn AS qn FROM n WHERE vec_id < 10),
 scored AS (
-    SELECT q.q_id, e.vec_id AS neighbor_id,
-           {_cosine_sql('q.qv', 'e.v')} AS score
-    FROM q CROSS JOIN e
-    WHERE e.vec_id <> q.q_id
+    SELECT q.q_id, n.vec_id AS neighbor_id,
+           {_dot_sql('q.qn', 'n.vn')} AS score
+    FROM q CROSS JOIN n
+    WHERE n.vec_id <> q.q_id
 ),
 ranked AS (
     SELECT *, CAST(row_number() OVER (
@@ -97,19 +129,17 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus streams through map tasks — no corpus shuffle. The top-k
     window partitions by query id, so state is k rows per query.
     """
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
-    q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    n = _normalized_df(spark, sf_dir)
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("vn").alias("qn")
     )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        n.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("score"),
+            dot(F.col("qn"), F.col("vn")).alias("score"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("score"), "neighbor_id")
@@ -124,26 +154,27 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PAIRS_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+WITH {_NORMALIZED_SQL.strip()}
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       {_cosine_sql('a.v', 'b.v')} AS score
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE {_cosine_sql('a.v', 'b.v')} >= {PAIR_THRESHOLD}
+       {_dot_sql('a.vn', 'b.vn')} AS score
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_dot_sql('a.vn', 'b.vn')} >= {PAIR_THRESHOLD}
 """
 
 
 @query("similarity_pairs", oracle=_PAIRS_ORACLE, tags=("similarity", "join"))
 def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= 0.4 (brute-force; the LSH
-    variant below is the scale path for the same semantics)."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", as_double_array("embedding").alias("v")
-    )
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    variant below is the scale path for the same semantics).
+
+    Normalize-then-dot: norms are computed once per vector (map-side),
+    so each of the O(n^2) pairs costs a single fold."""
+    n = _normalized_df(spark, sf_dir)
+    a = n.select(F.col("vec_id").alias("a_id"), F.col("vn").alias("an"))
+    b = n.select(F.col("vec_id").alias("b_id"), F.col("vn").alias("bn"))
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", cosine(F.col("av"), F.col("bv")).alias("score"))
+        .select("a_id", "b_id", dot(F.col("an"), F.col("bn")).alias("score"))
         .filter(F.col("score") >= PAIR_THRESHOLD)
     )
 
@@ -170,7 +201,7 @@ def _lsh_oracle() -> str:
         for b in range(N_SIGN_BANDS)
     )
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+WITH {_NORMALIZED_SQL.strip()},
 sig AS (
     SELECT vec_id, v,
         {bit_cols}
@@ -184,11 +215,11 @@ cand AS (
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
 )
-SELECT c.a_id, c.b_id, {_cosine_sql('ea.v', 'eb.v')} AS score
+SELECT c.a_id, c.b_id, {_dot_sql('na.vn', 'nb.vn')} AS score
 FROM cand c
-JOIN e ea ON c.a_id = ea.vec_id
-JOIN e eb ON c.b_id = eb.vec_id
-WHERE {_cosine_sql('ea.v', 'eb.v')} >= {PAIR_THRESHOLD}
+JOIN n na ON c.a_id = na.vec_id
+JOIN n nb ON c.b_id = nb.vec_id
+WHERE {_dot_sql('na.vn', 'nb.vn')} >= {PAIR_THRESHOLD}
 """
 
 
@@ -242,12 +273,13 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"))
-    eb = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"))
+    nrm = _normalized_df(spark, sf_dir)
+    na = nrm.select(F.col("vec_id").alias("a_id"), F.col("vn").alias("an"))
+    nb = nrm.select(F.col("vec_id").alias("b_id"), F.col("vn").alias("bn"))
     return (
-        cand.join(ea, "a_id")
-        .join(eb, "b_id")
-        .select("a_id", "b_id", cosine(F.col("av"), F.col("bv")).alias("score"))
+        cand.join(na, "a_id")
+        .join(nb, "b_id")
+        .select("a_id", "b_id", dot(F.col("an"), F.col("bn")).alias("score"))
         .filter(F.col("score") >= PAIR_THRESHOLD)
     )
 
@@ -317,4 +349,67 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
+    )
+
+
+@query("similarity_pairs_vectorized", oracle=_PAIRS_ORACLE, tags=("similarity", "pandas-udf", "scale"))
+def similarity_pairs_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine >= 0.4 — Arrow/numpy scale path, SAME oracle
+    as similarity_pairs.
+
+    Bit-exactness by construction: scores accumulate as 64 sequential
+    vectorized outer-product adds (acc += a[:,k] (x) b[:,k] for k in
+    order), which is the identical left-to-right addition chain as the
+    Spark fold and DuckDB's list_reduce — elementwise SIMD ops don't
+    reassociate the per-pair sum, so the oracle hash still matches.
+    Normalization uses the same sequential-cumsum norm for the same
+    reason.
+
+    Scale: each Arrow batch of left rows is scored against the
+    broadcast right matrix; O(n^2/batch) memory, embarrassingly
+    parallel across partitions. (For n where even that is too big,
+    ann_lsh_bucketed is the sub-quadratic path.)
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    all_rows = raw.select("vec_id", "embedding").collect()
+
+    def normalize(mat: "np.ndarray") -> "np.ndarray":
+        sq = mat * mat
+        norms = np.sqrt(np.cumsum(sq, axis=1)[:, -1])  # sequential sum == left fold
+        return mat / norms[:, None]
+
+    all_ids = np.array([r.vec_id for r in all_rows], dtype=np.int64)
+    all_vn = normalize(np.array([r.embedding for r in all_rows], dtype=np.float64))
+    dim = all_vn.shape[1]
+
+    out_schema = StructType(
+        [
+            StructField("a_id", LongType()),
+            StructField("b_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def score_batches(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vn = normalize(np.array(list(pdf["embedding"]), dtype=np.float64))
+            # sequential accumulation over dimensions == left fold bitwise
+            acc = np.zeros((len(ids), len(all_ids)), dtype=np.float64)
+            for k in range(dim):
+                acc += vn[:, k][:, None] * all_vn[None, :, k]
+            li, ri = np.nonzero((ids[:, None] < all_ids[None, :]) & (acc >= PAIR_THRESHOLD))
+            if len(li):
+                yield pd.DataFrame(
+                    {"a_id": ids[li], "b_id": all_ids[ri], "score": acc[li, ri]}
+                )
+
+    return (
+        raw.select("vec_id", "embedding")
+        .repartition("vec_id")
+        .mapInPandas(score_batches, out_schema)
     )

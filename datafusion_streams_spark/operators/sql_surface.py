@@ -68,3 +68,22 @@ def sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery — planned as a (broadcastable) left-semi join."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_IN)
+
+
+_SQL_GROUPING_SETS = """
+SELECT
+    COALESCE(l_returnflag, 'ALL') AS return_flag,
+    COALESCE(l_linestatus, 'ALL') AS line_status,
+    COUNT(*) AS n_items,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+
+
+@query("sql_grouping_sets", oracle=_SQL_GROUPING_SETS, tags=("sql", "agg", "grouping-sets"))
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under cube/rollup) —
+    one pass, all requested grouping combinations."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_GROUPING_SETS)

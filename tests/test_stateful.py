@@ -1,0 +1,116 @@
+"""Custom stateful streaming operators + stream-stream joins — the
+capability tier where Spark exceeds the reference (SURVEY.md §2.3
+'Stateful ops / dedup'; the reference has no state at all)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from tests.conftest import SF_DIR_SMALL
+
+
+def test_apply_in_pandas_with_state_running_count(spark):
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-user event counter carried across micro-batches — the pattern
+    for operators Structured Streaming lacks natively."""
+    src_dir = tempfile.mkdtemp(prefix="dfs_state_")
+    rows1 = [(i, i % 3) for i in range(9)]
+    rows2 = [(i, i % 3) for i in range(9, 15)]
+    spark.createDataFrame(rows1, "event_id long, user_id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src_dir}/b1")
+    spark.createDataFrame(rows2, "event_id long, user_id long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src_dir}/b2")
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("total_events", LongType())]
+    )
+    state_schema = StructType([StructField("count", LongType())])
+
+    def count_events(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "total_events": [total]})
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/b*/part-*.parquet")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            count_events, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    name = "state_counts"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dfs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    result = spark.table(name).toPandas()
+    # last emission per user must equal the full count (5 per user: 15 rows / 3 users)
+    final = result.groupby("user_id")["total_events"].max()
+    assert dict(final) == {0: 5, 1: 5, 2: 5}, result
+
+
+def test_stream_stream_join_with_watermarks(spark):
+    """Stream-stream inner join bounded by watermarks: impressions x
+    clicks within a 30-minute interval condition."""
+    imp_dir = tempfile.mkdtemp(prefix="dfs_imp_")
+    clk_dir = tempfile.mkdtemp(prefix="dfs_clk_")
+    imp = [(i, f"2024-01-01 10:{i:02d}:00") for i in range(10)]
+    clk = [(i, f"2024-01-01 10:{i + 5:02d}:00") for i in range(0, 10, 2)]
+    spark.createDataFrame(imp, "ad_id long, ts_str string").select(
+        "ad_id", F.col("ts_str").cast("timestamp").alias("imp_ts")
+    ).coalesce(1).write.mode("overwrite").parquet(imp_dir + "/d")
+    spark.createDataFrame(clk, "ad_id long, ts_str string").select(
+        F.col("ad_id").alias("click_ad_id"), F.col("ts_str").cast("timestamp").alias("click_ts")
+    ).coalesce(1).write.mode("overwrite").parquet(clk_dir + "/d")
+
+    imps = (
+        spark.readStream.schema("ad_id long, imp_ts timestamp")
+        .parquet(imp_dir + "/d/part-*.parquet")
+        .withWatermark("imp_ts", "1 hour")
+    )
+    clicks = (
+        spark.readStream.schema("click_ad_id long, click_ts timestamp")
+        .parquet(clk_dir + "/d/part-*.parquet")
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = imps.join(
+        clicks,
+        F.expr(
+            "ad_id = click_ad_id AND click_ts BETWEEN imp_ts AND imp_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    name = "ss_join"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dfs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.ad_id for r in spark.table(name).collect()}
+    assert got == {0, 2, 4, 6, 8}, got
