@@ -711,3 +711,67 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pc").alias("n_events"),
         F.sum("ps").cast("double").alias("total_value"),
     )
+
+
+_PIVOT_ORACLE = """
+SELECT
+    user_id,
+    COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS click,
+    COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS error,
+    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+    COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signup,
+    COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS view
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("agg_pivot", oracle=_PIVOT_ORACLE, tags=("agg", "pivot"))
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (wide conditional aggregation). The value list is explicit —
+    at scale an implicit pivot first runs a distinct scan to discover
+    columns, which is a whole extra pass over the fact table."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "user_id",
+            *[F.col(c).cast("long").alias(c) for c in ["click", "error", "purchase", "signup", "view"]],
+        )
+    )
+
+
+_CONDITIONAL_ORACLE = """
+SELECT
+    l_orderkey,
+    l_linenumber,
+    CASE l_returnflag WHEN 'R' THEN 'returned' WHEN 'A' THEN 'accepted' ELSE 'none' END AS flag_desc,
+    CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS qty_class,
+    NULLIF(l_discount, 0.0)                    AS disc_or_null,
+    GREATEST(l_quantity, 25.0)                 AS qty_floor25,
+    LEAST(l_quantity, 25.0)                    AS qty_cap25,
+    COALESCE(NULLIF(l_discount, 0.0), -1.0)    AS disc_or_neg1
+FROM lineitem
+"""
+
+
+@query("scalar_conditional_pack", oracle=_CONDITIONAL_ORACLE, tags=("scalar", "conditional"))
+def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / NULLIF / GREATEST / LEAST / COALESCE battery."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .when(F.col("l_returnflag") == "A", "accepted")
+        .otherwise("none")
+        .alias("flag_desc"),
+        F.when(F.col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
+        F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_or_null"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_floor25"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_cap25"),
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias("disc_or_neg1"),
+    )

@@ -221,3 +221,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fingerprint")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_EXPLODE_ORACLE = r"""
+WITH tok AS (
+    SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+    FROM documents
+)
+SELECT token, COUNT(*) AS doc_freq
+FROM tok
+GROUP BY token
+ORDER BY doc_freq DESC, token
+LIMIT 20
+"""
+
+
+@query("lateral_explode_tokens", oracle=_EXPLODE_ORACLE, tags=("text", "explode", "topk"))
+def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode (LATERAL VIEW) -> document-frequency top-20.
+
+    Scale: explode is map-side; the token group-by shuffles uniform
+    hash keys; final top-20 is TakeOrderedAndProject. This is the
+    vocabulary/document-frequency primitive under TF-IDF and stopword
+    mining."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(20)
+    )
