@@ -123,3 +123,19 @@ def kafka_like_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.concat(F.lit("Key "), F.col("event_id").cast("string")), "UTF-8").alias("key"),
         F.encode(F.concat(F.lit("Message "), F.col("event_id").cast("string")), "UTF-8").alias("value"),
     )
+
+
+def reference_test_messages(spark: SparkSession) -> DataFrame:
+    """The reference's exact test fixture as a DataFrame: 15 messages per
+    partition x 3 partitions, value "Message {id}", key "Key {id}"
+    (`/root/reference/tests/utils.rs:214-220`,
+    `/root/reference/tests/basic_tests.rs:27-29`), with the Kafka
+    metadata columns Spark's source would add."""
+    rows = [
+        (f"Key {i}".encode(), f"Message {i}".encode(), p, i)
+        for p in range(3)
+        for i in range(15)
+    ]
+    return spark.createDataFrame(
+        rows, "key binary, value binary, partition int, offset long"
+    )

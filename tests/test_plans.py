@@ -46,3 +46,25 @@ def test_q1_partial_aggregation(spark):
     plan = formatted_plan(REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR))
     assert "HashAggregate" in plan
     assert plan.count("HashAggregate") >= 2, "expect partial + final aggregate"
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Bucketing: co-located join with NO exchange on either side — the
+    pre-shuffled layout a recurring 100 TB join would use."""
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_b")
+    lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_b")
+    try:
+        ob = spark.table("orders_b")
+        lb = spark.table("lineitem_b")
+        joined = lb.join(ob.hint("merge"), lb.l_orderkey == ob.o_orderkey).select(
+            "l_orderkey", "o_totalprice", "l_extendedprice"
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

@@ -1,0 +1,104 @@
+"""Property-based tests (hypothesis): the invariants that make the
+engine trustworthy at scale.
+
+1. Partitioning invariance — the core 100 TB property: results must be
+   IDENTICAL under any repartitioning (1 vs 32 partitions changes
+   combine order; exact-decimal aggregation makes that a no-op).
+2. Operator-vs-reference properties — Spark shingling/jaccard/simhash
+   against independent pure-Python implementations on generated data.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from datafusion_streams_spark.functions import dec, word_shingles
+from tests.conftest import SF_DIR_SMALL
+
+_WORDS = ["spark", "stream", "batch", "join", "scan", "the", "fast", "row", "key", "sort"]
+
+
+def _doc_strategy():
+    return st.lists(st.sampled_from(_WORDS), min_size=3, max_size=30).map(" ".join)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=st.lists(_doc_strategy(), min_size=1, max_size=8))
+def test_shingles_match_python_reference(spark, docs):
+    """word_shingles == an independent pure-Python 3-shingle builder."""
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+    got = {
+        r.doc_id: set(r.sh)
+        for r in df.select("doc_id", word_shingles("text", 3).alias("sh")).collect()
+    }
+    for i, d in enumerate(docs):
+        toks = d.lower().split()
+        if len(toks) >= 3:
+            expected = {" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)}
+        else:
+            expected = {" ".join(toks)}
+        assert got[i] == expected, (d, got[i], expected)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.decimals(min_value=-99999, max_value=99999, places=2).map(float),
+        min_size=1,
+        max_size=200,
+    ),
+    nparts=st.integers(min_value=1, max_value=32),
+)
+def test_decimal_sum_partitioning_invariance(spark, vals, nparts):
+    """SUM over DECIMAL is bit-identical under any partition count —
+    the invariant that plain double sums violate (combine order).
+    Ground truth: Python's exact Fraction arithmetic."""
+    from fractions import Fraction
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    s1 = df.coalesce(1).agg(F.sum(dec("v")).cast("double")).first()[0]
+    sN = df.repartition(nparts).agg(F.sum(dec("v")).cast("double")).first()[0]
+    assert s1 == sN  # bitwise equal, any partitioning
+    exact = float(sum(Fraction(round(v * 100)) for v in vals) / 100)
+    assert math.isclose(s1, exact, rel_tol=0, abs_tol=1e-6)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(nparts=st.integers(min_value=1, max_value=16))
+def test_q1_shape_partitioning_invariance(spark, nparts):
+    """The full q1 aggregate bundle is partition-count invariant on real
+    fixture data (decimal sums + counts)."""
+    li = spark.read.parquet(f"{SF_DIR_SMALL}/lineitem.parquet")
+    def agg(d):
+        return {
+            tuple(r[:2]): r[2:]
+            for r in d.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(dec("l_quantity")).cast("double"),
+                F.count(F.lit(1)),
+            )
+            .collect()
+        }
+    assert agg(li.coalesce(1)) == agg(li.repartition(nparts))
+
+
+def test_minhash_lsh_finds_all_high_jaccard_pairs(spark):
+    """MinHash-LSH recall on the planted near-dups: every pair the exact
+    ngram query reports must also be reported by the LSH query (at the
+    planted 0.98 jaccard, miss probability ~2.6e-12)."""
+    from datafusion_streams_spark.operators import REGISTRY
+
+    exact = {
+        (r.a_id, r.b_id)
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, SF_DIR_SMALL).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id)
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR_SMALL).collect()
+    }
+    assert lsh == exact, f"LSH missed {exact - lsh} / extra {lsh - exact}"

@@ -166,3 +166,24 @@ def test_drop_duplicates_within_watermark(spark):
     )
     name, _ = run_drain_to_memory(stream, output_mode="append")
     assert spark.table(name).count() == 5
+
+
+def test_reference_fixture_pipeline_exact(spark):
+    """The reference's end-to-end test, replayed exactly: 45 messages
+    (15 x 3 partitions), scan -> cast -> length
+    (/root/reference/tests/basic_tests.rs:23-75). Unlike the reference
+    (which only print_batches'es — no assertions), we assert values."""
+    from datafusion_streams_spark.sources.kafka import reference_test_messages
+
+    msgs = reference_test_messages(spark).repartition(3, "partition")
+    assert msgs.rdd.getNumPartitions() == 3  # reference's target_partitions(3)
+    out = msgs.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.length(F.col("value").cast("string")).alias("len_value"),
+    ).collect()
+    assert len(out) == 45
+    by_key = {r.key: r for r in out}
+    assert by_key["Key 0"].value == "Message 0" and by_key["Key 0"].len_value == 9
+    assert by_key["Key 14"].len_value == 10  # "Message 14"
+    assert all(r.len_value == len(r.value) for r in out)
