@@ -67,6 +67,8 @@ def main() -> None:
         spec.fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    streaming = _streaming_metrics(spark)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -76,10 +78,66 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": float(sf),
             }
         )
     )
+
+
+def _streaming_metrics(spark) -> dict:
+    """BASELINE.md proxy metrics (b) and (c): bounded events replay
+    throughput, and micro-batch cadence at the reference-mirroring
+    config (200 ms trigger / 3 source partitions —
+    /root/reference/tests/basic_tests.rs:32-42)."""
+    from datafusion_streams_spark.sources.kafka import kafka_like_stream
+    from datafusion_streams_spark.streaming.microbatch import run_drain_to_memory
+
+    # (b) throughput: full micro-batch replay of events through the
+    # reference pipeline (cast + length), drain-then-stop.
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    from pyspark.sql import functions as F
+
+    pipe = kafka_like_stream(spark, SF_DIR).select(
+        F.col("key").cast("string").alias("key"),
+        F.length(F.col("value").cast("string")).alias("len_value"),
+    )
+    t0 = time.perf_counter()
+    name, _ = run_drain_to_memory(pipe, output_mode="append")
+    elapsed = time.perf_counter() - t0
+    replay_rows_per_sec = round(n_events / elapsed, 1)
+
+    # (c) cadence: rate source, 3 partitions, 200 ms trigger; average
+    # trigger execution time from query progress.
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "25")
+        .option("numPartitions", "3")
+        .load()
+    )
+    q = (
+        src.writeStream.format("memory")
+        .queryName("bench_rate")
+        .outputMode("append")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    time.sleep(6)
+    progress = list(q.recentProgress)
+    q.stop()
+    durations = [
+        p["durationMs"]["triggerExecution"]
+        for p in progress
+        if p.get("numInputRows", 0) > 0 and "triggerExecution" in p.get("durationMs", {})
+    ]
+    avg_trigger_ms = round(sum(durations) / len(durations), 1) if durations else None
+    return {
+        "events_replay_rows_per_sec": replay_rows_per_sec,
+        "events_replayed": n_events,
+        "microbatch_avg_trigger_ms": avg_trigger_ms,
+        "microbatch_trigger_config_ms": 200,
+        "microbatch_batches_observed": len(durations),
+    }
 
 
 if __name__ == "__main__":

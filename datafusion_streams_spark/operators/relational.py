@@ -775,3 +775,172 @@ def scalar_conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_cap25"),
         F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(-1.0)).alias("disc_or_neg1"),
     )
+
+
+_Q18_ORACLE = """
+SELECT
+    c_custkey,
+    c_name,
+    o_orderkey,
+    CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+"""
+
+
+@query("q18_large_orders", oracle=_Q18_ORACLE, tags=("join", "agg", "having", "topk"))
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): grouped agg + HAVING + top-k.
+
+    Scale: the HAVING filter runs post-aggregation on the (small)
+    grouped result; the heavy lineitem->order rollup is one shuffle on
+    the orderkey, reused by the customer broadcast join."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(50)
+    )
+
+
+_Q14_ORACLE = f"""
+SELECT
+    CAST(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE_SQL} END) AS DOUBLE)
+         / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS DOUBLE) AS promo_revenue_pct,
+    COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+"""
+
+
+@query("q14_promo_share", oracle=_Q14_ORACLE, tags=("join", "agg", "conditional"))
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share (TPC-H Q14 shape): conditional aggregation
+    ratio. Both sums are exact decimal; the ratio is one double division
+    — identical in both engines."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc_price())).cast("double")
+    total = F.sum(disc_price()).cast("double")
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.00) * promo / total).cast("double").alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT
+    CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+    COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@query("q19_disjunctive_filter", oracle=_Q19_ORACLE, tags=("join", "filter", "disjunction"))
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-column predicates across the join (TPC-H Q19
+    shape) — exercises CNF conversion / partial pushdown: the per-table
+    conjuncts implied by the OR (e.g. p_brand IN (...)) are pushed below
+    the join by Catalyst."""
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.sum(disc_price()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q12_ORACLE = """
+SELECT
+    CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+    COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_priority,
+    COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_priority
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY year(l_shipdate)
+"""
+
+
+@query("q12_priority_classes", oracle=_Q12_ORACLE, tags=("join", "agg", "conditional"))
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-class line counts per ship year (TPC-H Q12 shape):
+    conditional counting over a fact-fact join."""
+    t = load_tables(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_priority"),
+            F.count(F.when(~hi, 1)).alias("low_priority"),
+        )
+    )
+
+
+_Q22_ORACLE = """
+SELECT
+    c_mktsegment,
+    COUNT(*) AS n_customers,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+    FROM customer c2 WHERE c2.c_acctbal > 0
+)
+AND NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+)
+GROUP BY c_mktsegment
+"""
+
+
+@query("q22_sales_opportunity", oracle=_Q22_ORACLE, tags=("subquery", "anti", "agg"))
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no large order (TPC-H Q22
+    shape): scalar subquery threshold + anti join + aggregate. The
+    scalar subquery broadcasts a single value; the anti join ships only
+    keys."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    pos = c.filter(F.col("c_acctbal") > 0)
+    avg_bal = pos.agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("ab")
+    ).first()[0]
+    big_orders = t["orders"].filter(F.col("o_totalprice") > 250000)
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
