@@ -15,6 +15,7 @@ deterministic left-to-right reductions mirrored verbatim in the SQL.
 
 from __future__ import annotations
 
+import functools
 from collections import OrderedDict
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -22,6 +23,29 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# The driver (and any embedding application) supplies its own
+# SparkSession; these SQL confs are required for correctness parity and
+# are safe to set per-session at runtime. Applied before every query:
+#   - timeZone UTC: timestamp semantics must match the DuckDB oracle
+#   - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), unreadable
+#     by Spark otherwise (converted in catalog.load_events)
+#   - AQE/arrow/broadcast: the execution posture the plans assume
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf in this deployment — session.py already set it
 
 
 @dataclass(frozen=True)
@@ -41,7 +65,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags)
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QuerySpec(name=name, fn=wrapped, oracle=oracle, tags=tags)
         return fn
 
     return deco

@@ -89,7 +89,7 @@ _Q3_ORACLE = f"""
 SELECT
     l_orderkey,
     CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
-    CAST(o_orderdate AS DATE)              AS o_orderdate
+    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -119,7 +119,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(disc_price()).cast("double").alias("revenue"))
-        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .select("l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -577,8 +577,8 @@ SELECT
     CAST(month(o_orderdate) AS BIGINT)   AS order_month,
     CAST(day(o_orderdate) AS BIGINT)     AS order_day,
     CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
-    CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
-    CAST(o_orderdate AS DATE) + 30                 AS plus_30d,
+    strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
+    strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d')                   AS plus_30d,
     CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98
 FROM orders
 """
@@ -594,8 +594,8 @@ def scalar_date_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("long").alias("order_month"),
         F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
         F.quarter("o_orderdate").cast("long").alias("order_quarter"),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
-        F.date_add(d, 30).alias("plus_30d"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus_30d"),
         F.datediff(F.lit("1998-01-01").cast("date"), d).cast("long").alias("days_to_98"),
     )
 
