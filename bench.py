@@ -38,6 +38,8 @@ HEADLINE = [
     "sort_topk_global",
     "events_tumbling_hour",
     "events_session_window",
+    "join_asof",
+    "rollup_multiresolution",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -83,6 +83,7 @@ def _populate() -> None:
         reference,
         relational,
         sql_surface,
+        temporal,
         windows,
         dedup,
         similarity,

@@ -1,0 +1,187 @@
+"""Temporal join operators Spark lacks natively: AS-OF join and range
+join — the canonical "custom operator" examples from the build brief,
+implemented as compositions of built-in DataFrame ops (no UDFs), so
+Catalyst still optimizes every stage.
+
+Oracle: DuckDB has a native ASOF JOIN, which independently validates
+the composition — our Spark implementation must reproduce the exact
+semantics of a different engine's native operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_streams_spark.catalog import load_events
+from datafusion_streams_spark.functions import dec
+from datafusion_streams_spark.operators import query
+
+# ---------------------------------------------------------------------------
+# AS-OF join: each click matched to the latest same-user purchase at or
+# before its timestamp.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH clicks AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, ts AS purchase_ts, MAX(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, p.purchase_ts, p.purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+"""
+
+
+@query("join_asof", oracle=_ASOF_ORACLE, tags=("temporal", "asof", "join"))
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join via the union + carry-forward composition.
+
+    Instead of a per-row range probe (quadratic, unindexable in a
+    shuffle engine), tag both streams, sort within user by event time,
+    and carry the last purchase forward with last(ignoreNulls) — ONE
+    shuffle on user_id, linear scan per partition. This is the
+    formulation that scales: state per row is O(1) and AQE handles
+    user skew.
+
+    Tie semantics (ASOF's ts >= purchase_ts): at equal timestamps the
+    purchase must be visible to the click, so purchases sort before
+    clicks within a timestamp (kind=0 < kind=1). Duplicate same-user
+    same-ts purchases are pre-aggregated (MAX value) to mirror a
+    deterministic ASOF pick.
+    """
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp_ntz").alias("purchase_ts"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            F.col("ts").alias("purchase_ts"),
+            "purchase_value",
+        )
+    )
+    tagged = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "kind",
+        F.last("purchase_ts", ignorenulls=True).over(w).alias("purchase_ts"),
+        F.last("purchase_value", ignorenulls=True).over(w).alias("purchase_value"),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "event_id", "user_id", "purchase_ts", "purchase_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join: rows matched to value bands.
+# ---------------------------------------------------------------------------
+
+_RANGE_ORACLE = """
+WITH bands(band, lo, hi) AS (
+    VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 100000.0)
+)
+SELECT
+    b.band,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+"""
+
+
+@query("join_range_bands", oracle=_RANGE_ORACLE, tags=("temporal", "range", "join"))
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: fact rows against interval dimension.
+
+    Scale: the band table broadcasts, so the range predicate is
+    evaluated map-side (BroadcastNestedLoopJoin over a 3-row build
+    side — effectively a map lookup). For large interval tables the
+    composition switches to interval bucketing: explode each interval
+    to its covering buckets, equi-join on bucket, re-check the
+    predicate.
+    """
+    ev = load_events(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style multi-resolution rollup
+# ---------------------------------------------------------------------------
+
+_MULTIRES_ORACLE = """
+WITH minute_agg AS (
+    SELECT date_trunc('minute', ts) AS minute_start, event_type,
+           COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS v
+    FROM events GROUP BY 1, 2
+),
+hour_agg AS (
+    SELECT date_trunc('hour', minute_start) AS hour_start, event_type,
+           SUM(n) AS n, SUM(v) AS v
+    FROM minute_agg GROUP BY 1, 2
+)
+SELECT date_trunc('day', hour_start) AS day_start, event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS total_value
+FROM hour_agg GROUP BY 1, 2
+"""
+
+
+@query("rollup_multiresolution", oracle=_MULTIRES_ORACLE, tags=("temporal", "rollup", "agg"))
+def rollup_multiresolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascading rollup: raw -> minute -> hour -> day,
+    each level aggregating the previous one (never re-reading raw).
+
+    Decimal partials make the cascade EXACTLY equal to aggregating raw
+    directly — the invariant that makes materialized rollup hierarchies
+    trustworthy. At scale each level is a tiny fraction of the one
+    below, so refreshing the hierarchy costs ~one scan of raw plus
+    geometric small change.
+    """
+    ev = load_events(spark, sf_dir)
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("v"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", "minute_start").alias("hour_start"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    return hour.groupBy(
+        F.date_trunc("day", "hour_start").alias("day_start"), "event_type"
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+    )

@@ -1,0 +1,94 @@
+"""Scale-behavior demonstrations: AQE skew handling, console sink
+plumbing, and engine error adaptation (SURVEY.md §2 A8)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datafusion_streams_spark.sources.kafka import kafka_like_stream
+from tests.conftest import SF_DIR_SMALL
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join: a 95%-hot key must be split at runtime instead of
+    serializing one reducer — the mechanism that saves skewed joins at
+    100 TB. Asserted on the executed (adaptive) plan."""
+    hot = spark.range(0, 200_000).select(
+        F.lit(0).alias("k"), F.col("id").alias("payload")
+    )
+    cold = spark.range(0, 5_000).select(
+        (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("payload")
+    )
+    left = hot.union(cold)
+    right = spark.range(0, 51).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+
+    old_thresholds = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+    }
+    try:
+        # force a sort-merge join and make the skew detector sensitive
+        # enough to trip on test-sized data
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        joined = left.join(right, "k")
+        # collect() executes THIS DataFrame's QueryExecution, so the AQE
+        # final plan is inspectable afterwards (count() builds a new one)
+        assert len(joined.collect()) == 205_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, "AQE should mark the hot partition as skewed"
+    finally:
+        for k, v in old_thresholds.items():
+            spark.conf.set(k, v)
+
+
+def test_console_sink_runs(spark, capfd):
+    """Console sink — the reference's only sink (print_batches,
+    /root/reference/tests/basic_tests.rs:67) — drains without error."""
+    msgs = kafka_like_stream(spark, SF_DIR_SMALL).select(
+        F.length(F.col("value").cast("string")).alias("len_value")
+    )
+    q = (
+        msgs.writeStream.format("console")
+        .option("numRows", "5")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dfs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_stream_error_adaptation(spark):
+    """A8: source errors surface as StreamingQueryException (the
+    reference wraps KafkaError into DataFusionStreamError,
+    /root/reference/src/lib.rs:14-26)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    # declare an existing column with an incompatible type: the parquet
+    # reader fails inside the stream (a missing column would just read
+    # as NULL under schema-evolution semantics)
+    bad = (
+        spark.readStream.schema("event_type double, event_id string")
+        .parquet(f"{SF_DIR_SMALL}/events*.parquet")
+        .select((F.col("event_type") * 2).alias("x"))
+    )
+    q = (
+        bad.writeStream.format("memory")
+        .queryName("err_test")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dfs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()

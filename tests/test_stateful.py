@@ -114,3 +114,61 @@ def test_stream_stream_join_with_watermarks(spark):
     q.awaitTermination(120)
     got = {r.ad_id for r in spark.table(name).collect()}
     assert got == {0, 2, 4, 6, 8}, got
+
+
+def test_transform_with_state_in_pandas(spark):
+    """transformWithStateInPandas (Spark 4.0 arbitrary-state API):
+    running per-user counts with a RocksDB-backed ValueState.
+
+    Environment-gated: the API's Python worker requires a functional
+    google.protobuf (absent in this container — no pip installs), so
+    this skips here and runs in protobuf-capable deployments.
+    applyInPandasWithState above covers the same capability tier.
+    """
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithStateInPandas python worker needs protobuf",
+    )
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Counter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.count = handle.getValueState("count", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self.count.get()[0] if self.count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self.count.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        def close(self):
+            pass
+
+    src = tempfile.mkdtemp(prefix="dfs_tws_")
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "event_id long, user_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b1")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    out = (
+        spark.readStream.schema("event_id long, user_id long")
+        .parquet(f"{src}/b*/part-*.parquet")
+        .groupBy("user_id")
+        .transformWithStateInPandas(Counter(), "user_id long, n long", "Update", "None")
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dfs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.user_id, r.n) for r in spark.table("tws_test").collect())
+    assert got == [(0, 4), (1, 4), (2, 4)]
