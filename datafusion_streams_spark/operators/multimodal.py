@@ -113,3 +113,59 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return payloads.mapInPandas(_extract_meta, META_SCHEMA)
+
+
+FRAME_BYTES = 32
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def _frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-sampling plumbing for video-like payloads: fixed-size byte
+    frames, every FRAME_STRIDE-th sampled and digested. A real decoder
+    would replace the md5 with codec frame extraction — batch shape,
+    schema and partitioning are identical."""
+    for pdf in batches:
+        out = {"doc_id": [], "n_frames": [], "n_sampled": [], "sample_digest": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            frames = [data[i : i + FRAME_BYTES] for i in range(0, len(data), FRAME_BYTES)]
+            sampled = frames[::FRAME_STRIDE]
+            out["doc_id"].append(doc_id)
+            out["n_frames"].append(len(frames))
+            out["n_sampled"].append(len(sampled))
+            out["sample_digest"].append(hashlib.md5(b"".join(sampled)).hexdigest())
+        yield pd.DataFrame(out)
+
+
+_FRAME_ORACLE = f"""
+WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes FROM documents),
+frames AS (
+    SELECT doc_id,
+        CAST(ceil(n_bytes / {FRAME_BYTES}.0) AS BIGINT) AS n_frames,
+        -- every {FRAME_STRIDE}th frame = stride of {FRAME_BYTES * FRAME_STRIDE} bytes
+        CAST(ceil(n_bytes / {FRAME_BYTES * FRAME_STRIDE}.0) AS BIGINT) AS n_sampled,
+        md5(string_agg(substr(text, 1 + (f - 1) * {FRAME_BYTES * FRAME_STRIDE}, {FRAME_BYTES}), '' ORDER BY f)) AS sample_digest
+    FROM p, unnest(range(1, CAST(ceil(n_bytes / {FRAME_BYTES * FRAME_STRIDE}.0) AS BIGINT) + 1)) AS t(f)
+    GROUP BY doc_id, n_bytes
+)
+SELECT doc_id, n_frames, n_sampled, sample_digest FROM frames
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_ORACLE, tags=("multimodal", "pandas-udf"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads via mapInPandas:
+    32-byte frames, every 4th sampled, digest over the sampled bytes.
+    ASCII fixture text means the oracle can reconstruct the identical
+    byte slices with substr."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_frames", LongType()),
+            StructField("n_sampled", LongType()),
+            StructField("sample_digest", StringType()),
+        ]
+    )
+    return payloads.mapInPandas(_frame_sample, schema)

@@ -944,3 +944,34 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+_PERCENTILE_ORACLE = """
+SELECT
+    l_returnflag,
+    quantile_cont(l_extendedprice, 0.5)  AS p50_price,
+    quantile_cont(l_extendedprice, 0.9)  AS p90_price,
+    quantile_cont(l_extendedprice, 0.99) AS p99_price,
+    COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentiles", oracle=_PERCENTILE_ORACLE, tags=("agg", "percentile"))
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (both engines implement
+    the same linear-interpolation quantile definition).
+
+    Scale note: exact percentile shuffles the full column per group; at
+    100 TB swap in approx_percentile (t-digest/GK sketch, fixed memory)
+    — same query shape, bounded error, exposed via agg_approx_distinct's
+    pattern.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_price"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

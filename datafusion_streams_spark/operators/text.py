@@ -252,3 +252,100 @@ def lateral_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), "token")
         .limit(20)
     )
+
+
+_PII_ORACLE = r"""
+WITH scrubbed AS (
+    SELECT doc_id,
+        regexp_replace(
+            regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g') AS clean_text,
+        text
+    FROM documents
+)
+SELECT doc_id,
+    CAST(length(text) - length(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g')) AS BIGINT) AS email_chars,
+    length(clean_text) AS clean_len,
+    md5(clean_text) AS clean_digest
+FROM scrubbed
+"""
+
+
+@query("text_pii_scrub", oracle=_PII_ORACLE, tags=("text", "pii"))
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email/phone patterns replaced with typed tokens —
+    the redaction pass every training-data pipeline runs. Pure
+    regexp_replace (codegen, map-only); the digest proves byte-exact
+    scrubbing against the oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\b\d{3}[-. ]?\d{3}[-. ]?\d{4}\b"
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), email_re, "")))
+        .cast("long")
+        .alias("email_chars"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_digest"),
+    )
+
+
+_TFIDF_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+weighted AS (
+    SELECT tf.doc_id, tf.term,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term
+    ) AS BIGINT) AS rn
+    FROM weighted
+)
+SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
+"""
+
+
+@query("text_tfidf_topterms", oracle=_TFIDF_ORACLE, tags=("text", "tfidf", "window"))
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document.
+
+    Scale: two shuffles (term-frequency by (doc, term); document
+    frequency by term, broadcast back) + one window. ln() is rounded to
+    6dp before ranking (libm last-ulp differences), with a term-name
+    tiebreak, so the top-k set is engine-stable.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    weighted = (
+        tf.join(F.broadcast(dfreq), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        weighted.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
