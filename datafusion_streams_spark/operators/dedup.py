@@ -199,13 +199,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pairs at Jaccard >= 0.6.
 
     At the 0.98-Jaccard similarity of the planted near-dups the miss
-    probability is (1 - 0.98^2)^8 ~ 2.6e-12 — effectively exact, at
-    ~n_docs x 8 bucket-join rows instead of all-pairs. This is the
-    100 TB dedup path: every stage is a hash shuffle on uniform keys.
+    probability is (1 - 0.98^2)^8 ~ 2.6e-12 — effectively exact. This
+    is the 100 TB dedup path:
+      - shingles are computed ONCE (explode), hashed 16x in a single
+        projection, min-aggregated into the signature (one shuffle on
+        doc_id with map-side partial mins);
+      - the band-bucket self-join shuffles uniform md5 keys;
+      - verification joins the (tiny) candidate set back to per-doc
+        shingle arrays and computes exact Jaccard via array_intersect
+        — per candidate pair, never all pairs.
+    (A pure map-only signature via 16 array transforms was tried and is
+    ~2x slower: Catalyst inlines the shingle expression into every
+    signature column, recomputing shingles 16x per doc.)
     """
     sh = _shingles_df(spark, sf_dir).cache()
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(minhash_expr(F.col("shingle"), s)).alias(f"mh{s}") for s in range(N_MINHASH)]
+    hashed = sh.select(
+        "doc_id", *[minhash_expr(F.col("shingle"), s).alias(f"h{s}") for s in range(N_MINHASH)]
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(N_MINHASH)]
     )
     bands = sig.select(
         "doc_id",
@@ -233,30 +245,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    # Verify ONLY candidate pairs: broadcast the (tiny) candidate set
-    # against the shingle table twice and count shared shingles. The
-    # oracle computes the same jaccard values by definition, so results
-    # are identical — but this never materializes the all-pairs join.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_a = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("bb_id"), F.col("shingle").alias("sh_b"))
-    inter = (
-        F.broadcast(cand)
-        .join(sh_a, "a_id")
-        .join(sh_b, (F.col("b_id") == F.col("bb_id")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    withsh = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
+    sh_a = withsh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sh_b = withsh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
-        )
+        cand.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .select("a_id", "b_id", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
