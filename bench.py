@@ -49,6 +49,7 @@ HEADLINE = [
     "text_quality_score",
     "text_fingerprint",
     "multimodal_binary_meta",
+    "pipeline_curation",
     "streaming_ref_pipeline",
     "streaming_tumbling_hour",
 ]

@@ -89,6 +89,7 @@ def _populate() -> None:
         similarity,
         text,
         multimodal,
+        pipeline,
     )
     from datafusion_streams_spark.streaming import queries as streaming_queries  # noqa: F401
 

@@ -1,0 +1,90 @@
+"""Composite training-data curation pipeline — the operators composed
+into the actual 100 TB use case: quality-filter -> near-dup removal ->
+deterministic sampling. One registered query per stage boundary so the
+driver checks the composition end-to-end, not just the parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_streams_spark.functions import tokens, word_shingles
+from datafusion_streams_spark.operators import query
+from datafusion_streams_spark.operators.dedup import (
+    _JACCARD_PAIRS_SQL,
+    _SHINGLES_SQL,
+    JACCARD_THRESHOLD,
+    _jaccard_pairs,
+    _shingles_df,
+)
+
+# Deterministic hash-mod sampling: the scalable idiom (TABLESAMPLE is
+# engine- and run-dependent; hash-mod is reproducible everywhere).
+_SAMPLE_ORACLE = """
+SELECT doc_id, n_chars
+FROM documents
+WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 4
+"""
+
+
+@query("sample_deterministic", oracle=_SAMPLE_ORACLE, tags=("sampling",))
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~25% deterministic sample: first md5 nibble of the key < 4.
+
+    Reproducible across engines, runs, and cluster sizes — unlike
+    TABLESAMPLE/rand(), which cannot be oracle-checked at all. At scale
+    this is also restartable: membership is a pure function of the key.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nibble = F.instr(
+        F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    ) - 1
+    return docs.filter(nibble < 4).select("doc_id", "n_chars")
+
+
+_CURATION_ORACLE = rf"""
+WITH {_SHINGLES_SQL.strip()},
+{_JACCARD_PAIRS_SQL.strip()},
+dupes AS (
+    SELECT DISTINCT b_id AS doc_id FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+),
+quality AS (
+    SELECT doc_id, lang,
+        CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT q.doc_id, q.lang, q.n_tokens
+FROM quality q
+LEFT JOIN dupes d ON q.doc_id = d.doc_id
+WHERE d.doc_id IS NULL
+  AND q.n_tokens >= 40
+  AND q.lang IN ('en', 'de', 'fr', 'es')
+"""
+
+
+@query("pipeline_curation", oracle=_CURATION_ORACLE, tags=("pipeline", "dedup", "text"))
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: drop near-duplicates (keep the lower doc_id
+    of each pair), require >= 40 tokens, keep the target languages.
+
+    This is the composition a reference user actually runs; every stage
+    is one of the independently-oracle-checked operators above, chained
+    without materialization — Catalyst plans the whole thing as one
+    DAG (dedup's shingle join + an anti join + a map-side filter).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dupes = (
+        _jaccard_pairs(_shingles_df(spark, sf_dir))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    quality = docs.select(
+        "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        quality.join(dupes, "doc_id", "left_anti")
+        .filter((F.col("n_tokens") >= 40) & (F.col("lang").isin("en", "de", "fr", "es")))
+        .select("doc_id", "lang", "n_tokens")
+    )
