@@ -975,3 +975,42 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_extendedprice", F.lit(0.99)).alias("p99_price"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+_ARRAY_PACK_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+SELECT
+    vec_id,
+    CAST(len(v) AS BIGINT)                    AS dim,
+    v[1]                                      AS head_val,
+    v[len(v)]                                 AS tail_val,
+    CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_positive,
+    list_sort(v)[1]                           AS min_val,
+    list_sort(v)[len(v)]                      AS max_val,
+    CASE WHEN list_contains(list_transform(v, x -> x > 0.5), true) THEN 1 ELSE 0 END AS has_big
+FROM e
+"""
+
+
+@query("scalar_array_pack", oracle=_ARRAY_PACK_ORACLE, tags=("scalar", "array"))
+def scalar_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery over the embedding column: size, element
+    access, filter/transform lambdas, sort-based min/max, existence.
+    All higher-order built-ins — the toolkit for array<float> feature
+    columns; scalar outputs keep the oracle hash stable."""
+    from datafusion_streams_spark.functions import as_double_array
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    v = F.col("v")
+    return e.select(
+        "vec_id",
+        F.size(v).cast("long").alias("dim"),
+        F.element_at(v, 1).alias("head_val"),
+        F.element_at(v, F.size(v)).alias("tail_val"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.element_at(F.array_sort(v), 1).alias("min_val"),
+        F.element_at(F.array_sort(v), F.size(v)).alias("max_val"),
+        F.when(F.exists(v, lambda x: x > 0.5), 1).otherwise(0).alias("has_big"),
+    )

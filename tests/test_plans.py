@@ -68,3 +68,27 @@ def test_bucketed_join_avoids_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_table_statistics_for_cbo(spark):
+    """The reference's ExecutionPlan::statistics() is an unimplemented
+    todo!() (/root/reference/src/kafka/execution.rs:114-116) — no
+    cost-based decision can see through its node. Spark's stats
+    machinery, by contrast: ANALYZE TABLE computes row counts +
+    column stats that the CBO consumes."""
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").write.mode("overwrite").saveAsTable(
+        "nation_stats"
+    )
+    try:
+        spark.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_name")
+        stats_row = [
+            r for r in spark.sql("DESCRIBE TABLE EXTENDED nation_stats").collect()
+            if r.col_name == "Statistics"
+        ]
+        assert stats_row, "ANALYZE must persist table statistics"
+        assert "rows" in stats_row[0].data_type  # e.g. '3187 bytes, 25 rows'
+        col = spark.sql("DESCRIBE EXTENDED nation_stats n_nationkey").collect()
+        kv = {r.info_name: r.info_value for r in col}
+        assert kv.get("distinct_count") not in (None, "NULL"), kv
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_stats")
