@@ -136,7 +136,13 @@ SELECT
     s_acctbal,
     CAST(rank()       OVER w AS BIGINT) AS bal_rank,
     CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
-    CAST(ntile(4)     OVER w AS BIGINT) AS bal_quartile
+    CAST(ntile(4)     OVER w AS BIGINT) AS bal_quartile,
+    first_value(s_acctbal) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_bal,
+    last_value(s_acctbal)  OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_bal,
+    nth_value(s_acctbal, 2) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_bal
 FROM supplier
 WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
 """
@@ -146,6 +152,7 @@ WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
 def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), "s_suppkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return s.select(
         "s_suppkey",
         "s_nationkey",
@@ -153,6 +160,9 @@ def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).cast("long").alias("bal_rank"),
         F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
         F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+        F.first("s_acctbal").over(wfull).alias("top_bal"),
+        F.last("s_acctbal").over(wfull).alias("bottom_bal"),
+        F.nth_value("s_acctbal", 2).over(wfull).alias("second_bal"),
     )
 
 
