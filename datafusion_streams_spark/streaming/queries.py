@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from datafusion_streams_spark.functions import dsum
 from datafusion_streams_spark.operators import query
 from datafusion_streams_spark.operators.reference import _REF_PIPELINE_ORACLE
-from datafusion_streams_spark.operators.windows import _TUMBLING_ORACLE
+from datafusion_streams_spark.operators.windows import _SESSION_ORACLE, _TUMBLING_ORACLE
 from datafusion_streams_spark.sources.kafka import EVENTS_RAW_SCHEMA, kafka_like_stream, normalize_event_ts
 from datafusion_streams_spark.streaming.microbatch import run_drain_to_memory
 
@@ -64,6 +64,44 @@ def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name, _ = run_drain_to_memory(agg, output_mode="complete")
+    return spark.table(name)
+
+
+@query(
+    "streaming_session_window",
+    oracle=_SESSION_ORACLE,
+    tags=("streaming", "window", "session"),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) computed by a real streaming
+    aggregation — merging-window state, the most complex built-in
+    stateful operator — and required to equal the batch gaps-and-islands
+    oracle exactly.
+
+    Notes: watermarks demand TIMESTAMP (not NTZ) event time — cast is
+    safe under the UTC session; session aggregations support
+    append/complete only (not update), and complete re-emits all
+    sessions, which is what the bounded-replay comparison needs.
+    """
+    ev = (
+        normalize_event_ts(
+            spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 second")
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
             "n_events",
             "total_value",
         )
