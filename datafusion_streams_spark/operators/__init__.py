@@ -82,6 +82,7 @@ def _populate() -> None:
     from datafusion_streams_spark.operators import (  # noqa: F401
         reference,
         relational,
+        tpch_extended,
         sql_surface,
         temporal,
         windows,

@@ -1,0 +1,617 @@
+"""Remaining TPC-H-shape relational queries (SURVEY.md §2 Tier C).
+
+Completes the 22-query TPC-H envelope started in ``relational.py``
+(q1/q3/q5/q6/q10/q12/q14/q18/q19/q22 live there). The fixtures are
+TPC-H-*ish* — there is no ``partsupp`` table and no
+``l_commitdate``/``l_receiptdate``/``l_shipmode`` columns — so each
+query keeps its reference *shape* (the operator combination the
+reference would delegate to DataFusion: correlated subqueries,
+EXISTS/NOT EXISTS, scalar-subquery thresholds, distinct-count
+grouping) re-targeted at the available columns. Where TPC-H needs
+partsupp, we derive the supplier×part relation from ``lineitem``
+(``GROUP BY l_partkey, l_suppkey``) — exactly what a 100 TB pipeline
+would materialize as a bucketed intermediate.
+
+Scale posture (shared): dimension tables (supplier=SF×100,
+part=SF×200k, nation=25, region=5) broadcast; every heavy aggregate
+is a partial-agg-friendly decimal SUM so map-side combine is exact;
+correlated "per-group extreme" subqueries become window functions or
+self-agg broadcast joins rather than per-row rescans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_streams_spark.catalog import load_tables
+from datafusion_streams_spark.functions import dec, disc_price, dsum
+from datafusion_streams_spark.operators import query
+
+_DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+
+def _derived_partsupp(t: dict[str, DataFrame]) -> DataFrame:
+    """partsupp surrogate: min observed price per (part, supplier).
+
+    MIN over double is a comparison (no float arithmetic), so it is
+    bit-exact under any partitioning / combine order.
+    """
+    return (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey"))
+        .agg(F.min("l_extendedprice").alias("ps_supplycost"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2 — minimum-cost supplier (correlated MIN subquery → window function)
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH ps AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           MIN(l_extendedprice) AS ps_supplycost
+    FROM lineitem GROUP BY 1, 2
+),
+euro_ps AS (
+    SELECT ps_partkey, ps_suppkey, ps_supplycost, s_acctbal, s_name, n_name
+    FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost AS supply_cost
+FROM part JOIN euro_ps ON p_partkey = ps_partkey
+WHERE p_size BETWEEN 10 AND 30 AND p_type = 'STANDARD'
+  AND ps_supplycost = (SELECT MIN(e2.ps_supplycost) FROM euro_ps e2
+                       WHERE e2.ps_partkey = p_partkey)
+"""
+
+
+@query("q2_min_cost_supplier", oracle=_Q2_ORACLE, tags=("subquery", "join", "window"))
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part minimum-cost supplier in one region.
+
+    The correlated ``MIN`` subquery becomes a window MIN over the
+    part key — one pass over the (already region-filtered) derived
+    partsupp instead of a per-row rescan; supplier/nation/region are
+    broadcast so the only shuffle is the partsupp group-by.
+    """
+    t = load_tables(spark, sf_dir)
+    euro_sup = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    euro_ps = _derived_partsupp(t).join(
+        F.broadcast(euro_sup), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("ps_partkey")
+    best = euro_ps.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("min_cost")
+    )
+    parts = t["part"].filter(
+        F.col("p_size").between(10, 30) & (F.col("p_type") == "STANDARD")
+    )
+    return best.join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey")).select(
+        "s_acctbal",
+        "s_name",
+        "n_name",
+        "p_partkey",
+        F.col("ps_supplycost").alias("supply_cost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q4 — order-priority checking (EXISTS → left-semi join)
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+@query("q4_order_priority", oracle=_Q4_ORACLE, tags=("subquery", "semi", "agg"))
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS with a returned-lineitem predicate —
+    fixtures lack commit/receipt dates): quarter of orders semi-joined
+    against matching lineitems, counted per priority.
+
+    Scale: the date filter pushes to the orders scan; the semi join
+    ships only orderkeys and short-circuits per key.
+    """
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7 — volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+@query("q7_volume_shipping", oracle=_Q7_ORACLE, tags=("join", "agg", "disjunction"))
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair trade volume by year.
+
+    Scale: both nation lookups broadcast (as does supplier); the
+    disjunctive nation-pair predicate is evaluated post-broadcast-join
+    so the two fact shuffles (lineitem↔orders on orderkey, then
+    ↔customer on custkey) are the only data movement.
+    """
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8 — national market share (conditional-sum ratio per year)
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n1.n_name = 'NATION_3' THEN {_DISC_PRICE_SQL}
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region   ON n2.n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+GROUP BY 1
+"""
+
+
+@query("q8_market_share", oracle=_Q8_ORACLE, tags=("join", "agg", "conditional"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO volume
+    per order year. Numerator and denominator are exact decimal sums;
+    the share is a single double division, identical in both engines.
+    """
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_regionkey")
+    )
+    promo_parts = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", disc_price()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(t["region"]), F.col("n2_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(nat_vol).cast("double") / F.sum(disc_price()).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 — product-type profit (profit = revenue − retail cost of goods)
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM({_DISC_PRICE_SQL} - CAST(p_retailprice AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+@query("q9_product_profit", oracle=_Q9_ORACLE, tags=("join", "agg"))
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: nation×year profit on name-matched parts
+    (fixtures lack ps_supplycost, so cost = retail price × quantity).
+    All arithmetic stays in DECIMAL until the final cast.
+    """
+    t = load_tables(spark, sf_dir)
+    red_parts = t["part"].filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = disc_price() - dec("p_retailprice") * dec("l_quantity", 9, 2)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — important stock (scalar-subquery HAVING threshold)
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+SELECT l_partkey AS p_key,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) > (
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 0.001
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5')
+"""
+
+
+@query("q11_important_stock", oracle=_Q11_ORACLE, tags=("subquery", "having", "agg"))
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value held by one nation's suppliers,
+    kept only above a fraction of that nation's total (scalar
+    subquery). The per-part aggregate is computed once and reused for
+    the total via a second tiny aggregation — no rescan.
+    """
+    t = load_tables(spark, sf_dir)
+    nat_sup = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_5")
+        .select("s_suppkey")
+    )
+    per_part = (
+        t["lineitem"]
+        .join(F.broadcast(nat_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(dsum("l_extendedprice").alias("part_value"))
+    )
+    total = per_part.agg(F.sum(dec("part_value", 38, 2))).first()[0]
+    threshold = float(total) * 0.001
+    return per_part.filter(F.col("part_value") > threshold)
+
+
+# ---------------------------------------------------------------------------
+# q13 — customer order-count distribution (outer join → double agg)
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+@query("q13_customer_distribution", oracle=_Q13_ORACLE, tags=("join", "outer", "agg"))
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of per-customer order counts with a
+    join-time filter on the outer side (priority stands in for the
+    comment anti-pattern).
+
+    Scale: first agg shuffles on custkey; the histogram agg moves one
+    row per distinct count — negligible. Customers with no qualifying
+    orders survive via the left join and count 0.
+    """
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier (view + scalar MAX subquery)
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no, CAST(SUM({_DISC_PRICE_SQL}) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("q15_top_supplier", oracle=_Q15_ORACLE, tags=("subquery", "view", "agg"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue view, pick the supplier(s)
+    hitting the max. The revenue relation is tiny (one row per
+    supplier) so the max is a cheap driver-side scalar; ties survive,
+    matching the SQL semantics (no LIMIT 1 shortcut).
+    """
+    t = load_tables(spark, sf_dir)
+    revenue = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(disc_price()).cast("double").alias("total_revenue"))
+    )
+    revenue = revenue.cache()
+    max_rev = revenue.agg(F.max("total_revenue")).first()[0]
+    return (
+        F.broadcast(t["supplier"])
+        .join(revenue.filter(F.col("total_revenue") == max_rev),
+              F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — supplier-part relationship count (NOT IN + COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("q16_parts_supplier_count", oracle=_Q16_ORACLE, tags=("subquery", "anti", "distinct"))
+def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per part attribute triple,
+    excluding a supplier denylist (NOT IN → left-anti join; acctbal<0
+    stands in for the complaints-comment filter).
+
+    Scale: the part filter broadcasts; COUNT DISTINCT expands to a
+    two-phase agg (dedup shuffle then count) — Spark handles the
+    expansion, and the anti join ships only the tiny denylist.
+    """
+    t = load_tables(spark, sf_dir)
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad_sup = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(bad_sup, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — small-quantity-order revenue (correlated AVG subquery)
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+WITH pavg AS (
+    SELECT l_partkey AS avg_partkey,
+           0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS qty_threshold
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+              JOIN pavg ON avg_partkey = l_partkey
+WHERE p_brand = 'Brand#3' AND l_quantity < qty_threshold
+"""
+
+
+@query("q17_small_quantity_revenue", oracle=_Q17_ORACLE, tags=("subquery", "agg"))
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue on below-one-fifth-of-average-quantity
+    lineitems of one brand. The correlated per-part AVG becomes one
+    aggregate joined back on the part key (threshold = 0.2 × exact
+    decimal mean, identical double ops in both engines).
+
+    Scale: the per-part average is computed ONLY for the brand's parts
+    (semi-join first), then re-joined — at 100 TB this avoids
+    aggregating the 99% of lineitem that can never match.
+    """
+    t = load_tables(spark, sf_dir)
+    brand_parts = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li = t["lineitem"].join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    pavg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.lit(0.2) * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))).alias(
+            "qty_threshold"
+        )
+    )
+    return (
+        li.join(F.broadcast(pavg), F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — promotion-part suppliers (IN over a grouped HAVING subquery)
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50
+)
+"""
+
+
+@query("q20_promotion_suppliers", oracle=_Q20_ORACLE, tags=("subquery", "semi", "having"))
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved real volume of a
+    name-matched part family in one year (IN-subquery → semi join over
+    a grouped HAVING).
+
+    Scale: part filter broadcasts into the lineitem scan; the grouped
+    volume check shuffles only (suppkey, partkey) pairs; the final
+    semi join is against ≤|supplier| keys.
+    """
+    t = load_tables(spark, sf_dir)
+    red_parts = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    movers = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
+@query("q21_waiting_suppliers", oracle=_Q21_ORACLE, tags=("subquery", "exists", "agg"))
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: in finished multi-supplier orders, the one
+    supplier solely responsible for returns ('R' stands in for the
+    missing receipt-past-commit delay).
+
+    The EXISTS / NOT EXISTS pair collapses to ONE aggregation over
+    lineitem — per order: distinct suppliers and distinct returning
+    suppliers — then two broadcast-joinable predicates
+    (n_supp ≥ 2, n_ret_supp = 1). This is the scale rewrite: TPC-H's
+    double correlated rescan of lineitem becomes a single shuffle on
+    orderkey, reused by the l1 join.
+    """
+    t = load_tables(spark, sf_dir)
+    ord_stats = t["lineitem"].groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))).alias(
+            "n_ret_supp"
+        ),
+    )
+    fin_orders = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(fin_orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(ord_stats, F.col("l_orderkey") == F.col("os_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
