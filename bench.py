@@ -32,6 +32,8 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q10_returned_items",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
     "agg_rollup",
     "join_broadcast_dim",
     "window_topk_per_group",
