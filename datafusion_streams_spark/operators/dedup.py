@@ -163,7 +163,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_oracle() -> str:
+def minhash_ctes() -> str:
+    """The MinHash-LSH pipeline as a reusable SQL WITH-body ending in
+    ``mh_pairs`` (verified near-dup pairs) — shared by the standalone
+    query's oracle and the curation pipeline's oracle."""
     mh_cols = ",\n        ".join(
         f"MIN(md5('{s}|' || shingle)) AS mh{s}" for s in range(N_MINHASH)
     )
@@ -171,8 +174,7 @@ def _minhash_oracle() -> str:
         f"    SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS bkey FROM sig"
         for b in range(N_BANDS)
     )
-    return f"""
-WITH {_SHINGLES_SQL.strip()},
+    return f"""{_SHINGLES_SQL.strip()},
 sig AS (
     SELECT doc_id,
         {mh_cols}
@@ -186,16 +188,28 @@ cand AS (
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
-{_JACCARD_PAIRS_SQL.strip()}
-SELECT p.a_id, p.b_id, p.jaccard
-FROM cand c JOIN pairs p ON c.a_id = p.a_id AND c.b_id = p.b_id
-WHERE p.jaccard >= {JACCARD_THRESHOLD}
+{_JACCARD_PAIRS_SQL.strip()},
+mh_pairs AS (
+    SELECT p.a_id, p.b_id, p.jaccard
+    FROM cand c JOIN pairs p ON c.a_id = p.a_id AND c.b_id = p.b_id
+    WHERE p.jaccard >= {JACCARD_THRESHOLD}
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {minhash_ctes()}
+SELECT a_id, b_id, jaccard FROM mh_pairs
 """
 
 
-@query("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "lsh", "join"))
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (16 perms) -> banded LSH (8 bands x 2 rows) -> verified
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a_id, b_id, jaccard) — MinHash-LSH verified near-dup pairs.
+
+    Shared by ``dedup_minhash_lsh`` and ``pipeline_curation`` (the
+    Spark mirror of ``minhash_ctes``'s ``mh_pairs``).
+
+    MinHash (16 perms) -> banded LSH (8 bands x 2 rows) -> verified
     near-dup pairs at Jaccard >= 0.6.
 
     At the 0.98-Jaccard similarity of the planted near-dups the miss
@@ -212,7 +226,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2x slower: Catalyst inlines the shingle expression into every
     signature column, recomputing shingles 16x per doc.)
     """
-    sh = _shingles_df(spark, sf_dir).cache()
+    # Shingle ONCE into array form and cache that (5 000 rows of
+    # array<string> — compact); the exploded relation for hashing and
+    # the per-doc arrays for verification both derive from it. The
+    # repartition spreads the single-file fixture scan across the
+    # cluster before the expensive shingle+hash projections.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
+    withsh = docs.select("doc_id", word_shingles("text", 3).alias("sh")).cache()
+    sh = withsh.select("doc_id", F.explode("sh").alias("shingle"))
     hashed = sh.select(
         "doc_id", *[minhash_expr(F.col("shingle"), s).alias(f"h{s}") for s in range(N_MINHASH)]
     )
@@ -245,8 +266,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    withsh = docs.select("doc_id", word_shingles("text", 3).alias("sh"))
     sh_a = withsh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
     sh_b = withsh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -257,6 +276,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "lsh", "join"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH — see ``minhash_pairs``."""
+    return minhash_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -9,15 +9,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_streams_spark.functions import tokens, word_shingles
+from datafusion_streams_spark.functions import tokens
 from datafusion_streams_spark.operators import query
-from datafusion_streams_spark.operators.dedup import (
-    _JACCARD_PAIRS_SQL,
-    _SHINGLES_SQL,
-    JACCARD_THRESHOLD,
-    _jaccard_pairs,
-    _shingles_df,
-)
+from datafusion_streams_spark.operators.dedup import minhash_ctes, minhash_pairs
 
 # Deterministic hash-mod sampling: the scalable idiom (TABLESAMPLE is
 # engine- and run-dependent; hash-mod is reproducible everywhere).
@@ -44,10 +38,9 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CURATION_ORACLE = rf"""
-WITH {_SHINGLES_SQL.strip()},
-{_JACCARD_PAIRS_SQL.strip()},
+WITH {minhash_ctes()},
 dupes AS (
-    SELECT DISTINCT b_id AS doc_id FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
+    SELECT DISTINCT b_id AS doc_id FROM mh_pairs
 ),
 quality AS (
     SELECT doc_id, lang,
@@ -70,16 +63,14 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the composition a reference user actually runs; every stage
     is one of the independently-oracle-checked operators above, chained
-    without materialization — Catalyst plans the whole thing as one
-    DAG (dedup's shingle join + an anti join + a map-side filter).
+    without materialization. Near-dup detection uses the MinHash-LSH
+    path (sub-quadratic — the 100 TB strategy), NOT the
+    shingle-blocking join, whose stop-shingle blocks grow
+    quadratically with corpus size; the oracle replays the identical
+    LSH bucketing so the check is exact for what the operator claims.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    dupes = (
-        _jaccard_pairs(_shingles_df(spark, sf_dir))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select(F.col("b_id").alias("doc_id"))
-        .distinct()
-    )
+    dupes = minhash_pairs(spark, sf_dir).select(F.col("b_id").alias("doc_id")).distinct()
     quality = docs.select(
         "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
     )

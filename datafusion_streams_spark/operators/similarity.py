@@ -235,8 +235,18 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical bucketing, so correctness is checked on exactly what the
     operator claims to produce).
     """
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", as_double_array("embedding").alias("v")
+    from datafusion_streams_spark.functions import l2_norm
+
+    # One cached relation carries the plane bits AND the unit-normalized
+    # vector: the bucket self-join reads it twice and the verification
+    # join twice more, so without the cache the (interpreted-HOF) dot
+    # folds would run four times — and the single-file fixture scan
+    # would serialize them onto one task. Bits are computed from the RAW
+    # vector (not vn) to stay bitwise-faithful to the oracle's fold.
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .repartition("vec_id")
+        .select("vec_id", as_double_array("embedding").alias("v"))
     )
     bit_cols = [
         F.when(dot(F.col("v"), F.array(*[F.lit(s) for s in SIGNS[j]])) > 0, 1)
@@ -244,7 +254,15 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"b{j}")
         for j in range(N_PLANES)
     ]
-    sig = e.select("vec_id", "v", *bit_cols)
+    sig = (
+        e.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"), *bit_cols)
+        .select(
+            "vec_id",
+            F.transform("v", lambda x: x / F.col("nrm")).alias("vn"),
+            *[f"b{j}" for j in range(N_PLANES)],
+        )
+        .cache()
+    )
     bands = sig.select(
         "vec_id",
         F.explode(
@@ -273,9 +291,8 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
         .distinct()
     )
-    nrm = _normalized_df(spark, sf_dir)
-    na = nrm.select(F.col("vec_id").alias("a_id"), F.col("vn").alias("an"))
-    nb = nrm.select(F.col("vec_id").alias("b_id"), F.col("vn").alias("bn"))
+    na = sig.select(F.col("vec_id").alias("a_id"), F.col("vn").alias("an"))
+    nb = sig.select(F.col("vec_id").alias("b_id"), F.col("vn").alias("bn"))
     return (
         cand.join(na, "a_id")
         .join(nb, "b_id")
