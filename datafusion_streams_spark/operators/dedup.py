@@ -354,3 +354,68 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         combine = term if combine is None else combine + term
     return v.select("doc_id", combine.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components + canonical keeper
+# ---------------------------------------------------------------------------
+
+
+def _components_oracle() -> str:
+    return f"""
+WITH RECURSIVE {minhash_ctes()},
+edges AS (
+    SELECT a_id AS src, b_id AS dst FROM mh_pairs
+    UNION
+    SELECT b_id AS src, a_id AS dst FROM mh_pairs
+),
+reach(src, node) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT src AS doc_id, CAST(LEAST(src, MIN(node)) AS BIGINT) AS canonical_id
+FROM reach GROUP BY src
+"""
+
+
+@query("dedup_components", oracle=_components_oracle(), tags=("dedup", "graph", "iterative"))
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: every doc in a
+    duplicate cluster mapped to the cluster's canonical (minimum)
+    doc_id — the keeper-selection step after pair finding.
+
+    Implementation is iterative min-label propagation (the Pregel/
+    GraphX idiom expressed in DataFrames): each round, every node takes
+    the min of its own label and its neighbors' labels; converged when
+    the label-sum fixpoint is reached. Rounds = component diameter + 1
+    — near-dup clusters are tiny (pairs/triples), so 2-3 shuffles
+    total on the (candidate-pair-sized, not corpus-sized) edge list.
+    The DuckDB oracle computes the same fixpoint via a recursive
+    transitive-closure CTE.
+    """
+    p = minhash_pairs(spark, sf_dir).select("a_id", "b_id")
+    edges = (
+        p.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(p.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .cache()
+    )
+    cur = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    ).cache()
+    prev_sum = None
+    while True:
+        msgs = edges.join(cur, F.col("dst") == F.col("doc_id")).select(
+            F.col("src").alias("doc_id"), "label"
+        )
+        cur = (
+            msgs.union(cur.select("doc_id", "label"))
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        label_sum = cur.agg(F.sum("label")).first()[0]
+        if label_sum == prev_sum:
+            break
+        prev_sum = label_sum
+    return cur.select("doc_id", F.col("label").alias("canonical_id"))

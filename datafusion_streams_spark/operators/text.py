@@ -349,3 +349,55 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (training-window extraction)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30
+
+_CHUNK_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents
+),
+c AS (
+    SELECT doc_id, tk,
+           unnest(range(1, greatest(len(tk), 1) + 1, {CHUNK_STRIDE})) AS start
+    FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(tk, start, start + {CHUNK_TOKENS} - 1)) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(tk, start, start + {CHUNK_TOKENS} - 1), ' ') AS chunk_text
+FROM c
+"""
+
+
+@query("text_chunking", oracle=_CHUNK_ORACLE, tags=("text", "chunking", "lateral"))
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token windows (40 tokens, stride 30) —
+    the training-example extraction step of an LLM data pipeline.
+
+    Map-only: tokenize once, explode the stride-spaced start offsets,
+    slice per window — no shuffle at any scale; output is ~n_tokens/30
+    rows per document regardless of cluster size. Trailing windows are
+    shorter (kept: they carry the document tail).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
+    base = docs.select("doc_id", tokens("text").alias("tk"))
+    chunks = base.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("tk"), F.lit(1)), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    piece = F.slice(F.col("tk"), F.col("start"), CHUNK_TOKENS)
+    return chunks.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

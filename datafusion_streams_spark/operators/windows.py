@@ -281,3 +281,55 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis: ordered event-sequence detection
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH u AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT
+    COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END)  AS n_view,
+    COUNT(CASE WHEN t_click > t_view THEN 1 END)    AS n_view_then_click,
+    COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END) AS n_full_funnel
+FROM u
+"""
+
+
+@query("events_funnel", oracle=_FUNNEL_ORACLE, tags=("events", "funnel", "agg"))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel on first-occurrence ordering:
+    how many users saw, then clicked after seeing, then purchased after
+    clicking.
+
+    Scale: one shuffle (user_id) with conditional-MIN partial
+    aggregation — the map side collapses each user's events to three
+    timestamps before anything moves; the funnel comparison is a
+    constant-size final reduce. NULL propagation implements the stage
+    gates (a missing earlier stage nulls the comparison) identically
+    in both engines.
+    """
+    ev = load_events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return u.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1)).alias("n_view_then_click"),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
