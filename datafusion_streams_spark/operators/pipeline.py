@@ -79,3 +79,47 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_tokens") >= 40) & (F.col("lang").isin("en", "de", "fr", "es")))
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling: per-language rates, deterministic membership
+# ---------------------------------------------------------------------------
+
+# Per-stratum keep rates in 16ths (md5-nibble thresholds): downsample
+# the dominant language, keep the rest whole — the mixture-balancing
+# step of a training-data pipeline.
+STRATA_NIBBLE = {"en": 4, "de": 12, "fr": 12, "es": 12}  # /16; others: 16 (keep all)
+
+_STRATified_CASE = (
+    "CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 12 WHEN 'fr' THEN 12 "
+    "WHEN 'es' THEN 12 ELSE 16 END"
+)
+
+_STRAT_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+      < {_STRATified_CASE}
+"""
+
+
+@query("sample_stratified", oracle=_STRAT_SAMPLE_ORACLE, tags=("sampling", "stratified"))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (en 25%, de/fr/es 75%,
+    everything else 100%) — hash-mod membership so the mixture is
+    reproducible at any cluster size and restartable mid-job.
+
+    Scale: pure map-side filter, no shuffle; the rate table is a
+    compile-time CASE (at 100 strata it would broadcast-join a tiny
+    rates dim instead — same plan shape).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nibble = F.instr(
+        F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    ) - 1
+    rate = (
+        F.when(F.col("lang") == "en", 4)
+        .when(F.col("lang").isin("de", "fr", "es"), 12)
+        .otherwise(16)
+    )
+    return docs.filter(nibble < rate).select("doc_id", "lang", "n_chars")

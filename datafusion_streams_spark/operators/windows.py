@@ -333,3 +333,55 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH firsts AS (
+    SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id,
+        strftime(CAST(f.t0 AS DATE), '%Y-%m-%d') AS cohort_day,
+        date_diff('day', CAST(f.t0 AS DATE), CAST(e.ts AS DATE)) AS day_offset
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset, COUNT(*) AS n_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+"""
+
+
+@query("events_retention", oracle=_RETENTION_ORACLE, tags=("events", "cohort", "agg"))
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-N retention per first-seen cohort: users active on day
+    offset 0..7 from their first event, grouped by cohort day.
+
+    Scale: two shuffles on user_id (first-seen agg, then the
+    activity-day dedup piggybacks on the same key) and a tiny final
+    rollup. The first-seen relation is one row per user — broadcast
+    it against the event stream at 100 TB.
+
+    Cohort day is emitted as a formatted string (engine-portable; DATE
+    stringification differs between Spark and DuckDB drivers).
+    """
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            F.date_format("t0", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.to_date("t0")).cast("long").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
