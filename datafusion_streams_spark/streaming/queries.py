@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from datafusion_streams_spark.functions import dsum
 from datafusion_streams_spark.operators import query
 from datafusion_streams_spark.operators.reference import _REF_PIPELINE_ORACLE
-from datafusion_streams_spark.operators.windows import _SESSION_ORACLE, _TUMBLING_ORACLE
+from datafusion_streams_spark.operators.windows import _SESSION_ORACLE, _SLIDING_ORACLE, _TUMBLING_ORACLE
 from datafusion_streams_spark.sources.kafka import EVENTS_RAW_SCHEMA, kafka_like_stream, normalize_event_ts
 from datafusion_streams_spark.streaming.microbatch import run_drain_to_memory
 
@@ -102,6 +102,38 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name, _ = run_drain_to_memory(agg, output_mode="complete")
+    return spark.table(name)
+
+
+@query(
+    "streaming_sliding_window",
+    oracle=_SLIDING_ORACLE,
+    tags=("streaming", "window", "sliding"),
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour / 30-minute windows computed by a real streaming
+    aggregation (each event enters two window states), drained with
+    AvailableNow and required to equal the batch self-union oracle —
+    the third of the three built-in window shapes exercised end-to-end
+    through the streaming engine."""
+    ev = (
+        normalize_event_ts(
+            spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
+        )
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 second")
+    )
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
             "n_events",
             "total_value",
         )
