@@ -140,3 +140,67 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name, _ = run_drain_to_memory(agg, output_mode="complete")
     return spark.table(name)
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT
+    v.user_id,
+    v.event_id AS view_id,
+    p.event_id AS purchase_id,
+    v.ts       AS view_ts,
+    p.ts       AS purchase_ts
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@query(
+    "streaming_stream_join",
+    oracle=_STREAM_JOIN_ORACLE,
+    tags=("streaming", "join", "interval"),
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (attribution): view events joined to
+    the same user's purchase events within the following hour — both
+    sides genuine streams with watermarks, drained with AvailableNow,
+    equal to the batch self-join oracle.
+
+    Scale: the interval condition + watermarks bound the join state to
+    one hour of events per side per user; without them a stream-stream
+    join buffers forever. State shuffles on user_id (the equi-part of
+    the predicate).
+    """
+
+    def side(alias_type: str, prefix: str) -> DataFrame:
+        ev = (
+            normalize_event_ts(
+                spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
+            )
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == alias_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+        return ev.withWatermark(f"{prefix}_ts", "1 second")
+
+    views = side("view", "v")
+    purchases = side("purchase", "p")
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user_id = p_user_id AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        F.col("v_user_id").alias("user_id"),
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("v_ts").alias("view_ts"),
+        F.col("p_ts").alias("purchase_ts"),
+    )
+    name, _ = run_drain_to_memory(joined, output_mode="append")
+    return spark.table(name)
