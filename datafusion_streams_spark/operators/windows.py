@@ -385,3 +385,38 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution functions: percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+
+_DISTRIBUTION_ORACLE = """
+SELECT
+    c_custkey,
+    c_mktsegment,
+    percent_rank() OVER w AS bal_percent_rank,
+    cume_dist()    OVER w AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@query("window_distribution", oracle=_DISTRIBUTION_ORACLE, tags=("window", "distribution"))
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist per market segment over account balance.
+
+    Both are exact small-integer ratios ((rank-1)/(n-1), n_le/n) so the
+    double results are bit-identical across engines; the c_custkey
+    tiebreak keeps frames deterministic under any partitioning.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("bal_percent_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
