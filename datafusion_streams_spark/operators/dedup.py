@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_streams_spark.functions import minhash_expr, word_shingles
+from datafusion_streams_spark.functions import minhash_expr, minhash_halves, word_shingles
 from datafusion_streams_spark.operators import query
 
 N_MINHASH = 16
@@ -168,17 +168,23 @@ def minhash_ctes() -> str:
     ``mh_pairs`` (verified near-dup pairs) — shared by the standalone
     query's oracle and the curation pipeline's oracle."""
     mh_cols = ",\n        ".join(
-        f"MIN(md5('{s}|' || shingle)) AS mh{s}" for s in range(N_MINHASH)
+        f"MIN(h1 + {s} * h2) AS mh{s}" for s in range(N_MINHASH)
     )
     band_selects = "\n    UNION ALL\n".join(
-        f"    SELECT doc_id, {b} AS band, md5(mh{2*b} || '|' || mh{2*b+1}) AS bkey FROM sig"
+        f"    SELECT doc_id, {b} AS band, mh{2*b} AS v1, mh{2*b+1} AS v2 FROM sig"
         for b in range(N_BANDS)
     )
     return f"""{_SHINGLES_SQL.strip()},
+hashed AS (
+    SELECT doc_id,
+        CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT)  AS h1,
+        CAST(('0x' || substr(md5(shingle), 13, 12)) AS BIGINT) AS h2
+    FROM sh
+),
 sig AS (
     SELECT doc_id,
         {mh_cols}
-    FROM sh GROUP BY doc_id
+    FROM hashed GROUP BY doc_id
 ),
 bands AS (
 {band_selects}
@@ -186,7 +192,7 @@ bands AS (
 cand AS (
     SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
     FROM bands a JOIN bands b
-      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.doc_id < b.doc_id
 ),
 {_JACCARD_PAIRS_SQL.strip()},
 mh_pairs AS (
@@ -215,10 +221,13 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     At the 0.98-Jaccard similarity of the planted near-dups the miss
     probability is (1 - 0.98^2)^8 ~ 2.6e-12 — effectively exact. This
     is the 100 TB dedup path:
-      - shingles are computed ONCE (explode), hashed 16x in a single
-        projection, min-aggregated into the signature (one shuffle on
-        doc_id with map-side partial mins);
-      - the band-bucket self-join shuffles uniform md5 keys;
+      - shingles are computed ONCE (explode), md5-hashed ONCE, and the
+        16 hash-family members derive by Kirsch–Mitzenmacher double
+        hashing (integer multiply-add — see ``functions.minhash_expr``)
+        before the min-aggregated signature (one shuffle on doc_id
+        with map-side partial mins over 8-byte longs);
+      - the band-bucket self-join keys directly on the two integer
+        minhashes of the band — no digest re-hash;
       - verification joins the (tiny) candidate set back to per-doc
         shingle arrays and computes exact Jaccard via array_intersect
         — per candidate pair, never all pairs.
@@ -234,8 +243,10 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
     withsh = docs.select("doc_id", word_shingles("text", 3).alias("sh")).cache()
     sh = withsh.select("doc_id", F.explode("sh").alias("shingle"))
-    hashed = sh.select(
-        "doc_id", *[minhash_expr(F.col("shingle"), s).alias(f"h{s}") for s in range(N_MINHASH)]
+    h1, h2 = minhash_halves(F.col("shingle"))
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2")).select(
+        "doc_id",
+        *[minhash_expr(F.col("h1"), F.col("h2"), s).alias(f"h{s}") for s in range(N_MINHASH)],
     )
     sig = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{s}").alias(f"mh{s}") for s in range(N_MINHASH)]
@@ -247,20 +258,27 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(F.concat_ws("|", f"mh{2*b}", f"mh{2*b+1}")).alias("bkey"),
+                        F.col(f"mh{2*b}").alias("v1"),
+                        F.col(f"mh{2*b+1}").alias("v2"),
                     )
                     for b in range(N_BANDS)
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    ).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.v1").alias("v1"),
+        F.col("bb.v2").alias("v2"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.v1") == F.col("b.v1"))
+            & (F.col("a.v2") == F.col("b.v2"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
