@@ -235,32 +235,56 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical bucketing, so correctness is checked on exactly what the
     operator claims to produce).
     """
-    from datafusion_streams_spark.functions import l2_norm
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     # One cached relation carries the plane bits AND the unit-normalized
     # vector: the bucket self-join reads it twice and the verification
-    # join twice more, so without the cache the (interpreted-HOF) dot
-    # folds would run four times — and the single-file fixture scan
-    # would serialize them onto one task. Bits are computed from the RAW
-    # vector (not vn) to stay bitwise-faithful to the oracle's fold.
-    e = (
+    # join twice more. The 16 plane dots + the norm are computed in ONE
+    # Arrow-batched numpy pass with a sequential dimension loop —
+    # bit-identical to the interpreted left-to-right fold the oracle
+    # replays (elementwise SIMD ops never reassociate the per-vector
+    # accumulation order), but ~an order of magnitude cheaper than 17
+    # interpreted HOF folds per row. Bits come from the RAW vector (not
+    # vn) to stay bitwise-faithful to the oracle.
+    signs = np.array(SIGNS, dtype=np.float64)  # (N_PLANES, EMBED_DIM)
+    sig_schema = StructType(
+        [StructField("vec_id", LongType()), StructField("vn", ArrayType(DoubleType()))]
+        + [StructField(f"b{j}", IntegerType()) for j in range(N_PLANES)]
+    )
+
+    def compute_sig(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n, dim = v.shape
+            # sequential sums == left folds, bitwise
+            nrm = np.sqrt(np.cumsum(v * v, axis=1)[:, -1])
+            vn = v / nrm[:, None]
+            acc = np.zeros((n, signs.shape[0]), dtype=np.float64)
+            for i in range(dim):
+                acc += v[:, i][:, None] * signs[None, :, i]
+            bits = (acc > 0).astype(np.int32)
+            out = {"vec_id": ids, "vn": list(vn)}
+            for j in range(signs.shape[0]):
+                out[f"b{j}"] = bits[:, j]
+            yield pd.DataFrame(out)
+
+    sig = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .repartition("vec_id")
-        .select("vec_id", as_double_array("embedding").alias("v"))
-    )
-    bit_cols = [
-        F.when(dot(F.col("v"), F.array(*[F.lit(s) for s in SIGNS[j]])) > 0, 1)
-        .otherwise(0)
-        .alias(f"b{j}")
-        for j in range(N_PLANES)
-    ]
-    sig = (
-        e.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"), *bit_cols)
-        .select(
-            "vec_id",
-            F.transform("v", lambda x: x / F.col("nrm")).alias("vn"),
-            *[f"b{j}" for j in range(N_PLANES)],
-        )
+        .select("vec_id", "embedding")
+        .mapInPandas(compute_sig, sig_schema)
         .cache()
     )
     bands = sig.select(
