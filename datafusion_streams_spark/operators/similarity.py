@@ -454,3 +454,67 @@ def similarity_pairs_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("vec_id")
         .mapInPandas(score_batches, out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# metadata-filtered ANN (top-k within a label)
+# ---------------------------------------------------------------------------
+
+_FILTERED_ANN_ORACLE = f"""
+WITH {_NORMALIZED_SQL.strip()},
+lab AS (SELECT vec_id, label FROM embeddings),
+q AS (
+    SELECT n.vec_id AS q_id, vn AS qn, label AS q_label
+    FROM n JOIN lab ON n.vec_id = lab.vec_id
+    WHERE n.vec_id < 10
+),
+c AS (SELECT n.vec_id, vn, label FROM n JOIN lab ON n.vec_id = lab.vec_id),
+scored AS (
+    SELECT q.q_id, q.q_label AS label, c.vec_id AS neighbor_id,
+           {_dot_sql('q.qn', 'c.vn')} AS score
+    FROM q JOIN c ON c.label = q.q_label AND c.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY q_id ORDER BY score DESC, neighbor_id
+    ) AS BIGINT) AS rn
+    FROM scored
+)
+SELECT q_id, label, neighbor_id, score, rn FROM ranked WHERE rn <= {TOP_K}
+"""
+
+
+@query("ann_topk_filtered", oracle=_FILTERED_ANN_ORACLE, tags=("similarity", "ann", "filtered"))
+def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: top-5 cosine neighbors sharing
+    the query's label — the filtered-ANN shape every vector store
+    offers (pre-filter, not post-filter).
+
+    Scale: the label predicate is an equi-join key, NOT an after-the-
+    fact filter on a top-k that might starve — so a label-partitioned
+    (or label-bucketed) corpus prunes to matching partitions and the
+    per-query candidate set shrinks by the label selectivity before
+    any distance math runs.
+    """
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    lab = e.select("vec_id", "label")
+    n = _normalized_df(spark, sf_dir).join(lab, "vec_id")
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vn").alias("qn"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        n.join(F.broadcast(q), (F.col("label") == F.col("q_label")) & (F.col("vec_id") != F.col("q_id")))
+        .select(
+            "q_id",
+            F.col("q_label").alias("label"),
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("qn"), F.col("vn")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+    )
