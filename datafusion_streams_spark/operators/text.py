@@ -401,3 +401,65 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(piece).cast("long").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram statistics
+# ---------------------------------------------------------------------------
+
+_NGRAM_STATS_ORACLE = r"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                                 i -> tk[i] || ' ' || tk[i+1])) AS bigram
+    FROM t
+),
+counted AS (
+    SELECT bigram, COUNT(*) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM bg GROUP BY bigram
+)
+SELECT bigram, n_occurrences, n_docs
+FROM counted
+ORDER BY n_occurrences DESC, bigram
+LIMIT 20
+"""
+
+
+@query("text_ngram_stats", oracle=_NGRAM_STATS_ORACLE, tags=("text", "ngram", "topk"))
+def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams with occurrence and document frequency —
+    the building block for contamination screens and boilerplate
+    detection over a training corpus.
+
+    Scale: bigram explode is map-only; the count shuffles on the bigram
+    (uniformly distributed keys for natural text after the top-k, which
+    compiles to TakeOrderedAndProject — per-partition heaps, no global
+    sort). The bigram/doc tiebreak keeps the LIMIT deterministic.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
+    toks = docs.select("doc_id", tokens("text").alias("tk"))
+    n = F.size("tk")
+    # guard: Spark's sequence(1, stop) runs BACKWARDS when stop < 1, so
+    # single-token docs must map to an empty index list (as in the SQL)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.element_at("tk", i), F.element_at("tk", i + 1)))
+        ).alias("bigram"),
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(20)
+    )
