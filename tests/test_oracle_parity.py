@@ -45,6 +45,38 @@ def test_registry_complete():
     assert set(o) <= set(q)
 
 
+def test_verified_prefix_covers_every_family():
+    """The driver hard-verifies only the first 50 registry slots; the
+    explicit priority order must keep one representative of every
+    operator family inside that window (round-1 verdict item #1)."""
+    from datafusion_streams_spark.operators import VERIFIED_FIRST
+
+    names = list(REGISTRY)
+    assert len(VERIFIED_FIRST) == 50
+    assert names[: len(VERIFIED_FIRST)] == list(VERIFIED_FIRST)
+
+    window = names[:50]
+    window_tags = {t for n in window for t in REGISTRY[n].tags}
+    required_tags = {
+        "reference", "filter", "agg", "join", "broadcast", "semi", "anti",
+        "outer", "sort", "topk", "setop", "scalar", "string", "json",
+        "sql", "subquery", "temporal", "asof", "range", "rollup",
+        "window", "rank", "distribution", "funnel", "cohort",
+        "dedup", "lsh", "graph", "similarity", "ann", "filtered",
+        "text", "langid", "quality", "tokens", "fingerprint", "tfidf", "pii",
+        "multimodal", "sampling", "pipeline", "streaming", "skew", "scale",
+    }
+    missing = required_tags - window_tags
+    assert not missing, f"families outside the verified window: {missing}"
+    # every streaming execution must be hard-verified
+    streaming = {n for n in REGISTRY if n.startswith("streaming_")}
+    assert streaming <= set(window)
+    # all 50 slots in the window carry a DuckDB oracle (hash-checked,
+    # not rows-only)
+    rows_only = [n for n in window if REGISTRY[n].oracle is None]
+    assert not rows_only, rows_only
+
+
 def test_approx_distinct_accuracy(spark, duck):
     """HLL estimate within 5% of the exact distinct count per group."""
     approx = {
