@@ -162,13 +162,41 @@ WHERE {_dot_sql('a.vn', 'b.vn')} >= {PAIR_THRESHOLD}
 """
 
 
+# Hard ceiling for the quadratic baselines: 20k vectors = 400M candidate
+# pairs, the most a correctness baseline should ever attempt. Real
+# corpora go through ann_lsh_bucketed (sub-quadratic) or
+# similarity_pairs_vectorized (block-partitioned, distributed O(n^2)).
+MAX_QUADRATIC_ROWS = 20_000
+
+
+def _fence_quadratic(spark: SparkSession, sf_dir: str, op: str) -> None:
+    """Refuse to run an all-pairs baseline on a corpus it cannot handle.
+
+    The count is a parquet metadata scan (no column IO), so the guard
+    costs one cheap job and prevents a silent O(n^2) blow-up when
+    someone points the baseline at a production-sized table."""
+    n_rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    if n_rows > MAX_QUADRATIC_ROWS:
+        raise ValueError(
+            f"{op}: corpus has {n_rows} vectors > {MAX_QUADRATIC_ROWS}; "
+            "this operator is the quadratic correctness baseline — use "
+            "ann_lsh_bucketed (sub-quadratic) or "
+            "similarity_pairs_vectorized (block-partitioned) instead"
+        )
+
+
 @query("similarity_pairs", oracle=_PAIRS_ORACLE, tags=("similarity", "join"))
 def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All embedding pairs with cosine >= 0.4 (brute-force; the LSH
     variant below is the scale path for the same semantics).
 
+    Guarded: refuses corpora beyond MAX_QUADRATIC_ROWS — the broadcast
+    nested-loop theta join is the correctness baseline, not a scale
+    path.
+
     Normalize-then-dot: norms are computed once per vector (map-side),
     so each of the O(n^2) pairs costs a single fold."""
+    _fence_quadratic(spark, sf_dir, "similarity_pairs")
     n = _normalized_df(spark, sf_dir)
     a = n.select(F.col("vec_id").alias("a_id"), F.col("vn").alias("an"))
     b = n.select(F.col("vec_id").alias("b_id"), F.col("vn").alias("bn"))
@@ -393,39 +421,67 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Target rows per block for the block-partitioned all-pairs scorer: a
+# (T x T) float64 score tile is T^2 * 8 bytes — 2048 -> 32 MiB, well
+# inside an executor task's working memory.
+_BLOCK_TARGET_ROWS = 2048
+
+
 @query("similarity_pairs_vectorized", oracle=_PAIRS_ORACLE, tags=("similarity", "pandas-udf", "scale"))
 def similarity_pairs_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All pairs with cosine >= 0.4 — Arrow/numpy scale path, SAME oracle
-    as similarity_pairs.
+    """All pairs with cosine >= 0.4 — block-partitioned Arrow/numpy
+    scale path, SAME oracle as similarity_pairs.
 
-    Bit-exactness by construction: scores accumulate as 64 sequential
+    Distribution: each vector lands in block b = vec_id % B; every
+    unordered block pair (bi <= bj) becomes one task that scores the
+    bi x bj tile. NOTHING is collected to the driver — rows reach
+    their block-pair groups via a broadcast join against the tiny
+    (B*(B+1)/2)-row combo table, and each executor task holds only its
+    two blocks (~2 * _BLOCK_TARGET_ROWS rows). Replication factor is
+    B+1 per row — the canonical distributed all-pairs layout: compute
+    is inherently O(n^2); memory and shuffle stay O(n * B) with no
+    single-machine bottleneck.
+
+    Bit-exactness by construction: scores accumulate as dim sequential
     vectorized outer-product adds (acc += a[:,k] (x) b[:,k] for k in
-    order), which is the identical left-to-right addition chain as the
-    Spark fold and DuckDB's list_reduce — elementwise SIMD ops don't
+    order), the identical left-to-right addition chain as the Spark
+    fold and DuckDB's list_reduce — elementwise SIMD ops don't
     reassociate the per-pair sum, so the oracle hash still matches.
     Normalization uses the same sequential-cumsum norm for the same
-    reason.
-
-    Scale: each Arrow batch of left rows is scored against the
-    broadcast right matrix; O(n^2/batch) memory, embarrassingly
-    parallel across partitions. (For n where even that is too big,
-    ann_lsh_bucketed is the sub-quadratic path.)
+    reason. No BLAS matmul anywhere (matmul reassociates).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    all_rows = raw.select("vec_id", "embedding").collect()
+    # metadata-cheap row count -> number of blocks; B grows with the
+    # corpus so tile memory stays constant at any scale
+    n_rows = raw.count()
+    n_blocks = max(2, -(-n_rows // _BLOCK_TARGET_ROWS))
 
-    def normalize(mat: "np.ndarray") -> "np.ndarray":
-        sq = mat * mat
-        norms = np.sqrt(np.cumsum(sq, axis=1)[:, -1])  # sequential sum == left fold
-        return mat / norms[:, None]
-
-    all_ids = np.array([r.vec_id for r in all_rows], dtype=np.int64)
-    all_vn = normalize(np.array([r.embedding for r in all_rows], dtype=np.float64))
-    dim = all_vn.shape[1]
+    combos = spark.createDataFrame(
+        [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)],
+        "bi INT, bj INT",
+    )
+    rows = raw.select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % n_blocks).cast("int").alias("blk"),
+    )
+    # side L = the row's block is the combo's bi; side R = bj. The
+    # diagonal combo (bi == bj) takes the row once, as L.
+    left = rows.join(F.broadcast(combos), F.col("blk") == F.col("bi")).withColumn(
+        "side", F.lit("L")
+    )
+    right = (
+        rows.join(
+            F.broadcast(combos),
+            (F.col("blk") == F.col("bj")) & (F.col("bi") != F.col("bj")),
+        )
+        .withColumn("side", F.lit("R"))
+    )
+    tagged = left.unionByName(right).select("bi", "bj", "side", "vec_id", "embedding")
 
     out_schema = StructType(
         [
@@ -435,25 +491,47 @@ def similarity_pairs_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def score_batches(batches):
-        for pdf in batches:
-            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            vn = normalize(np.array(list(pdf["embedding"]), dtype=np.float64))
-            # sequential accumulation over dimensions == left fold bitwise
-            acc = np.zeros((len(ids), len(all_ids)), dtype=np.float64)
-            for k in range(dim):
-                acc += vn[:, k][:, None] * all_vn[None, :, k]
-            li, ri = np.nonzero((ids[:, None] < all_ids[None, :]) & (acc >= PAIR_THRESHOLD))
-            if len(li):
-                yield pd.DataFrame(
-                    {"a_id": ids[li], "b_id": all_ids[ri], "score": acc[li, ri]}
-                )
+    def normalize(mat: "np.ndarray") -> "np.ndarray":
+        sq = mat * mat
+        norms = np.sqrt(np.cumsum(sq, axis=1)[:, -1])  # sequential sum == left fold
+        return mat / norms[:, None]
 
-    return (
-        raw.select("vec_id", "embedding")
-        .repartition("vec_id")
-        .mapInPandas(score_batches, out_schema)
-    )
+    def tile_scores(a_vn: "np.ndarray", b_vn: "np.ndarray") -> "np.ndarray":
+        # sequential accumulation over dimensions == left fold bitwise
+        acc = np.zeros((a_vn.shape[0], b_vn.shape[0]), dtype=np.float64)
+        for k in range(a_vn.shape[1]):
+            acc += a_vn[:, k][:, None] * b_vn[None, :, k]
+        return acc
+
+    empty = pd.DataFrame({"a_id": [], "b_id": [], "score": []})
+
+    def score_tile(key, pdf):
+        bi, bj = key
+        is_l = (pdf["side"] == "L").to_numpy()
+        l_ids = pdf["vec_id"].to_numpy(dtype=np.int64)[is_l]
+        if not len(l_ids):
+            return empty
+        l_vn = normalize(np.array(list(pdf["embedding"].to_numpy()[is_l]), dtype=np.float64))
+        if bi == bj:  # diagonal tile: pairs within one block
+            acc = tile_scores(l_vn, l_vn)
+            li, ri = np.nonzero(
+                (l_ids[:, None] < l_ids[None, :]) & (acc >= PAIR_THRESHOLD)
+            )
+            a_ids, b_ids = l_ids[li], l_ids[ri]
+        else:  # off-diagonal: every L x R pair is a distinct vec_id pair
+            r_ids = pdf["vec_id"].to_numpy(dtype=np.int64)[~is_l]
+            if not len(r_ids):
+                return empty
+            r_vn = normalize(
+                np.array(list(pdf["embedding"].to_numpy()[~is_l]), dtype=np.float64)
+            )
+            acc = tile_scores(l_vn, r_vn)
+            li, ri = np.nonzero(acc >= PAIR_THRESHOLD)
+            a_ids = np.minimum(l_ids[li], r_ids[ri])
+            b_ids = np.maximum(l_ids[li], r_ids[ri])
+        return pd.DataFrame({"a_id": a_ids, "b_id": b_ids, "score": acc[li, ri]})
+
+    return tagged.groupBy("bi", "bj").applyInPandas(score_tile, out_schema)
 
 
 # ---------------------------------------------------------------------------
