@@ -4,7 +4,8 @@ Four strategies, all built from JVM-side primitives (no Python UDFs in
 any hot path), each oracle-checked against DuckDB:
 
   - exact:          content-hash groupBy (one shuffle on the digest)
-  - ngram-jaccard:  shingle-blocking + exact Jaccard verification
+  - ngram-jaccard:  prefix-filtered shingle blocking + exact Jaccard
+                    verification (exact at any threshold)
   - minhash-lsh:    MinHash signatures -> banded LSH buckets ->
                     candidate pairs -> exact-Jaccard verification
   - simhash:        per-document 32-bit SimHash fingerprints
@@ -14,10 +15,12 @@ the oracle replays signatures bit-for-bit. At production scale you
 would swap xxhash64 into ``minhash_expr`` — same operator shape,
 cheaper hash.
 
-Scale posture: shingle-blocking joins explode quadratically on stop
-shingles; MinHash-LSH is the 100 TB path (cost ~ n_docs x n_bands, and
-bucket join keys are uniformly distributed by construction). The
-verification join only touches candidate pairs, never all pairs.
+Scale posture: naive shingle-blocking joins explode quadratically on
+stop shingles — ngram-jaccard therefore blocks only on each doc's
+rarest shingles (prefix filtering, still exact); MinHash-LSH is the
+100 TB path (cost ~ n_docs x n_bands, and bucket join keys are
+uniformly distributed by construction). Every verification join only
+touches candidate pairs, never all pairs.
 """
 
 from __future__ import annotations
@@ -66,8 +69,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct 3-word shingles per document.
+def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) — distinct 3-word shingles per document, as a cached
+    array column.
 
     The fixture is one small parquet file = one input split, which
     would serialize the (expensive) shingle+hash pipeline onto a single
@@ -76,47 +80,84 @@ def _shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     this repartition is a cheap no-op-shaped shuffle of raw text.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
-    return docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("shingle"))
+    return docs.select("doc_id", word_shingles("text", 3).alias("sh")).cache()
 
 
-def _jaccard_pairs(sh: DataFrame) -> DataFrame:
-    """Exact Jaccard for every doc pair sharing >= 1 shingle.
+def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """Candidate pairs via prefix filtering (Chaudhuri/Bayardo AllPairs):
+    block only on each document's rarest shingles, not all of them.
 
-    Shingle-blocking is exact for any threshold > 0 (a pair with
-    positive Jaccard shares at least one shingle), so this is a
-    correct blocking scheme, not an approximation.
+    Order the shingle universe globally by (document frequency ASC,
+    shingle ASC) and keep each document's first
+    p = floor((1 - t) * |A|) + 1 shingles. Exactness: let x be the
+    globally-smallest element of A∩B. Every element of A ranked before
+    x is in A\\B, and J(A,B) >= t implies |A\\B| <= (1-t)|A|, so x sits
+    within A's first (1-t)|A|+1 shingles — and symmetrically within
+    B's prefix. Hence every pair with Jaccard >= t shares a PREFIX
+    shingle and equi-joining prefixes loses nothing.
+
+    Scale: this is what kills the stop-shingle quadratic — a shingle
+    shared by m documents produces m^2/2 block pairs, but ubiquitous
+    shingles have the highest document frequency and never enter any
+    prefix. Join fan-out concentrates on rare shingles, where m is
+    small by definition.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_rank = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    w_size = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_size))
     )
-    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("n_b"))
+    prefix = ranked.filter(
+        F.col("rn") <= F.floor(F.lit(1.0 - threshold) * F.col("n_sh")) + 1
+    ).select("doc_id", "shingle")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
     return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def _verify_pairs(cand: DataFrame, withsh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs only: join (a_id, b_id) back to
+    the per-doc shingle arrays and intersect — per-candidate cost,
+    never all-pairs."""
+    sh_a = withsh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sh_b = withsh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .select("a_id", "b_id", (inter / union).alias("jaccard"))
     )
 
 
 # SQL mirror of word_shingles(k=3) + _jaccard_pairs. The range bounds
 # replicate F.sequence(0, greatest(n-3, 0)) -> 1-based starts 1..n-2.
+# The CASE mirrors word_shingles' n < k branch (one whole-document
+# shingle): without it, tk[i+1]/tk[i+2] index out of range for short
+# docs and NULL-propagate through || into a NULL shingle.
 _SHINGLES_SQL = r"""
 toks AS (
     SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents
 ),
 sh AS (
     SELECT DISTINCT doc_id,
-        unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
-                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        unnest(CASE WHEN len(tk) >= 3
+               THEN list_transform(range(1, len(tk) - 2 + 1),
+                                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+               ELSE [array_to_string(tk, ' ')] END) AS shingle
     FROM toks
 )
 """
@@ -147,15 +188,20 @@ SELECT a_id, b_id, jaccard FROM pairs WHERE jaccard >= {JACCARD_THRESHOLD}
 
 @query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup", "similarity", "join"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-word-shingle Jaccard >= 0.6, blocked on
-    shared shingles.
+    """Near-dup pairs by exact 3-word-shingle Jaccard >= 0.6, blocked by
+    prefix filtering on each document's rarest shingles.
 
-    Scale: exact but quadratic on stop-shingle blocks; use
-    dedup_minhash_lsh when block sizes explode. (A production refinement
-    is prefix filtering: block only on each doc's rarest shingles.)
+    Exact (not approximate): prefix filtering provably retains every
+    pair above the threshold — see ``_prefix_candidates`` — so the
+    result is identical to blocking on all shared shingles, while a
+    hot stop-shingle ("of the and") no longer produces a quadratic
+    block. The oracle intentionally keeps the naive all-shared-shingle
+    formulation: an independent derivation of the same pair set.
     """
-    sh = _shingles_df(spark, sf_dir)
-    return _jaccard_pairs(sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    withsh = _doc_shingle_arrays(spark, sf_dir)
+    sh = withsh.select("doc_id", F.explode("sh").alias("shingle"))
+    cand = _prefix_candidates(sh, JACCARD_THRESHOLD)
+    return _verify_pairs(cand, withsh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
@@ -237,11 +283,8 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # Shingle ONCE into array form and cache that (5 000 rows of
     # array<string> — compact); the exploded relation for hashing and
-    # the per-doc arrays for verification both derive from it. The
-    # repartition spreads the single-file fixture scan across the
-    # cluster before the expensive shingle+hash projections.
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
-    withsh = docs.select("doc_id", word_shingles("text", 3).alias("sh")).cache()
+    # the per-doc arrays for verification both derive from it.
+    withsh = _doc_shingle_arrays(spark, sf_dir)
     sh = withsh.select("doc_id", F.explode("sh").alias("shingle"))
     h1, h2 = minhash_halves(F.col("shingle"))
     hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2")).select(
@@ -284,16 +327,7 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    sh_a = withsh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    sh_b = withsh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        cand.join(sh_a, "a_id")
-        .join(sh_b, "b_id")
-        .select("a_id", "b_id", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return _verify_pairs(cand, withsh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 @query("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "lsh", "join"))
@@ -418,22 +452,38 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(p.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .cache()
     )
-    cur = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "label", F.col("doc_id")
-    ).cache()
+    # Each round REPLACES lineage with a localCheckpoint: without it the
+    # plan stacks join->union->groupBy per iteration and a long-diameter
+    # component re-plans (and re-executes on any retry) an ever-deeper
+    # DAG. The superseded round's blocks are unpersisted eagerly so
+    # cached state stays O(|V|), not O(|V| * rounds).
+    max_rounds = 64  # safety bound >> any real near-dup cluster diameter
+    cur = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
     prev_sum = None
-    while True:
+    for _ in range(max_rounds):
         msgs = edges.join(cur, F.col("dst") == F.col("doc_id")).select(
             F.col("src").alias("doc_id"), "label"
         )
-        cur = (
+        nxt = (
             msgs.union(cur.select("doc_id", "label"))
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .cache()
+            .localCheckpoint()  # eager: materializes + truncates lineage
         )
-        label_sum = cur.agg(F.sum("label")).first()[0]
+        label_sum = nxt.agg(F.sum("label")).first()[0]
+        cur.unpersist()
+        cur = nxt
         if label_sum == prev_sum:
             break
         prev_sum = label_sum
+    else:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_rounds} rounds"
+        )
+    edges.unpersist()
     return cur.select("doc_id", F.col("label").alias("canonical_id"))

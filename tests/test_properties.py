@@ -102,3 +102,53 @@ def test_minhash_lsh_finds_all_high_jaccard_pairs(spark):
         for r in REGISTRY["dedup_minhash_lsh"].fn(spark, SF_DIR_SMALL).collect()
     }
     assert lsh == exact, f"LSH missed {exact - lsh} / extra {lsh - exact}"
+
+
+def test_prefix_filtering_is_exact_and_smaller(spark):
+    """Prefix filtering must (a) produce strictly fewer candidate pairs
+    than all-shared-shingle blocking on this fixture and (b) retain
+    every pair at or above the Jaccard threshold (exactness)."""
+    from datafusion_streams_spark.operators import dedup
+
+    withsh = dedup._doc_shingle_arrays(spark, SF_DIR_SMALL)
+    sh = withsh.select("doc_id", F.explode("sh").alias("shingle"))
+
+    prefix_cand = dedup._prefix_candidates(sh, dedup.JACCARD_THRESHOLD)
+    a, b = sh.alias("a"), sh.alias("b")
+    full_cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    n_prefix, n_full = prefix_cand.count(), full_cand.count()
+    assert n_prefix < n_full, (n_prefix, n_full)
+
+    # exactness: verified pairs from full blocking == pairs the
+    # registered (prefix-filtered) query reports
+    full_pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup._verify_pairs(full_cand, withsh)
+        .filter(F.col("jaccard") >= dedup.JACCARD_THRESHOLD)
+        .collect()
+    }
+    prefix_pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup.dedup_ngram_jaccard(spark, SF_DIR_SMALL).collect()
+    }
+    assert prefix_pairs == full_pairs
+
+
+def test_components_lineage_truncated(spark):
+    """Label propagation must not stack per-round joins into the final
+    plan: localCheckpoint truncates lineage, so the returned frame
+    reads from a materialized RDD, not an iteration-deep join tree."""
+    from datafusion_streams_spark.operators import dedup
+
+    df = dedup.dedup_components(spark, SF_DIR_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
+    assert df.count() > 0
