@@ -44,6 +44,7 @@ HEADLINE = [
     "rollup_multiresolution",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
@@ -64,6 +65,20 @@ def main() -> None:
     # Warm the JVM/codegen paths once so per-query numbers measure the
     # queries, not first-run class loading.
     REGISTRY["ref_kafka_pipeline"].fn(spark, SF_DIR).count()
+    # Spin up the Python/Arrow worker pool too (one worker per core),
+    # plus the applyInPandas and broadcast-join machinery: pandas-UDF
+    # queries would otherwise pay ~4 s of one-time session startup
+    # inside their first timing.
+    from pyspark.sql import functions as F
+
+    cores = spark.sparkContext.defaultParallelism
+    spark.range(0, cores, 1, cores).mapInPandas(lambda it: it, "id long").count()
+    tiny = spark.range(0, 64, 1, 8)
+    dim = spark.range(0, 2).select(F.col("id").alias("k"))
+    tiny.join(F.broadcast(dim), (tiny.id % 2) == F.col("k")).count()
+    tiny.groupBy((F.col("id") % 4).alias("g")).applyInPandas(
+        lambda p: p[["id"]], "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -75,7 +90,13 @@ def main() -> None:
     streaming = _streaming_metrics(spark)
 
     total = round(sum(timings.values()), 3)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # tolerate data dirs not named sf<N>: never lose timings to a parse
+    # error after all queries have already run
+    raw_sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf: float | str | None = float(raw_sf)
+    except ValueError:
+        sf = raw_sf or None
     print(
         json.dumps(
             {
@@ -84,7 +105,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "streaming": streaming,
-                "sf": float(sf),
+                "sf": sf,
             }
         )
     )

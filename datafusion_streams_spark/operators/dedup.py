@@ -114,14 +114,19 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rn") <= F.floor(F.lit(1.0 - threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "shingle", "n_sh")
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # size filter (also lossless): J(A,B) >= t forces t*|B| <= |A| and
+    # t*|A| <= |B|, so wildly different-sized docs never become
+    # candidates — the second standard AllPairs pruning rule
     return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") >= threshold * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh")),
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()

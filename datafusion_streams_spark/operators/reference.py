@@ -46,4 +46,10 @@ def ref_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = kafka_like_from_events(spark, sf_dir)
     key_s = F.col("key").cast("string").alias("key")
     value_s = F.col("value").cast("string").alias("value")
-    return msgs.select(key_s, value_s, F.length(F.col("value").cast("string")).alias("len_value"))
+    # cast long: DuckDB length() returns BIGINT (repo convention for
+    # int-returning functions)
+    return msgs.select(
+        key_s,
+        value_s,
+        F.length(F.col("value").cast("string")).cast("long").alias("len_value"),
+    )

@@ -29,18 +29,38 @@ from datafusion_streams_spark.functions import as_double_array, cosine, dot
 from datafusion_streams_spark.operators import query
 
 EMBED_DIM = 64
-N_PLANES = 16  # sign bits
-N_SIGN_BANDS = 4  # 4 bands x 4 bits
+N_SIGN_BANDS = 4  # bands of sign bits; bucket keys concat one band's bits
+BASE_BITS_PER_BAND = 4  # at fixture scale (the static oracle mirrors this)
+BASE_LSH_ROWS = 5000  # largest fixture corpus (sf0.1)
+N_PLANES = N_SIGN_BANDS * BASE_BITS_PER_BAND  # plane count at fixture scale
 TOP_K = 5
 PAIR_THRESHOLD = 0.4
 
 
-def _sign_planes() -> list[list[float]]:
+def lsh_bits_per_band(n_rows: int, base_rows: int = BASE_LSH_ROWS) -> int:
+    """Sign bits per band as a function of corpus size.
+
+    Per-band collision probability for unrelated vectors is ~2^-bits,
+    so expected candidates ~ n^2 * bands * 2^-bits. Growing bits by
+    log2(n / base) keeps that ~linear in n — the parametric rule
+    SCALE_NOTES.md derives. At or below ``base_rows`` (default: the
+    largest fixture) this returns BASE_BITS_PER_BAND, which the static
+    DuckDB oracle mirrors (the oracle is generated for the fixture
+    configuration; parity is checked at fixture sizes by construction).
+    """
+    import math
+
+    if n_rows <= base_rows:
+        return BASE_BITS_PER_BAND
+    return BASE_BITS_PER_BAND + math.ceil(math.log2(n_rows / base_rows))
+
+
+def _sign_planes(n_planes: int = N_PLANES) -> list[list[float]]:
     """Deterministic +-1 hyperplanes from md5 parity — public-knowledge
     sign-random-projection LSH (Charikar, STOC 2002) with a seedable,
     engine-independent source of randomness."""
     planes = []
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         row = []
         for i in range(EMBED_DIM):
             digest = hashlib.md5(f"{j}_{i}".encode()).hexdigest()
@@ -251,18 +271,14 @@ WHERE {_dot_sql('na.vn', 'nb.vn')} >= {PAIR_THRESHOLD}
 """
 
 
-@query("ann_lsh_bucketed", oracle=_lsh_oracle(), tags=("similarity", "lsh", "join"))
-def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-random-projection LSH: 16 hyperplane bits -> 4 bands of 4 ->
-    same-bucket candidate pairs -> cosine-verified at >= 0.4.
-
-    Scale: replaces the all-pairs join with a bucket equi-join whose
-    keys are uniform by construction; candidate verification touches
-    only bucket collisions. Recall is tunable via bands/bits (this
-    config: P(candidate | cos=0.5) ~ 0.59, and the oracle replays the
-    identical bucketing, so correctness is checked on exactly what the
-    operator claims to produce).
-    """
+def _lsh_signature_df(emb: DataFrame, n_bands: int, bits: int) -> DataFrame:
+    """(vec_id, vn, b0..b{planes-1}) — plane bits + unit-normalized
+    vector in ONE Arrow-batched numpy pass with a sequential dimension
+    loop — bit-identical to the interpreted left-to-right fold the
+    oracle replays (elementwise SIMD ops never reassociate the
+    per-vector accumulation order), but ~an order of magnitude cheaper
+    than planes+1 interpreted HOF folds per row. Bits come from the RAW
+    vector (not vn) to stay bitwise-faithful to the oracle."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -274,19 +290,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    # One cached relation carries the plane bits AND the unit-normalized
-    # vector: the bucket self-join reads it twice and the verification
-    # join twice more. The 16 plane dots + the norm are computed in ONE
-    # Arrow-batched numpy pass with a sequential dimension loop —
-    # bit-identical to the interpreted left-to-right fold the oracle
-    # replays (elementwise SIMD ops never reassociate the per-vector
-    # accumulation order), but ~an order of magnitude cheaper than 17
-    # interpreted HOF folds per row. Bits come from the RAW vector (not
-    # vn) to stay bitwise-faithful to the oracle.
-    signs = np.array(SIGNS, dtype=np.float64)  # (N_PLANES, EMBED_DIM)
+    n_planes = n_bands * bits
+    signs = np.array(_sign_planes(n_planes), dtype=np.float64)  # (planes, dim)
     sig_schema = StructType(
         [StructField("vec_id", LongType()), StructField("vn", ArrayType(DoubleType()))]
-        + [StructField(f"b{j}", IntegerType()) for j in range(N_PLANES)]
+        + [StructField(f"b{j}", IntegerType()) for j in range(n_planes)]
     )
 
     def compute_sig(batches):
@@ -302,19 +310,19 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = np.zeros((n, signs.shape[0]), dtype=np.float64)
             for i in range(dim):
                 acc += v[:, i][:, None] * signs[None, :, i]
-            bits = (acc > 0).astype(np.int32)
+            bits_m = (acc > 0).astype(np.int32)
             out = {"vec_id": ids, "vn": list(vn)}
             for j in range(signs.shape[0]):
-                out[f"b{j}"] = bits[:, j]
+                out[f"b{j}"] = bits_m[:, j]
             yield pd.DataFrame(out)
 
-    sig = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .repartition("vec_id")
-        .select("vec_id", "embedding")
-        .mapInPandas(compute_sig, sig_schema)
-        .cache()
-    )
+    return emb.select("vec_id", "embedding").mapInPandas(compute_sig, sig_schema)
+
+
+def _lsh_candidates(sig: DataFrame, n_bands: int, bits: int) -> DataFrame:
+    """Distinct same-bucket pairs: explode each row into its band keys,
+    equi-join on (band, key). Bucket keys are uniform by construction,
+    so the join shuffle is balanced at any corpus size."""
     bands = sig.select(
         "vec_id",
         F.explode(
@@ -323,17 +331,18 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band"),
                         F.concat_ws(
-                            "", *[F.col(f"b{4 * b + i}").cast("string") for i in range(4)]
+                            "",
+                            *[F.col(f"b{bits * b + i}").cast("string") for i in range(bits)],
                         ).alias("bkey"),
                     )
-                    for b in range(N_SIGN_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -343,14 +352,85 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("a_id"), F.col("b.vec_id").alias("b_id"))
         .distinct()
     )
-    na = sig.select(F.col("vec_id").alias("a_id"), F.col("vn").alias("an"))
-    nb = sig.select(F.col("vec_id").alias("b_id"), F.col("vn").alias("bn"))
-    return (
-        cand.join(na, "a_id")
-        .join(nb, "b_id")
-        .select("a_id", "b_id", dot(F.col("an"), F.col("bn")).alias("score"))
-        .filter(F.col("score") >= PAIR_THRESHOLD)
+
+
+def _lsh_bucket_scored_pairs(sig: DataFrame, n_bands: int, bits: int) -> DataFrame:
+    """Verified pairs scored INSIDE each (band, bucket) group.
+
+    Each bucket's vectors ship through Arrow exactly once per band
+    (total volume ~ n_bands * corpus, NOT per candidate pair), and the
+    intra-bucket pair tile is scored with the sequential-accumulation
+    numpy fold — bitwise the oracle's left fold. A pair colliding in
+    multiple bands produces byte-identical score rows (same fold, same
+    doubles), so the final distinct() collapses them to the oracle's
+    DISTINCT candidate semantics. Bucket sizes stay bounded because
+    bits grow with n (lsh_bits_per_band), so the per-group tile is
+    O((n / 2^bits)^2) regardless of corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    bands = sig.select(
+        "vec_id",
+        "vn",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "",
+                            *[F.col(f"b{bits * b + i}").cast("string") for i in range(bits)],
+                        ).alias("bkey"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "vn", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    out_schema = StructType(
+        [
+            StructField("a_id", LongType()),
+            StructField("b_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
     )
+
+    def score_bucket(pdf):
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "score": []})
+        vn = np.array(list(pdf["vn"]), dtype=np.float64)
+        acc = np.zeros((len(ids), len(ids)), dtype=np.float64)
+        for k in range(vn.shape[1]):
+            acc += vn[:, k][:, None] * vn[None, :, k]
+        li, ri = np.nonzero((ids[:, None] < ids[None, :]) & (acc >= PAIR_THRESHOLD))
+        return pd.DataFrame({"a_id": ids[li], "b_id": ids[ri], "score": acc[li, ri]})
+
+    return bands.groupBy("band", "bkey").applyInPandas(score_bucket, out_schema).distinct()
+
+
+@query("ann_lsh_bucketed", oracle=_lsh_oracle(), tags=("similarity", "lsh", "join"))
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH: hyperplane bits -> banded bucket keys
+    -> intra-bucket pair scoring -> cosine threshold at >= 0.4.
+
+    Scale: replaces the all-pairs join with per-bucket tiles whose
+    keys are uniform by construction; scoring is vectorized numpy
+    (sequential accumulation — bitwise the oracle's fold) and touches
+    only bucket collisions. Bits per band GROW with the corpus
+    (``lsh_bits_per_band``: +log2(n/base) beyond fixture scale), which
+    keeps expected candidates ~linear in n — demonstrated sub-quadratic
+    in tests/test_scale_behaviors.py. At fixture sizes the
+    configuration is 4 bands x 4 bits, which the static oracle replays
+    bit-for-bit (recall there: P(candidate | cos=0.5) ~ 0.59).
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bits = lsh_bits_per_band(emb.count())  # metadata-cheap count
+    sig = _lsh_signature_df(emb.repartition("vec_id"), N_SIGN_BANDS, bits)
+    return _lsh_bucket_scored_pairs(sig, N_SIGN_BANDS, bits)
 
 
 # ---------------------------------------------------------------------------
@@ -456,9 +536,15 @@ def similarity_pairs_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # metadata-cheap row count -> number of blocks; B grows with the
-    # corpus so tile memory stays constant at any scale
+    # corpus so tile memory stays constant at any scale, with a floor
+    # that yields at least ~2 tiles per core so small corpora still
+    # use the whole cluster (tiles = B*(B+1)/2)
+    import math
+
     n_rows = raw.count()
-    n_blocks = max(2, -(-n_rows // _BLOCK_TARGET_ROWS))
+    cores = spark.sparkContext.defaultParallelism
+    b_min = math.ceil((math.sqrt(16 * cores + 1) - 1) / 2)
+    n_blocks = max(b_min, -(-n_rows // _BLOCK_TARGET_ROWS))
 
     combos = spark.createDataFrame(
         [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)],

@@ -55,6 +55,33 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
 
 
+def kafka_source_options(
+    topic: str,
+    bootstrap_servers: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    conf: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The exact option map ``kafka_source`` hands Spark's Kafka source —
+    exposed as a pure function so the reference mapping is testable
+    without a broker (the container has none; neither does the
+    reference outside its docker-compose):
+      - start at beginning (`…/execution.rs:77-79`) → startingOffsets=earliest
+      - micro-batch row cap (`…/execution.rs:87`) → maxOffsetsPerTrigger
+      - consumer config map (`…/execution.rs:34`) → option("kafka." + k, v)
+    """
+    options = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        options["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    for k, v in (conf or {}).items():
+        options[f"kafka.{k}"] = v
+    return options
+
+
 def kafka_source(
     spark: SparkSession,
     topic: str,
@@ -65,23 +92,16 @@ def kafka_source(
 ) -> DataFrame:
     """Streaming DataFrame over a real Kafka topic.
 
-    Maps the reference's operator surface 1:1:
-      - start at beginning (`…/execution.rs:77-79`) → startingOffsets=earliest
-      - micro-batch row cap (`…/execution.rs:87`) → maxOffsetsPerTrigger
-      - consumer config map (`…/execution.rs:34`) → option("kafka." + k, v)
-      - per-Kafka-partition parallelism (`…/execution.rs:47-49,75`) →
-        built into the source (1 topic-partition = 1 input partition)
+    Maps the reference's operator surface 1:1 (see
+    ``kafka_source_options``); per-Kafka-partition parallelism
+    (`…/execution.rs:47-49,75`) is built into the source
+    (1 topic-partition = 1 input partition).
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-    )
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    for k, v in (conf or {}).items():
-        reader = reader.option(f"kafka.{k}", v)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        topic, bootstrap_servers, starting_offsets, max_offsets_per_trigger, conf
+    ).items():
+        reader = reader.option(k, v)
     return reader.load()
 
 

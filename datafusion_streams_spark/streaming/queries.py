@@ -35,7 +35,7 @@ def streaming_ref_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = msgs.select(
         F.col("key").cast("string").alias("key"),
         F.col("value").cast("string").alias("value"),
-        F.length(F.col("value").cast("string")).alias("len_value"),
+        F.length(F.col("value").cast("string")).cast("long").alias("len_value"),
     )
     name, _ = run_drain_to_memory(out, output_mode="append")
     return spark.table(name)

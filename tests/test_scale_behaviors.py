@@ -121,3 +121,40 @@ def test_pairs_vectorized_never_collects_corpus(spark):
         for r in similarity.similarity_pairs(spark, SF_DIR_SMALL).collect()
     }
     assert fast == slow
+
+
+def test_lsh_candidates_grow_subquadratically(spark):
+    """The parametric LSH rule (bits per band += log2(n/base)) must keep
+    candidate-pair growth ~linear: 8x the vectors => far fewer than the
+    64x candidates a fixed configuration would produce. Synthetic
+    deterministic corpora, anchored at base_rows=500 so the same
+    production formula is exercised at test scale."""
+    import numpy as np
+
+    from datafusion_streams_spark.operators.similarity import (
+        N_SIGN_BANDS,
+        _lsh_candidates,
+        _lsh_signature_df,
+        lsh_bits_per_band,
+    )
+
+    def corpus(n):
+        rng = np.random.RandomState(n)
+        vecs = rng.standard_normal((n, 64))
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        ).repartition(8)
+
+    base = 500
+    counts = {}
+    for n in (base, 8 * base):
+        bits = lsh_bits_per_band(n, base_rows=base)
+        sig = _lsh_signature_df(corpus(n), N_SIGN_BANDS, bits)
+        counts[n] = _lsh_candidates(sig, N_SIGN_BANDS, bits).count()
+
+    assert lsh_bits_per_band(8 * base, base_rows=base) > lsh_bits_per_band(
+        base, base_rows=base
+    )
+    growth = counts[8 * base] / max(counts[base], 1)
+    assert growth < 20, f"candidate growth {growth:.1f}x at 8x vectors (quadratic = 64x)"

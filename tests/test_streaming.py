@@ -187,3 +187,43 @@ def test_reference_fixture_pipeline_exact(spark):
     assert by_key["Key 0"].value == "Message 0" and by_key["Key 0"].len_value == 9
     assert by_key["Key 14"].len_value == 10  # "Message 14"
     assert all(r.len_value == len(r.value) for r in out)
+
+
+def test_kafka_source_option_contract(spark):
+    """Broker-free contract for the real Kafka source: the option map
+    must mirror the reference's consumer semantics 1:1 — earliest
+    offsets by default (execution.rs:77-79), per-micro-batch row cap
+    via maxOffsetsPerTrigger (execution.rs:87), and verbatim
+    passthrough of the consumer conf map under the kafka. prefix
+    (execution.rs:34)."""
+    from datafusion_streams_spark.sources.kafka import kafka_source_options
+
+    opts = kafka_source_options(
+        topic="test_topic",
+        bootstrap_servers="localhost:9092",
+        max_offsets_per_trigger=1000,
+        conf={"group.id": "dfs", "fetch.min.bytes": "1"},
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "localhost:9092",
+        "subscribe": "test_topic",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "1000",
+        "kafka.group.id": "dfs",
+        "kafka.fetch.min.bytes": "1",
+    }
+    # no cap requested -> the option must be absent (unbounded batches,
+    # the reference's default), not "None"/0
+    assert "maxOffsetsPerTrigger" not in kafka_source_options("t", "b")
+
+
+def test_kafka_source_fails_without_package(spark):
+    """In this container the spark-sql-kafka package is absent: the real
+    source must fail at .load() with the missing-data-source error (not
+    silently fall back), documenting the environment gap the emulation
+    covers."""
+    import pytest as _pytest
+    from datafusion_streams_spark.sources.kafka import kafka_source
+
+    with _pytest.raises(Exception, match="[kK]afka"):
+        kafka_source(spark, "t", "localhost:9092")
