@@ -146,6 +146,7 @@ VERIFIED_FIRST: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_components",
+    "dedup_embedding_cosine",
     # similarity / ANN family
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
@@ -157,7 +158,6 @@ VERIFIED_FIRST: tuple[str, ...] = (
     "text_token_stats",
     "text_fingerprint",
     "text_tfidf_topterms",
-    "text_pii_scrub",
     # multimodal / sampling / curation
     "multimodal_binary_meta",
     "multimodal_frame_sample",

@@ -452,31 +452,40 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive-closure CTE.
     """
     p = minhash_pairs(spark, sf_dir).select("a_id", "b_id")
+    return min_label_components(p, id_col="doc_id")
+
+
+def min_label_components(pairs: DataFrame, id_col: str) -> DataFrame:
+    """(id_col, canonical_id) — connected components over an undirected
+    pair graph via iterative min-label propagation (the Pregel/GraphX
+    idiom expressed in DataFrames).
+
+    Each round REPLACES lineage with a localCheckpoint: without it the
+    plan stacks join->union->groupBy per iteration and a long-diameter
+    component re-plans (and re-executes on any retry) an ever-deeper
+    DAG. The superseded round's blocks are unpersisted eagerly so
+    cached state stays O(|V|), not O(|V| * rounds).
+    """
     edges = (
-        p.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .union(p.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .cache()
     )
-    # Each round REPLACES lineage with a localCheckpoint: without it the
-    # plan stacks join->union->groupBy per iteration and a long-diameter
-    # component re-plans (and re-executes on any retry) an ever-deeper
-    # DAG. The superseded round's blocks are unpersisted eagerly so
-    # cached state stays O(|V|), not O(|V| * rounds).
     max_rounds = 64  # safety bound >> any real near-dup cluster diameter
     cur = (
-        edges.select(F.col("src").alias("doc_id"))
+        edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("label", F.col("doc_id"))
+        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
     prev_sum = None
     for _ in range(max_rounds):
-        msgs = edges.join(cur, F.col("dst") == F.col("doc_id")).select(
-            F.col("src").alias("doc_id"), "label"
+        msgs = edges.join(cur, F.col("dst") == F.col("node")).select(
+            F.col("src").alias("node"), "label"
         )
         nxt = (
-            msgs.union(cur.select("doc_id", "label"))
-            .groupBy("doc_id")
+            msgs.union(cur.select("node", "label"))
+            .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()  # eager: materializes + truncates lineage
         )
@@ -488,7 +497,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = label_sum
     else:
         raise RuntimeError(
-            f"dedup_components did not converge in {max_rounds} rounds"
+            f"min_label_components did not converge in {max_rounds} rounds"
         )
     edges.unpersist()
-    return cur.select("doc_id", F.col("label").alias("canonical_id"))
+    return cur.select(
+        F.col("node").alias(id_col), F.col("label").alias("canonical_id")
+    )

@@ -237,7 +237,10 @@ def _signs_sql(j: int) -> str:
     return f"([{vals}]::DOUBLE[])"  # parens: the literal is indexed as x[i]
 
 
-def _lsh_oracle() -> str:
+def lsh_ctes() -> str:
+    """The sign-LSH pipeline as a reusable SQL WITH-body ending in
+    ``lsh_pairs`` (verified same-bucket pairs) — shared by the
+    standalone query's oracle and the embedding-dedup oracle."""
     bit_cols = ",\n        ".join(
         f"CASE WHEN {_dot_sql('v', _signs_sql(j))} > 0 THEN 1 ELSE 0 END AS b{j}"
         for j in range(N_PLANES)
@@ -248,8 +251,7 @@ def _lsh_oracle() -> str:
         "FROM sig".format(band=b, i0=4 * b, i1=4 * b + 1, i2=4 * b + 2, i3=4 * b + 3)
         for b in range(N_SIGN_BANDS)
     )
-    return f"""
-WITH {_NORMALIZED_SQL.strip()},
+    return f"""{_NORMALIZED_SQL.strip()},
 sig AS (
     SELECT vec_id, v,
         {bit_cols}
@@ -262,12 +264,20 @@ cand AS (
     SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
-)
-SELECT c.a_id, c.b_id, {_dot_sql('na.vn', 'nb.vn')} AS score
-FROM cand c
-JOIN n na ON c.a_id = na.vec_id
-JOIN n nb ON c.b_id = nb.vec_id
-WHERE {_dot_sql('na.vn', 'nb.vn')} >= {PAIR_THRESHOLD}
+),
+lsh_pairs AS (
+    SELECT c.a_id, c.b_id, {_dot_sql('na.vn', 'nb.vn')} AS score
+    FROM cand c
+    JOIN n na ON c.a_id = na.vec_id
+    JOIN n nb ON c.b_id = nb.vec_id
+    WHERE {_dot_sql('na.vn', 'nb.vn')} >= {PAIR_THRESHOLD}
+)"""
+
+
+def _lsh_oracle() -> str:
+    return f"""
+WITH {lsh_ctes()}
+SELECT a_id, b_id, score FROM lsh_pairs
 """
 
 
@@ -427,10 +437,58 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     configuration is 4 bands x 4 bits, which the static oracle replays
     bit-for-bit (recall there: P(candidate | cos=0.5) ~ 0.59).
     """
+    return _lsh_pairs_df(spark, sf_dir)
+
+
+def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified sign-LSH cosine pairs (>= PAIR_THRESHOLD) — the Spark
+    mirror of ``lsh_ctes``'s ``lsh_pairs``, shared by
+    ``ann_lsh_bucketed`` and ``dedup_embedding_cosine``."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     bits = lsh_bits_per_band(emb.count())  # metadata-cheap count
     sig = _lsh_signature_df(emb.repartition("vec_id"), N_SIGN_BANDS, bits)
     return _lsh_bucket_scored_pairs(sig, N_SIGN_BANDS, bits)
+
+
+_EMBEDDING_DEDUP_ORACLE = f"""
+WITH RECURSIVE {lsh_ctes()},
+edges AS (
+    SELECT a_id AS src, b_id AS dst FROM lsh_pairs
+    UNION
+    SELECT b_id AS src, a_id AS dst FROM lsh_pairs
+),
+reach(src, node) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT src AS vec_id, CAST(LEAST(src, MIN(node)) AS BIGINT) AS canonical_id
+FROM reach GROUP BY src
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=_EMBEDDING_DEDUP_ORACLE,
+    tags=("dedup", "similarity", "lsh", "graph", "iterative"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: every vector in a cosine-similarity
+    cluster (sign-LSH pairs >= 0.4) mapped to the cluster's canonical
+    (minimum) vec_id — semantic dedup's keeper-selection step, the
+    embedding-space sibling of ``dedup_components``.
+
+    Scale: pair finding is the sub-quadratic bucketed LSH path;
+    clustering is checkpointed min-label propagation over the
+    (candidate-pair-sized) edge list — see
+    ``dedup.min_label_components``. The DuckDB oracle replays the
+    identical bucketing and computes the same fixpoint via a recursive
+    transitive-closure CTE.
+    """
+    from datafusion_streams_spark.operators.dedup import min_label_components
+
+    pairs = _lsh_pairs_df(spark, sf_dir).select("a_id", "b_id")
+    return min_label_components(pairs, id_col="vec_id")
 
 
 # ---------------------------------------------------------------------------

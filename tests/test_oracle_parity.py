@@ -63,7 +63,7 @@ def test_verified_prefix_covers_every_family():
         "sql", "subquery", "temporal", "asof", "range", "rollup",
         "window", "rank", "distribution", "funnel", "cohort",
         "dedup", "lsh", "graph", "similarity", "ann", "filtered",
-        "text", "langid", "quality", "tokens", "fingerprint", "tfidf", "pii",
+        "text", "langid", "quality", "tokens", "fingerprint", "tfidf",
         "multimodal", "sampling", "pipeline", "streaming", "skew", "scale",
     }
     missing = required_tags - window_tags
