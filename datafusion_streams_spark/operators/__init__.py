@@ -139,7 +139,6 @@ VERIFIED_FIRST: tuple[str, ...] = (
     "window_distribution",
     # event analytics
     "events_funnel",
-    "events_retention",
     # dedup family (all five capabilities)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -163,12 +162,13 @@ VERIFIED_FIRST: tuple[str, ...] = (
     "multimodal_frame_sample",
     "sample_stratified",
     "pipeline_curation",
-    # streaming executions (all five)
+    # streaming executions (all of them, incl. stateful dedup)
     "streaming_ref_pipeline",
     "streaming_tumbling_hour",
     "streaming_session_window",
     "streaming_sliding_window",
     "streaming_stream_join",
+    "streaming_dedup_keys",
 )
 
 

@@ -740,3 +740,110 @@ def ann_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style probed ANN (coarse quantizer -> inverted lists -> probe)
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 8  # deterministic coarse quantizer: the first 8 vectors
+N_PROBE = 2  # centroids probed per query
+
+_IVF_ORACLE = f"""
+WITH {_NORMALIZED_SQL.strip()},
+cent AS (SELECT vec_id AS c_id, vn AS cn FROM n WHERE vec_id < {N_CENTROIDS}),
+assign_scored AS (
+    SELECT n.vec_id, cent.c_id,
+           CAST(row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY {_dot_sql('n.vn', 'cent.cn')} DESC, cent.c_id
+           ) AS BIGINT) AS crn
+    FROM n CROSS JOIN cent
+),
+assigned AS (SELECT vec_id, c_id FROM assign_scored WHERE crn = 1),
+q AS (SELECT vec_id AS q_id, vn AS qn FROM n WHERE vec_id < 10),
+probes AS (
+    SELECT q_id, c_id FROM (
+        SELECT q.q_id, cent.c_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q.q_id
+                   ORDER BY {_dot_sql('q.qn', 'cent.cn')} DESC, cent.c_id
+               ) AS BIGINT) AS prn
+        FROM q CROSS JOIN cent
+    ) WHERE prn <= {N_PROBE}
+),
+scored AS (
+    SELECT q.q_id, a.vec_id AS neighbor_id,
+           {_dot_sql('q.qn', 'n.vn')} AS score
+    FROM probes p
+    JOIN assigned a ON a.c_id = p.c_id
+    JOIN q ON q.q_id = p.q_id
+    JOIN n ON n.vec_id = a.vec_id
+    WHERE a.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY q_id ORDER BY score DESC, neighbor_id
+    ) AS BIGINT) AS rn
+    FROM scored
+)
+SELECT q_id, neighbor_id, score, rn FROM ranked WHERE rn <= {TOP_K}
+"""
+
+
+@query("ann_ivf_probe", oracle=_IVF_ORACLE, tags=("similarity", "ann", "ivf"))
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer -> inverted lists -> probe the
+    nprobe nearest lists per query -> exact re-rank within them.
+
+    The quantizer is deterministic (centroids = the first N_CENTROIDS
+    vectors by id, unit-normalized) so both engines agree with zero
+    coordination — in production the centroid table comes from k-means
+    and everything downstream is unchanged. Scale: assignment is a
+    map-side broadcast pass (corpus x 8 centroid dots, one shuffle to
+    nothing — the corpus never repartitions); each query scores only
+    its probed inverted lists (~ nprobe/n_centroids of the corpus)
+    instead of everything, which is the recall/cost dial every vector
+    store exposes. Inverted lists are equi-join keys, so a
+    centroid-partitioned (bucketed) layout prunes scan + shuffle to
+    the probed lists at 100 TB.
+    """
+    n = _normalized_df(spark, sf_dir)
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("c_id"), F.col("vn").alias("cn")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cscore"), F.asc("c_id")
+    )
+    assigned = (
+        n.crossJoin(F.broadcast(cent))
+        .select("vec_id", "vn", "c_id", dot(F.col("vn"), F.col("cn")).alias("cscore"))
+        .withColumn("crn", F.row_number().over(w_assign))
+        .filter(F.col("crn") == 1)
+        .select("vec_id", "vn", "c_id")
+    )
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("vn").alias("qn")
+    )
+    w_probe = Window.partitionBy("q_id").orderBy(F.desc("pscore"), F.asc("c_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("q_id", "qn", "c_id", dot(F.col("qn"), F.col("cn")).alias("pscore"))
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("q_id", "qn", "c_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "c_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("qn"), F.col("vn")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+    )

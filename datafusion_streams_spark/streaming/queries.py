@@ -204,3 +204,33 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name, _ = run_drain_to_memory(joined, output_mode="append")
     return spark.table(name)
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@query(
+    "streaming_dedup_keys",
+    oracle=_STREAM_DEDUP_ORACLE,
+    tags=("streaming", "dedup", "stateful"),
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup: emit each (user_id, event_type) pair
+    the first time it appears on the stream — dropDuplicates over a
+    genuine micro-batch execution, equal to the batch DISTINCT oracle.
+
+    State is one entry per distinct key (bounded by key cardinality,
+    not stream length). The time-bounded variant
+    (dropDuplicatesWithinWatermark, which also evicts state by event
+    time) is exercised in tests/test_stateful.py — its output depends
+    on arrival order for keys spanning the watermark, so the exact
+    global-dedup form is the oracle-checkable one.
+    """
+    ev = normalize_event_ts(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
+    )
+    dd = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    name, _ = run_drain_to_memory(dd, output_mode="append")
+    return spark.table(name)

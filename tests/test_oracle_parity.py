@@ -61,7 +61,7 @@ def test_verified_prefix_covers_every_family():
         "reference", "filter", "agg", "join", "broadcast", "semi", "anti",
         "outer", "sort", "topk", "setop", "scalar", "string", "json",
         "sql", "subquery", "temporal", "asof", "range", "rollup",
-        "window", "rank", "distribution", "funnel", "cohort",
+        "window", "rank", "distribution", "funnel", "stateful",
         "dedup", "lsh", "graph", "similarity", "ann", "filtered",
         "text", "langid", "quality", "tokens", "fingerprint", "tfidf",
         "multimodal", "sampling", "pipeline", "streaming", "skew", "scale",
