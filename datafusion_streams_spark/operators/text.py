@@ -407,6 +407,225 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus n-gram statistics
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# repetition filtering (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+# Thresholds in the spirit of Rae et al. 2021 (Gopher), Table A1: filter
+# documents dominated by repeated n-grams. Tuned to the synthetic fixture
+# vocabulary so both outcomes occur.
+TOP_BIGRAM_FRAC_MAX = 0.08
+DUP_TRIGRAM_FRAC_MAX = 0.20
+
+_REPETITION_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents
+),
+base AS (
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+    FROM t
+),
+bg AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(tk) >= 2
+                  THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+                  ELSE [] END) AS g
+    FROM t
+),
+bgc AS (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY doc_id, g),
+bga AS (
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS total_bg,
+           CAST(MAX(n) AS BIGINT) AS top_bg
+    FROM bgc GROUP BY doc_id
+),
+tg AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(tk) >= 3
+                  THEN list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                  ELSE [] END) AS g
+    FROM t
+),
+tgc AS (SELECT doc_id, g, COUNT(*) AS n FROM tg GROUP BY doc_id, g),
+tga AS (
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS total_tg,
+           CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_tg
+    FROM tgc GROUP BY doc_id
+)
+SELECT base.doc_id, n_tokens,
+    CASE WHEN coalesce(total_bg, 0) > 0
+         THEN CAST(top_bg AS DOUBLE) / total_bg ELSE 0.0 END AS top_bigram_frac,
+    CASE WHEN coalesce(total_tg, 0) > 0
+         THEN CAST(dup_tg AS DOUBLE) / total_tg ELSE 0.0 END AS dup_trigram_frac,
+    1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+    (CASE WHEN coalesce(total_bg, 0) > 0
+          THEN CAST(top_bg AS DOUBLE) / total_bg ELSE 0.0 END) <= {TOP_BIGRAM_FRAC_MAX}
+      AND (CASE WHEN coalesce(total_tg, 0) > 0
+                THEN CAST(dup_tg AS DOUBLE) / total_tg ELSE 0.0 END) <= {DUP_TRIGRAM_FRAC_MAX}
+      AS keep
+FROM base
+LEFT JOIN bga ON base.doc_id = bga.doc_id
+LEFT JOIN tga ON base.doc_id = tga.doc_id
+"""
+
+
+def _positional_grams(tk: Column, k: int) -> Column:
+    """All k-gram positions of a token array (duplicates kept — the
+    repetition signal IS the duplicate count)."""
+    n = F.size(tk)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(tk, i, k), " "))
+
+
+@query("text_repetition_filter", oracle=_REPETITION_ORACLE, tags=("text", "quality", "repetition"))
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: most-frequent-bigram
+    mass, duplicated-trigram mass, duplicate-token fraction, and the
+    resulting keep/filter decision (Rae et al. 2021 repetition filters).
+
+    Scale: n-gram explode is map-side; both count passes shuffle on
+    (doc_id, gram) — doc_id dominates the key so hot grams cannot skew a
+    partition; the three per-doc aggregates then combine on doc_id
+    alone. Everything else is codegen column math.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
+    t = docs.select("doc_id", tokens("text").alias("tk"))
+    base = t.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).cast("long").alias("n_distinct"),
+    )
+    bga = (
+        t.select("doc_id", F.explode(_positional_grams(F.col("tk"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").alias("total_bg"), F.max("n").alias("top_bg"))
+    )
+    tga = (
+        t.select("doc_id", F.explode(_positional_grams(F.col("tk"), 3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("total_tg"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0))).alias("dup_tg"),
+        )
+    )
+    top_bigram_frac = F.when(
+        F.coalesce(F.col("total_bg"), F.lit(0)) > 0,
+        F.col("top_bg").cast("double") / F.col("total_bg"),
+    ).otherwise(F.lit(0.0))
+    dup_trigram_frac = F.when(
+        F.coalesce(F.col("total_tg"), F.lit(0)) > 0,
+        F.col("dup_tg").cast("double") / F.col("total_tg"),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(bga, "doc_id", "left")
+        .join(tga, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            top_bigram_frac.alias("top_bigram_frac"),
+            dup_trigram_frac.alias("dup_trigram_frac"),
+            (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+                "dup_token_frac"
+            ),
+            (
+                (top_bigram_frac <= TOP_BIGRAM_FRAC_MAX)
+                & (dup_trigram_frac <= DUP_TRIGRAM_FRAC_MAX)
+            ).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination screen
+# ---------------------------------------------------------------------------
+
+CONTAM_GRAM = 5
+CONTAM_MOD = 97  # doc_id % 97 == 0 -> held-out "benchmark" split
+
+_CONTAMINATION_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents
+),
+bench AS (
+    SELECT DISTINCT unnest(CASE WHEN len(tk) >= {CONTAM_GRAM}
+        THEN list_transform(range(1, len(tk) - {CONTAM_GRAM} + 2),
+             i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])
+        ELSE [] END) AS g
+    FROM t WHERE doc_id % {CONTAM_MOD} = 0
+),
+corpus AS (
+    SELECT doc_id,
+        unnest(CASE WHEN len(tk) >= {CONTAM_GRAM}
+            THEN list_transform(range(1, len(tk) - {CONTAM_GRAM} + 2),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4])
+            ELSE [] END) AS g
+    FROM t WHERE doc_id % {CONTAM_MOD} != 0
+),
+totals AS (
+    SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id
+),
+hits AS (
+    SELECT corpus.doc_id, COUNT(*) AS n_hits
+    FROM corpus JOIN bench ON corpus.g = bench.g
+    GROUP BY corpus.doc_id
+)
+SELECT totals.doc_id,
+    CAST(n_grams AS BIGINT) AS n_grams,
+    CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+    CAST(coalesce(n_hits, 0) AS DOUBLE) / n_grams AS contamination_frac,
+    coalesce(n_hits, 0) > 0 AS contaminated
+FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+"""
+
+
+@query("text_contamination", oracle=_CONTAMINATION_ORACLE, tags=("text", "contamination", "broadcast"))
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: flag training documents sharing
+    any {CONTAM_GRAM}-gram with a held-out benchmark split (the n-gram
+    overlap decontamination of Brown et al. 2020 §C / Dodge et al. 2021).
+
+    Scale: the benchmark n-gram set is small by construction and
+    BROADCAST, so the corpus side never shuffles for the probe — one
+    map-side explode + broadcast hash join + one doc_id-keyed count. The
+    corpus can be 100 TB; only the benchmark must fit in memory.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
+    t = docs.select("doc_id", tokens("text").alias("tk"))
+    gram = _positional_grams(F.col("tk"), CONTAM_GRAM)
+    bench = (
+        t.filter(F.col("doc_id") % CONTAM_MOD == 0)
+        .select(F.explode(gram).alias("g"))
+        .distinct()
+    )
+    corpus = t.filter(F.col("doc_id") % CONTAM_MOD != 0).select(
+        "doc_id", F.explode(gram).alias("g")
+    )
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_grams")).alias(
+            "contamination_frac"
+        ),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 _NGRAM_STATS_ORACLE = r"""
 WITH t AS (
     SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents
