@@ -88,6 +88,7 @@ def _populate() -> None:
         windows,
         dedup,
         similarity,
+        clustering,
         text,
         multimodal,
         pipeline,
@@ -136,7 +137,9 @@ VERIFIED_FIRST: tuple[str, ...] = (
     "rollup_multiresolution",
     # window functions
     "window_rank_battery",
-    "window_distribution",
+    # clustering (semantic-dedup primitive; window_distribution demoted —
+    # the window-function family stays represented by window_rank_battery)
+    "cluster_kmeans_embeddings",
     # event analytics
     "events_funnel",
     # dedup family (all five capabilities)

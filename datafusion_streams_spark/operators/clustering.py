@@ -1,0 +1,189 @@
+"""Embedding clustering — the semantic-dedup / corpus-organization
+primitive (k-means over the ``embeddings`` table).
+
+Distributed Lloyd's iterations, Spark-first: assignment is an
+Arrow-batched numpy pass with the (tiny) centroid model broadcast in
+the task closure; the centroid update is a single groupBy whose per-
+dimension sums are EXACT INTEGERS, so the model update is bit-identical
+under any partitioning or combine order. This is the SemDeDup-style
+clustering step (Abbas et al. 2023) a training-data pipeline runs
+before within-cluster near-dedup.
+
+Float-parity design (the driver value-hashes against DuckDB):
+
+- Embeddings are quantized once to integers ``floor(x*1e6 + 0.5)``.
+  Decimal casts of arbitrary floats are NOT portable (Spark rounds,
+  DuckDB truncates on scale-down), but floor of identical double math
+  is. Integer per-dimension sums make centroid means exactly
+  ``sum / (n * 1e6)`` — one double division of two exact numbers,
+  identical in both engines.
+- Distances accumulate dimension-sequentially (numpy ``acc += d_i`` in
+  dim order == DuckDB ``list_reduce`` left fold), never BLAS matmul,
+  so squared distances are bit-identical and the argmin (ties broken
+  by lowest centroid id) agrees.
+
+Scale: the corpus shuffles ZERO times per iteration — assignment is
+map-only against the broadcast model, and the update reduces k×dim
+integers via partial aggregation. Driver traffic is k rows per
+iteration (the standard distributed-k-means model exchange), never the
+corpus. The reference has no clustering operator; capability parity is
+with its aggregate+groupBy surface (/root/reference/src/kafka/
+execution.rs:34 scan feeding arbitrary DataFusion aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_streams_spark.functions import as_double_array
+from datafusion_streams_spark.operators import query
+
+EMBED_DIM = 64
+K_CLUSTERS = 8
+KMEANS_ITERS = 2  # model updates; assignment runs ITERS+1 times
+QSCALE = 1_000_000
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id + integer-quantized embedding (exact-sum domain)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vq = F.transform(
+        as_double_array("embedding"),
+        lambda x: F.floor(x * F.lit(float(QSCALE)) + F.lit(0.5)).cast("long"),
+    )
+    # single-file fixture = one input partition; a real table arrives
+    # pre-split, so restore parallelism before the iterative passes
+    return emb.select("vec_id", vq.alias("vq")).repartition("vec_id")
+
+
+def _assign(qdf: DataFrame, cids: list[int], centroids: list[list[float]]) -> DataFrame:
+    """Nearest-centroid assignment: one Arrow pass, model in closure.
+
+    Accumulates squared distance dimension-by-dimension (sequential,
+    matching the SQL left fold bit-for-bit); ties go to the lowest
+    centroid id (numpy argmin returns the first minimum and ``cids``
+    is ascending).
+    """
+    cids_local = list(cids)
+    cent_local = [list(c) for c in centroids]
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        cn = np.array(cent_local, dtype=np.float64)
+        cid_arr = np.array(cids_local, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["vq"].tolist(), dtype=np.float64) / float(QSCALE)
+            acc = np.zeros((len(pdf), cn.shape[0]), dtype=np.float64)
+            for d in range(cn.shape[1]):
+                diff = x[:, d, None] - cn[None, :, d]
+                acc += diff * diff
+            lab = np.argmin(acc, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": cid_arr[lab],
+                    "vq": pdf["vq"],
+                }
+            )
+
+    return qdf.mapInPandas(fn, "vec_id long, cluster long, vq array<bigint>")
+
+
+def _update(assigned: DataFrame) -> tuple[list[int], list[list[float]]]:
+    """New model from exact integer sums: k rows to the driver."""
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.element_at("vq", d + 1)).alias(f"s{d}") for d in range(EMBED_DIM)
+    ]
+    rows = sorted(
+        assigned.groupBy("cluster").agg(*aggs).collect(), key=lambda r: r["cluster"]
+    )
+    cids = [int(r["cluster"]) for r in rows]
+    cents = [
+        [r[f"s{d}"] / (r["n"] * float(QSCALE)) for d in range(EMBED_DIM)] for r in rows
+    ]
+    return cids, cents
+
+
+def _dist_sql(vq: str, c: str) -> str:
+    term = f"(CAST({vq}[i] AS DOUBLE)/{QSCALE}.0 - {c}[i])"
+    return (
+        f"list_reduce(list_transform(range(1, {EMBED_DIM + 1}), "
+        f"i -> {term} * {term}), (a, b) -> a + b)"
+    )
+
+
+def _kmeans_oracle() -> str:
+    cent_cols = ", ".join(
+        f"CAST(CAST(SUM(vq[{d + 1}]) AS BIGINT) AS DOUBLE) / (COUNT(*) * {QSCALE}.0)"
+        for d in range(EMBED_DIM)
+    )
+    steps = []
+    prev_c = "c0"
+    for it in (1, 2, 3):
+        steps.append(
+            f"""x{it} AS (
+    SELECT q.vec_id, q.vq, {prev_c}.cid, {_dist_sql('q.vq', f'{prev_c}.c')} AS dist
+    FROM q CROSS JOIN {prev_c}
+),
+m{it} AS (
+    SELECT vec_id, vq, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM x{it}
+    ) WHERE rn = 1
+)"""
+        )
+        if it < 3:
+            steps.append(
+                f"c{it} AS (SELECT cid, list_value({cent_cols}) AS c FROM m{it} GROUP BY cid)"
+            )
+            prev_c = f"c{it}"
+    body = ",\n".join(steps)
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+        list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QSCALE}.0 + 0.5) AS BIGINT)) AS vq
+    FROM embeddings
+),
+c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+           list_transform(vq, v -> CAST(v AS DOUBLE)/{QSCALE}.0) AS c
+    FROM (SELECT * FROM q ORDER BY vec_id LIMIT {K_CLUSTERS})
+),
+{body},
+sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM m3 GROUP BY cid)
+SELECT m3.vec_id, m3.cid AS cluster, sizes.cluster_size
+FROM m3 JOIN sizes ON m3.cid = sizes.cid
+"""
+
+
+@query(
+    "cluster_kmeans_embeddings",
+    oracle=_kmeans_oracle(),
+    tags=("clustering", "kmeans", "iterative", "semantic-dedup"),
+)
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=8, 2 Lloyd updates, deterministic lowest-vec_id init)
+    over the embedding corpus; returns each vector's final cluster and
+    the cluster population.
+
+    Iteration = map-only assignment against the broadcast model + one
+    exact-integer reduce; the corpus itself never shuffles, so cost per
+    round is one scan — the shape that survives 100 TB.
+    """
+    qdf = _quantized(spark, sf_dir).cache()
+    init_rows = qdf.orderBy("vec_id").limit(K_CLUSTERS).collect()
+    cids = list(range(K_CLUSTERS))
+    cents = [[v / float(QSCALE) for v in r["vq"]] for r in init_rows]
+    for _ in range(KMEANS_ITERS):
+        cids, cents = _update(_assign(qdf, cids, cents))
+    final = _assign(qdf, cids, cents).select("vec_id", "cluster")
+    sizes = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return final.join(F.broadcast(sizes), "cluster").select(
+        "vec_id", "cluster", "cluster_size"
+    )

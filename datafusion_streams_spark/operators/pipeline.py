@@ -37,6 +37,40 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(nibble < 4).select("doc_id", "n_chars")
 
 
+SAMPLE_TOPK_N = 1000
+
+_SAMPLE_TOPK_ORACLE = f"""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       md5(CAST(o_orderkey AS VARCHAR)) AS sample_key
+FROM orders
+ORDER BY sample_key, o_orderkey
+LIMIT {SAMPLE_TOPK_N}
+"""
+
+
+@query("sample_uniform_topk", oracle=_SAMPLE_TOPK_ORACLE, tags=("sampling", "topk"))
+def sample_uniform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size uniform sample: global top-N by key digest. Where
+    hash-mod sampling fixes the RATE, this fixes the COUNT — the
+    "give me exactly 1M training rows" primitive.
+
+    Scale: compiles to TakeOrderedAndProject — per-partition N-row
+    heaps, then one N-row merge on the driver side of the exchange; no
+    global sort, no full shuffle, deterministic at any cluster size.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.md5(F.col("o_orderkey").cast("string")).alias("sample_key"),
+        )
+        .orderBy("sample_key", "o_orderkey")
+        .limit(SAMPLE_TOPK_N)
+    )
+
+
 _CURATION_ORACLE = rf"""
 WITH {minhash_ctes()},
 dupes AS (

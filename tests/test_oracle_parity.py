@@ -61,8 +61,9 @@ def test_verified_prefix_covers_every_family():
         "reference", "filter", "agg", "join", "broadcast", "semi", "anti",
         "outer", "sort", "topk", "setop", "scalar", "string", "json",
         "sql", "subquery", "temporal", "asof", "range", "rollup",
-        "window", "rank", "distribution", "funnel", "stateful",
+        "window", "rank", "funnel", "stateful",
         "dedup", "lsh", "graph", "similarity", "ann", "filtered",
+        "clustering", "iterative",
         "text", "langid", "quality", "tokens", "fingerprint", "tfidf",
         "multimodal", "sampling", "pipeline", "streaming", "skew", "scale",
     }
