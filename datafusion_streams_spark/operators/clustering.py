@@ -117,7 +117,11 @@ def _dist_sql(vq: str, c: str) -> str:
     )
 
 
-def _kmeans_oracle() -> str:
+def kmeans_ctes() -> str:
+    """The WITH-body replaying the exact k-means fixpoint: quantize,
+    init from the k lowest vec_ids, then ITERS assign/update rounds and
+    a final assignment ``m3 (vec_id, vq, cid)``. Shared by every oracle
+    that consumes the clustering."""
     cent_cols = ", ".join(
         f"CAST(CAST(SUM(vq[{d + 1}]) AS BIGINT) AS DOUBLE) / (COUNT(*) * {QSCALE}.0)"
         for d in range(EMBED_DIM)
@@ -143,8 +147,7 @@ m{it} AS (
             )
             prev_c = f"c{it}"
     body = ",\n".join(steps)
-    return f"""
-WITH q AS (
+    return f"""q AS (
     SELECT vec_id,
         list_transform(embedding,
             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QSCALE}.0 + 0.5) AS BIGINT)) AS vq
@@ -155,11 +158,28 @@ c0 AS (
            list_transform(vq, v -> CAST(v AS DOUBLE)/{QSCALE}.0) AS c
     FROM (SELECT * FROM q ORDER BY vec_id LIMIT {K_CLUSTERS})
 ),
-{body},
+{body}"""
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+WITH {kmeans_ctes()},
 sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM m3 GROUP BY cid)
 SELECT m3.vec_id, m3.cid AS cluster, sizes.cluster_size
 FROM m3 JOIN sizes ON m3.cid = sizes.cid
 """
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the Lloyd iterations; return ``(vec_id, cluster, vq)`` —
+    the Spark mirror of the oracle's ``m3``."""
+    qdf = _quantized(spark, sf_dir).cache()
+    init_rows = qdf.orderBy("vec_id").limit(K_CLUSTERS).collect()
+    cids = list(range(K_CLUSTERS))
+    cents = [[v / float(QSCALE) for v in r["vq"]] for r in init_rows]
+    for _ in range(KMEANS_ITERS):
+        cids, cents = _update(_assign(qdf, cids, cents))
+    return _assign(qdf, cids, cents)
 
 
 @query(
@@ -176,14 +196,90 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-integer reduce; the corpus itself never shuffles, so cost per
     round is one scan — the shape that survives 100 TB.
     """
-    qdf = _quantized(spark, sf_dir).cache()
-    init_rows = qdf.orderBy("vec_id").limit(K_CLUSTERS).collect()
-    cids = list(range(K_CLUSTERS))
-    cents = [[v / float(QSCALE) for v in r["vq"]] for r in init_rows]
-    for _ in range(KMEANS_ITERS):
-        cids, cents = _update(_assign(qdf, cids, cents))
-    final = _assign(qdf, cids, cents).select("vec_id", "cluster")
+    final = kmeans_assignments(spark, sf_dir).select("vec_id", "cluster")
     sizes = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
     return final.join(F.broadcast(sizes), "cluster").select(
         "vec_id", "cluster", "cluster_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# within-cluster semantic near-dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+SEMANTIC_THRESHOLD = 0.4
+
+
+def _semantic_oracle() -> str:
+    dot = (
+        f"list_reduce(list_transform(range(1, {EMBED_DIM + 1}), "
+        f"i -> a.vv[i] * b.vv[i]), (x, y) -> x + y)"
+    )
+    return f"""
+WITH {kmeans_ctes()},
+v AS (
+    SELECT vec_id, cid,
+           list_transform(vq, x -> CAST(x AS DOUBLE)/{QSCALE}.0) AS vv
+    FROM m3
+),
+n AS (
+    SELECT vec_id, cid, vv,
+           sqrt(list_reduce(list_transform(vv, x -> x * x), (x, y) -> x + y)) AS nrm
+    FROM v
+)
+SELECT a.cid AS cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+       {dot} / (a.nrm * b.nrm) AS cos_sim
+FROM n a JOIN n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE {dot} / (a.nrm * b.nrm) >= {SEMANTIC_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=_semantic_oracle(),
+    tags=("dedup", "clustering", "semantic-dedup", "similarity"),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup proper (Abbas et al. 2023): k-means clusters as the
+    blocking structure, exact pairwise cosine INSIDE each cluster only,
+    near-dup pairs above the threshold.
+
+    Scale: the quadratic term is per-cluster (k grows with the corpus
+    so cluster populations stay bounded), and each cluster scores in
+    one Arrow batch — numpy with dimension-sequential accumulation, so
+    every score is bit-identical to the oracle's fold. Complements
+    ``dedup_embedding_cosine`` (sign-LSH blocking): clustering recalls
+    neighbors whose random-hyperplane signatures disagree.
+    """
+    assigned = kmeans_assignments(spark, sf_dir)
+
+    def score_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cluster": [], "a_id": [], "b_id": [], "cos_sim": []}
+            )
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        x = np.array(pdf["vq"].tolist(), dtype=np.float64) / float(QSCALE)
+        dot = np.zeros((len(ids), len(ids)), dtype=np.float64)
+        nsq = np.zeros(len(ids), dtype=np.float64)
+        for d in range(x.shape[1]):
+            dot += x[:, d][:, None] * x[None, :, d]
+            nsq += x[:, d] * x[:, d]
+        nrm = np.sqrt(nsq)
+        cos = dot / (nrm[:, None] * nrm[None, :])
+        li, ri = np.nonzero((ids[:, None] < ids[None, :]) & (cos >= SEMANTIC_THRESHOLD))
+        return pd.DataFrame(
+            {
+                "cluster": np.full(len(li), int(pdf["cluster"].iloc[0]), dtype=np.int64),
+                "a_id": ids[li],
+                "b_id": ids[ri],
+                "cos_sim": cos[li, ri],
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        score_cluster, "cluster long, a_id long, b_id long, cos_sim double"
     )
