@@ -49,8 +49,12 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "similarity_pairs_vectorized",
+    "cluster_kmeans_embeddings",
+    "dedup_semantic_clusters",
     "text_quality_score",
     "text_fingerprint",
+    "text_repetition_filter",
+    "text_contamination",
     "multimodal_binary_meta",
     "pipeline_curation",
     "streaming_ref_pipeline",

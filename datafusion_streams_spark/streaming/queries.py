@@ -234,3 +234,47 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     name, _ = run_drain_to_memory(dd, output_mode="append")
     return spark.table(name)
+
+
+_CDC_UPSERT_ORACLE = """
+SELECT user_id, event_type AS last_event_type, ts AS last_ts,
+       value AS last_value, n_changes
+FROM (
+    SELECT *,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+    FROM events
+) WHERE rn = 1
+"""
+
+
+@query(
+    "streaming_cdc_upsert",
+    oracle=_CDC_UPSERT_ORACLE,
+    tags=("streaming", "stateful", "cdc"),
+)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert-view maintenance: treat the event stream as a keyed
+    changelog and materialize the LATEST state per key (plus change
+    count) through a genuine streaming aggregation — what a MERGE-into
+    sink computes, expressed as max_by state so Spark maintains it
+    incrementally instead of rewriting a table per batch.
+
+    Scale: state is one row per key (bounded by key cardinality);
+    max_by's ordering key (ts, event_id) makes the winner unique and
+    arrival-order independent, which is why the batch oracle can be
+    exact. Complete mode re-emits the view — the bounded-replay
+    comparison surface.
+    """
+    ev = normalize_event_ts(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
+    )
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    latest = ev.groupBy("user_id").agg(
+        F.max_by(F.col("event_type"), ordkey).alias("last_event_type"),
+        F.max("ts").alias("last_ts"),
+        F.max_by(F.col("value"), ordkey).alias("last_value"),
+        F.count(F.lit(1)).alias("n_changes"),
+    )
+    name, _ = run_drain_to_memory(latest, output_mode="complete")
+    return spark.table(name)
