@@ -92,3 +92,40 @@ def test_table_statistics_for_cbo(spark):
         assert kv.get("distinct_count") not in (None, "NULL"), kv
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_stats")
+
+
+def test_kmeans_assignment_never_shuffles_corpus(spark):
+    """Lloyd iterations must be map-only against the broadcast model:
+    the assignment DataFrame's plan may contain only the initial
+    parallelism-restoring exchange, never a corpus shuffle per
+    iteration, and the model update must partial-aggregate before its
+    exchange (k rows cross the wire, not the corpus)."""
+    from datafusion_streams_spark.operators import clustering
+
+    qdf = clustering._quantized(spark, SF_DIR)
+    init = qdf.orderBy("vec_id").limit(clustering.K_CLUSTERS).collect()
+    cents = [[v / clustering.QSCALE for v in r["vq"]] for r in init]
+    assigned = clustering._assign(qdf, list(range(clustering.K_CLUSTERS)), cents)
+    plan = formatted_plan(assigned)
+    n_exchanges = plan.count("hashpartitioning(") + plan.count("rangepartitioning(")
+    assert n_exchanges == 1, f"assignment must not add shuffles:\n{plan}"
+    update_plan = formatted_plan(
+        assigned.groupBy("cluster").count()
+    )
+    assert "partial_count" in update_plan or "HashAggregate" in update_plan
+
+
+def test_contamination_probe_is_broadcast(spark):
+    """The benchmark n-gram set must broadcast; the corpus side must
+    not shuffle on gram values (a hot boilerplate gram would skew any
+    gram-keyed exchange)."""
+    df = REGISTRY["text_contamination"].fn(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    plan = formatted_plan(df)
+    # exactly one gram-keyed exchange is allowed: the BENCHMARK side's
+    # distinct (small by construction); the corpus side must reach the
+    # probe join without shuffling on gram values
+    import re
+
+    gram_exchanges = len(re.findall(r"hashpartitioning\(g#", plan))
+    assert gram_exchanges <= 1, f"corpus must not shuffle on grams:\n{plan}"
