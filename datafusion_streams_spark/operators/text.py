@@ -404,6 +404,82 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus-duplicated span statistics
+# ---------------------------------------------------------------------------
+
+SPAN_GRAM = 4
+
+_DUP_SPAN_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents
+),
+g AS (
+    SELECT doc_id,
+        unnest(CASE WHEN len(tk) >= {SPAN_GRAM}
+            THEN list_transform(range(1, len(tk) - {SPAN_GRAM} + 2),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])
+            ELSE [] END) AS g
+    FROM t
+),
+gdf AS (
+    SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM g GROUP BY g
+),
+totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+hits AS (
+    SELECT g.doc_id, COUNT(*) AS n_dup_grams
+    FROM g JOIN gdf ON g.g = gdf.g
+    WHERE gdf.df >= 2
+    GROUP BY g.doc_id
+)
+SELECT totals.doc_id,
+    CAST(n_grams AS BIGINT) AS n_grams,
+    CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+    CAST(coalesce(n_dup_grams, 0) AS DOUBLE) / n_grams AS dup_span_frac
+FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
+"""
+
+
+@query("text_dup_span_stats", oracle=_DUP_SPAN_ORACLE, tags=("text", "dedup", "spans"))
+def text_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplicated span statistics: for each document, how many of
+    its {SPAN_GRAM}-gram positions also occur in ANOTHER document — the
+    signal motivating substring-level dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), at
+    n-gram granularity.
+
+    Scale: one gram-keyed shuffle computes corpus document frequency
+    (two-level: distinct (gram, doc) first, so a boilerplate gram
+    arrives pre-collapsed), then the probe join re-shuffles grams once
+    more; per-doc counts reduce on doc_id. No driver-side state.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
+    t = docs.select("doc_id", tokens("text").alias("tk"))
+    g = t.select("doc_id", F.explode(_positional_grams(F.col("tk"), SPAN_GRAM)).alias("g"))
+    gdf = (
+        g.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+    totals = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        g.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+        (
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("double") / F.col("n_grams")
+        ).alias("dup_span_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus n-gram statistics
 # ---------------------------------------------------------------------------
 

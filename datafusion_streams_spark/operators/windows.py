@@ -126,6 +126,57 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RANGE frame: trailing time-interval moving aggregate
+# ---------------------------------------------------------------------------
+
+RANGE_FRAME_US = 3_600_000_000  # trailing 1 hour, in integer microseconds
+
+_RANGE_FRAME_ORACLE = f"""
+WITH e AS (
+    SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events
+)
+SELECT event_id, user_id, ts_us,
+    CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_1h
+FROM e
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts_us
+    RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@query("window_range_frame", oracle=_RANGE_FRAME_ORACLE, tags=("window", "analytic", "range", "events"))
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: for every event, the user's event count and
+    exact value sum over the TRAILING HOUR (value-based frame bounds —
+    peers by ordering value, unlike ROWS frames). The rate/velocity
+    feature a fraud or engagement pipeline computes per event.
+
+    Scale: one shuffle on user_id, per-partition sort, single-pass
+    sliding frame; the ordering key is integer microseconds on both
+    engines (``load_events_us`` / ``epoch_ns // 1000``) so frame
+    membership is exact, and the frame sum is decimal so it does not
+    depend on the engine's in-frame accumulation order.
+    """
+    from datafusion_streams_spark.catalog import load_events_us
+
+    ev = load_events_us(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-RANGE_FRAME_US, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_1h"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_trailing_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # ranking battery: rank / dense_rank / ntile
 # ---------------------------------------------------------------------------
 
