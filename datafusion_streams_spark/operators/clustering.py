@@ -33,7 +33,7 @@ execution.rs:34 scan feeding arbitrary DataFusion aggregates).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_streams_spark.functions import as_double_array
@@ -282,4 +282,245 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return assigned.groupBy("cluster").applyInPandas(
         score_cluster, "cluster long, a_id long, b_id long, cos_sim double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# product quantization ANN (PQ codebooks + asymmetric-distance scan)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = EMBED_DIM // PQ_M
+PQ_K = 16  # codes per subspace
+PQ_QUERY_MAX_ID = 10  # query set: vec_id < 10 (tiny by construction)
+PQ_TOPK = 5
+
+
+def _pq_train_and_encode(
+    qdf: DataFrame,
+) -> tuple[DataFrame, dict[int, list[int]], dict[int, list[list[float]]]]:
+    """One Lloyd update per subspace codebook (init: the PQ_K lowest
+    vec_ids' subvectors), then final code assignment.
+
+    Returns (codes DataFrame ``(vec_id, sub, code)``, per-subspace code
+    ids, per-subspace centroids). All model state is m×k×subdim floats —
+    driver/closure-sized at any corpus scale.
+    """
+    subs = qdf.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("vq", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+
+    init = qdf.orderBy("vec_id").limit(PQ_K).collect()
+    cids = {s: list(range(PQ_K)) for s in range(PQ_M)}
+    cents = {
+        s: [
+            [v / float(QSCALE) for v in r["vq"][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]]
+            for r in init
+        ]
+        for s in range(PQ_M)
+    }
+
+    def assign(sub_df, cids_in, cents_in):
+        cids_local = {s: list(v) for s, v in cids_in.items()}
+        cents_local = {s: [list(c) for c in v] for s, v in cents_in.items()}
+
+        def fn(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                sv = np.array(pdf["sv"].tolist(), dtype=np.float64) / float(QSCALE)
+                sub = pdf["sub"].to_numpy()
+                code = np.empty(len(pdf), dtype=np.int64)
+                for s in np.unique(sub):
+                    mask = sub == s
+                    cn = np.array(cents_local[int(s)], dtype=np.float64)
+                    x = sv[mask]
+                    acc = np.zeros((x.shape[0], cn.shape[0]), dtype=np.float64)
+                    for d in range(cn.shape[1]):
+                        diff = x[:, d, None] - cn[None, :, d]
+                        acc += diff * diff
+                    lab = np.argmin(acc, axis=1)
+                    code[mask] = np.array(cids_local[int(s)], dtype=np.int64)[lab]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "sub": pdf["sub"],
+                        "code": code,
+                        "sv": pdf["sv"],
+                    }
+                )
+
+        return sub_df.mapInPandas(fn, "vec_id long, sub int, code long, sv array<bigint>")
+
+    # one codebook update (exact integer sums per (sub, code))
+    a1 = assign(subs, cids, cents)
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.element_at("sv", d + 1)).alias(f"s{d}") for d in range(PQ_SUBDIM)
+    ]
+    rows = a1.groupBy("sub", "code").agg(*aggs).collect()
+    cids = {s: [] for s in range(PQ_M)}
+    cents = {s: [] for s in range(PQ_M)}
+    for r in sorted(rows, key=lambda r: (r["sub"], r["code"])):
+        cids[r["sub"]].append(int(r["code"]))
+        cents[r["sub"]].append(
+            [r[f"s{d}"] / (r["n"] * float(QSCALE)) for d in range(PQ_SUBDIM)]
+        )
+    codes = assign(subs, cids, cents).select("vec_id", "sub", "code")
+    return codes, cids, cents
+
+
+def _pq_oracle() -> str:
+    def dist8(vexpr: str, cexpr: str) -> str:
+        term = f"(CAST({vexpr}[i] AS DOUBLE)/{QSCALE}.0 - {cexpr}[i])"
+        return (
+            f"list_reduce(list_transform(range(1, {PQ_SUBDIM + 1}), "
+            f"i -> {term} * {term}), (a, b) -> a + b)"
+        )
+
+    cent_cols = ", ".join(
+        f"CAST(CAST(SUM(sv[{d + 1}]) AS BIGINT) AS DOUBLE) / (COUNT(*) * {QSCALE}.0)"
+        for d in range(PQ_SUBDIM)
+    )
+    per_sub = []
+    for s in range(PQ_M):
+        sl = f"list_slice(vq, {s * PQ_SUBDIM + 1}, {s * PQ_SUBDIM + PQ_SUBDIM})"
+        per_sub.append(
+            f"""sub{s} AS (SELECT vec_id, {sl} AS sv FROM q),
+c0_{s} AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+           list_transform(sv, v -> CAST(v AS DOUBLE)/{QSCALE}.0) AS c
+    FROM (SELECT * FROM sub{s} ORDER BY vec_id LIMIT {PQ_K})
+),
+a1_{s} AS (
+    SELECT vec_id, sv, code FROM (
+        SELECT sub{s}.vec_id, sub{s}.sv, c0_{s}.code,
+               {dist8(f'sub{s}.sv', f'c0_{s}.c')} AS dist,
+               row_number() OVER (
+                   PARTITION BY sub{s}.vec_id
+                   ORDER BY {dist8(f'sub{s}.sv', f'c0_{s}.c')}, c0_{s}.code
+               ) AS rn
+        FROM sub{s} CROSS JOIN c0_{s}
+    ) WHERE rn = 1
+),
+c1_{s} AS (SELECT code, list_value({cent_cols}) AS c FROM a1_{s} GROUP BY code),
+m_{s} AS (
+    SELECT vec_id, code FROM (
+        SELECT sub{s}.vec_id, c1_{s}.code,
+               row_number() OVER (
+                   PARTITION BY sub{s}.vec_id
+                   ORDER BY {dist8(f'sub{s}.sv', f'c1_{s}.c')}, c1_{s}.code
+               ) AS rn
+        FROM sub{s} CROSS JOIN c1_{s}
+    ) WHERE rn = 1
+),
+dtab_{s} AS (
+    SELECT qr.vec_id AS q_id, c1_{s}.code,
+           {dist8('qr.sv', f'c1_{s}.c')} AS d
+    FROM (SELECT vec_id, sv FROM sub{s} WHERE vec_id < {PQ_QUERY_MAX_ID}) qr
+    CROSS JOIN c1_{s}
+),
+score_{s} AS (
+    SELECT dtab_{s}.q_id, m_{s}.vec_id, dtab_{s}.d AS d{s}
+    FROM m_{s} JOIN dtab_{s} ON m_{s}.code = dtab_{s}.code
+)"""
+        )
+    joins = "score_0"
+    for s in range(1, PQ_M):
+        joins += (
+            f" JOIN score_{s} ON score_0.q_id = score_{s}.q_id"
+            f" AND score_0.vec_id = score_{s}.vec_id"
+        )
+    adc = "d0"
+    for s in range(1, PQ_M):
+        adc = f"({adc} + d{s})"
+    subs_sql = ",\n".join(per_sub)
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+        list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QSCALE}.0 + 0.5) AS BIGINT)) AS vq
+    FROM embeddings
+),
+{subs_sql},
+scored AS (
+    SELECT score_0.q_id, score_0.vec_id, {adc} AS adc_dist
+    FROM {joins}
+)
+SELECT q_id, vec_id AS neighbor_id, adc_dist,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rnk
+    FROM scored
+) WHERE rnk <= {PQ_TOPK}
+"""
+
+
+@query(
+    "ann_pq_adc",
+    oracle=_pq_oracle(),
+    tags=("similarity", "ann", "pq", "clustering"),
+)
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN (Jégou et al. 2011): per-subspace
+    codebooks (k=16 per 8-dim subspace, one Lloyd update, deterministic
+    init) compress each vector to 8 codes; queries scan via asymmetric
+    distance — a broadcast (query, sub, code)→distance table summed
+    left-to-right across subspaces — and take top-5 per query.
+
+    Scale: the corpus is touched by (a) map-only encode passes and (b)
+    the ADC scan, which probes a broadcast m×k table per row instead of
+    computing 64-dim distances; codes are 8 small ints per vector — the
+    memory-compression path that complements IVF (``ann_ivf_probe``).
+    Codebook training traffic is m×k rows to the driver, corpus-size
+    independent.
+    """
+    import pandas as pd
+
+    qdf = _quantized(spark, sf_dir).cache()
+    codes, cids, cents = _pq_train_and_encode(qdf)
+
+    # query subvectors (tiny by construction) -> exact ADC lookup table,
+    # computed with the same per-dimension fold as the oracle
+    q_rows = qdf.filter(F.col("vec_id") < PQ_QUERY_MAX_ID).collect()
+    dtab_rows = []
+    for r in q_rows:
+        for s in range(PQ_M):
+            qsv = [v / float(QSCALE) for v in r["vq"][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]]
+            for code, cent in zip(cids[s], cents[s]):
+                acc = 0.0
+                for i in range(PQ_SUBDIM):
+                    diff = qsv[i] - cent[i]
+                    acc += diff * diff
+                dtab_rows.append((int(r["vec_id"]), s, code, acc))
+    dtab = spark.createDataFrame(
+        pd.DataFrame(dtab_rows, columns=["q_id", "sub", "code", "d"]),
+        "q_id long, sub int, code long, d double",
+    )
+
+    per_q = codes.join(F.broadcast(dtab), ["sub", "code"]).groupBy(
+        "q_id", "vec_id"
+    ).pivot("sub", list(range(PQ_M))).agg(F.first("d"))
+    adc = F.col("0")
+    for s in range(1, PQ_M):
+        adc = adc + F.col(str(s))
+    scored = per_q.select("q_id", "vec_id", adc.alias("adc_dist"))
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "adc_dist", "rnk")
     )
