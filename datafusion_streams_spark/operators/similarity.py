@@ -847,3 +847,55 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# approximate-path evaluation: LSH recall against the exact pair set
+# ---------------------------------------------------------------------------
+
+_RECALL_ORACLE = f"""
+WITH {lsh_ctes()},
+exact AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.vn', 'b.vn')} >= {PAIR_THRESHOLD}
+),
+common AS (
+    SELECT l.a_id FROM lsh_pairs l JOIN exact e
+      ON l.a_id = e.a_id AND l.b_id = e.b_id
+)
+SELECT
+    CAST((SELECT COUNT(*) FROM exact) AS BIGINT)  AS n_exact,
+    CAST((SELECT COUNT(*) FROM lsh_pairs) AS BIGINT) AS n_lsh,
+    CAST((SELECT COUNT(*) FROM common) AS BIGINT) AS n_common,
+    CAST((SELECT COUNT(*) FROM common) AS DOUBLE)
+        / (SELECT COUNT(*) FROM exact) AS recall
+"""
+
+
+@query("similarity_recall_lsh", oracle=_RECALL_ORACLE, tags=("similarity", "lsh", "evaluation"))
+def similarity_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality evaluation of the approximate path: recall of the sign-
+    LSH pair set against the exact threshold pairs, plus the subset
+    invariant (every LSH pair must also be an exact pair, since buckets
+    only PROPOSE candidates and verification applies the exact fold —
+    so n_common == n_lsh by construction, and the oracle proves it).
+
+    This is the eval every approximate-dedup deployment runs before
+    trusting the fast path at scale: both sides are the already-
+    registered operators, composed; the exact side uses the block-
+    partitioned scorer (never the fenced quadratic baseline)."""
+    exact = similarity_pairs_vectorized(spark, sf_dir).select("a_id", "b_id")
+    lsh = _lsh_pairs_df(spark, sf_dir).select("a_id", "b_id")
+    common = lsh.join(exact, ["a_id", "b_id"])
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            (F.col("n_common").cast("double") / F.col("n_exact")).alias("recall"),
+        )
+    )

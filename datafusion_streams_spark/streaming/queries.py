@@ -278,3 +278,39 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name, _ = run_drain_to_memory(latest, output_mode="complete")
     return spark.table(name)
+
+
+_STREAM_TOPK_ORACLE = """
+SELECT user_id, n_events, total_value FROM (
+    SELECT user_id,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+) ORDER BY total_value DESC, user_id LIMIT 10
+"""
+
+
+@query(
+    "streaming_topk_users",
+    oracle=_STREAM_TOPK_ORACLE,
+    tags=("streaming", "topk", "agg"),
+)
+def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming global top-k: highest-value users maintained by a
+    streaming aggregation with a complete-mode sort+limit on every
+    trigger (the leaderboard shape; sorting a streaming relation is
+    legal only in complete mode, which this exercises).
+
+    State is one row per user (key cardinality), the sort sees only
+    the aggregated relation — never raw events — and the decimal value
+    sum keeps the ranking exact under any micro-batch split."""
+    ev = normalize_event_ts(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+    top = agg.orderBy(F.desc("total_value"), "user_id").limit(10)
+    name, _ = run_drain_to_memory(top, output_mode="complete")
+    return spark.table(name)
