@@ -51,6 +51,7 @@ HEADLINE = [
     "similarity_pairs_vectorized",
     "cluster_kmeans_embeddings",
     "dedup_semantic_clusters",
+    "ann_pq_adc",
     "text_quality_score",
     "text_fingerprint",
     "text_repetition_filter",

@@ -169,3 +169,93 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return payloads.mapInPandas(_frame_sample, schema)
+
+
+AUDIO_WIN = 64  # samples per analysis window
+AUDIO_HOP = 32  # hop between window starts
+
+
+def _audio_windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio-style windowed feature extraction: payload bytes as 16-bit
+    little-endian PCM, overlapping 64-sample windows every 32 samples,
+    per-window energy features. Sums are INTEGER (exact under any
+    order); rms is one double division + IEEE sqrt, so the oracle
+    reproduces it bit-for-bit. A real audio frontend (mel filterbanks,
+    VAD) replaces the feature body inside the same batch loop."""
+    import math
+
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "win_idx": [], "n_samples": [], "sum_abs": [], "rms": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            n2 = len(data) // 2
+            smp = np.frombuffer(data[: 2 * n2], dtype="<i2").astype(np.int64)
+            for start in range(0, n2, AUDIO_HOP):
+                w = smp[start : start + AUDIO_WIN]
+                sumsq = int((w * w).sum())
+                out["doc_id"].append(doc_id)
+                out["win_idx"].append(start // AUDIO_HOP)
+                out["n_samples"].append(len(w))
+                out["sum_abs"].append(int(np.abs(w).sum()))
+                out["rms"].append(math.sqrt(sumsq / len(w)))
+        yield pd.DataFrame(out)
+
+
+# int16 LE from two ASCII bytes: b0 + 256*b1, signed
+_SMP_SQL = (
+    "CASE WHEN ord(substr(text, 2*i, 1)) >= 128 "
+    "THEN ord(substr(text, 2*i-1, 1)) + 256*ord(substr(text, 2*i, 1)) - 65536 "
+    "ELSE ord(substr(text, 2*i-1, 1)) + 256*ord(substr(text, 2*i, 1)) END"
+)
+
+_AUDIO_ORACLE = f"""
+WITH p AS (
+    SELECT doc_id, text, octet_length(encode(text)) // 2 AS n_smp FROM documents
+),
+s AS (
+    SELECT doc_id,
+        list_transform(range(1, n_smp + 1), i -> {_SMP_SQL}) AS smp
+    FROM p
+),
+w AS (
+    SELECT doc_id, smp,
+        unnest(range(1, greatest(len(smp), 0) + 1, {AUDIO_HOP})) AS start
+    FROM s
+),
+win AS (
+    SELECT doc_id,
+        CAST((start - 1) // {AUDIO_HOP} AS BIGINT) AS win_idx,
+        list_slice(smp, start, start + {AUDIO_WIN} - 1) AS wv
+    FROM w
+)
+SELECT doc_id, win_idx,
+    CAST(len(wv) AS BIGINT) AS n_samples,
+    CAST(list_reduce(list_transform(wv, v -> abs(CAST(v AS BIGINT))), (a, b) -> a + b) AS BIGINT) AS sum_abs,
+    sqrt(CAST(list_reduce(list_transform(wv, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / len(wv)) AS rms
+FROM win
+"""
+
+
+@query("multimodal_audio_windows", oracle=_AUDIO_ORACLE, tags=("multimodal", "pandas-udf", "audio"))
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped windowed features over binary payloads: int16-LE
+    samples, overlapping 64-sample windows (hop 32), integer-exact
+    energy plus rms per window — the feature-extraction plumbing of an
+    audio ingest pipeline with the codec stubbed (see decode_image).
+
+    Scale: mapInPandas over Arrow batches, map-only, output ~n_samples/
+    hop rows per payload regardless of cluster size."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("win_idx", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("sum_abs", LongType()),
+            StructField("rms", DoubleType()),
+        ]
+    )
+    return payloads.mapInPandas(_audio_windows, schema)
