@@ -152,3 +152,29 @@ def test_components_lineage_truncated(spark):
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan, plan
     assert df.count() > 0
+
+
+@given(nparts=st.sampled_from([2, 7, 16]))
+@settings(max_examples=3, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmeans_model_partitioning_invariance(spark, nparts):
+    """The k-means model update must be EXACT under any partitioning:
+    integer-quantized per-dimension sums commute, so the fitted model —
+    and therefore every assignment — is identical however the corpus is
+    split. This is the property that makes the clustering reproducible
+    on a 1000-executor cluster."""
+    from datafusion_streams_spark.operators import clustering
+
+    spark.catalog.clearCache()
+    base = clustering._quantized(spark, SF_DIR_SMALL)
+    init = base.orderBy("vec_id").limit(clustering.K_CLUSTERS).collect()
+    cents = [[v / clustering.QSCALE for v in r["vq"]] for r in init]
+    cids = list(range(clustering.K_CLUSTERS))
+    reference = None
+    for parts in (4, nparts):
+        qdf = base.repartition(parts)
+        c2, m2 = clustering._update(clustering._assign(qdf, cids, cents))
+        model = (c2, [[x for x in row] for row in m2])
+        if reference is None:
+            reference = model
+        else:
+            assert model == reference, f"model drifted at {parts} partitions"
