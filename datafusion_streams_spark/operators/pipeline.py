@@ -157,3 +157,94 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(16)
     )
     return docs.filter(nibble < rate).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# curation v2: the round-2 operator suite composed end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _curation_v2_oracle() -> str:
+    from datafusion_streams_spark.operators.clustering import _semantic_oracle
+    from datafusion_streams_spark.operators.text import (
+        _CONTAMINATION_ORACLE,
+        _REPETITION_ORACLE,
+        CONTAM_MOD,
+    )
+
+    return rf"""
+WITH rep AS ({_REPETITION_ORACLE}),
+cont AS ({_CONTAMINATION_ORACLE}),
+sem AS ({_semantic_oracle()}),
+dupes AS (SELECT DISTINCT b_id AS doc_id FROM sem),
+base AS (
+    SELECT doc_id, lang,
+        CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents WHERE doc_id % {CONTAM_MOD} != 0
+)
+SELECT b.doc_id, b.lang, b.n_tokens
+FROM base b
+JOIN rep ON b.doc_id = rep.doc_id AND rep.keep
+LEFT JOIN cont ON b.doc_id = cont.doc_id
+LEFT JOIN dupes d ON b.doc_id = d.doc_id
+WHERE (cont.doc_id IS NULL OR NOT cont.contaminated)
+  AND d.doc_id IS NULL
+  AND b.n_tokens >= 30
+  AND (strpos('0123456789abcdef', substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1)) - 1)
+      < {_STRATified_CASE.replace('lang', 'b.lang')}
+"""
+
+
+@query(
+    "pipeline_curation_v2",
+    oracle=_curation_v2_oracle(),
+    tags=("pipeline", "dedup", "text", "clustering", "sampling"),
+)
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full round-2 curation recipe in one Catalyst DAG: repetition
+    filter (Gopher) -> benchmark decontamination -> semantic near-dedup
+    (SemDeDup keeps the lower doc_id of each within-cluster pair) ->
+    token floor -> per-language stratified downsampling.
+
+    Every stage is an independently-oracle-verified operator composed
+    without materialization; the oracle replays the identical five
+    stages, so the composition — not just the parts — is hash-checked.
+    """
+    from datafusion_streams_spark.operators.clustering import dedup_semantic_clusters
+    from datafusion_streams_spark.operators.text import (
+        CONTAM_MOD,
+        text_contamination,
+        text_repetition_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keep = text_repetition_filter(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    cont = (
+        text_contamination(spark, sf_dir)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    dupes = (
+        dedup_semantic_clusters(spark, sf_dir)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    base = docs.filter(F.col("doc_id") % CONTAM_MOD != 0).select(
+        "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    nibble = F.instr(
+        F.lit("0123456789abcdef"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    ) - 1
+    rate = (
+        F.when(F.col("lang") == "en", 4)
+        .when(F.col("lang").isin("de", "fr", "es"), 12)
+        .otherwise(16)
+    )
+    return (
+        base.join(keep, "doc_id", "left_semi")
+        .join(cont, "doc_id", "left_anti")
+        .join(dupes, "doc_id", "left_anti")
+        .filter(F.col("n_tokens") >= 30)
+        .filter(nibble < rate)
+        .select("doc_id", "lang", "n_tokens")
+    )
