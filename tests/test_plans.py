@@ -102,6 +102,10 @@ def test_kmeans_assignment_never_shuffles_corpus(spark):
     exchange (k rows cross the wire, not the corpus)."""
     from datafusion_streams_spark.operators import clustering
 
+    # the registered kmeans query caches its quantized relation; a cache
+    # hit here would splice the cached plan (incl. its exchange) into
+    # the formatted output and double-count
+    spark.catalog.clearCache()
     qdf = clustering._quantized(spark, SF_DIR)
     init = qdf.orderBy("vec_id").limit(clustering.K_CLUSTERS).collect()
     cents = [[v / clustering.QSCALE for v in r["vq"]] for r in init]
