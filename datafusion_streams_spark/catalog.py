@@ -49,17 +49,21 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def load_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts_us``: event time as INTEGER microseconds.
 
-    The numeric form of the same ns->us floor division `load_events`
-    applies — for operators that need an integer ordering key (RANGE
-    window frames, as-of arithmetic) with exact cross-engine parity
-    (DuckDB mirror: ``epoch_ns(ts) // 1000``).
+    Derived from ``load_events``'s normalized timestamp (single source
+    of truth for the ns->us narrowing) — for operators that need an
+    integer ordering key (RANGE window frames, as-of arithmetic) with
+    exact cross-engine parity (DuckDB mirror: ``epoch_ns(ts) // 1000``;
+    the UTC session makes the NTZ->instant cast exact).
     """
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts_us", F.expr("ts div 1000"))
-    else:  # pre-normalized fixture (non-nanos writer)
-        raw = raw.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
-    return raw.select("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

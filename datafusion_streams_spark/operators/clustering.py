@@ -44,6 +44,17 @@ K_CLUSTERS = 8
 KMEANS_ITERS = 2  # model updates; assignment runs ITERS+1 times
 QSCALE = 1_000_000
 
+# SemDeDup sizes k so expected cluster population stays bounded; the
+# within-cluster pairwise term is then (TARGET_CLUSTER_SIZE)^2 per task
+# regardless of corpus size. At the fixture base (500 vectors) this
+# resolves to exactly K_CLUSTERS, which the static oracle replays —
+# the same grow-with-n pattern as similarity.lsh_bits_per_band.
+TARGET_CLUSTER_SIZE = 64
+
+
+def kmeans_k(n_rows: int) -> int:
+    return max(K_CLUSTERS, n_rows // TARGET_CLUSTER_SIZE)
+
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vec_id + integer-quantized embedding (exact-sum domain)."""
@@ -172,14 +183,21 @@ FROM m3 JOIN sizes ON m3.cid = sizes.cid
 
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the Lloyd iterations; return ``(vec_id, cluster, vq)`` —
-    the Spark mirror of the oracle's ``m3``."""
+    the Spark mirror of the oracle's ``m3``. k grows with the corpus
+    (``kmeans_k``) so per-cluster population stays ~TARGET_CLUSTER_SIZE
+    at any scale; the cached quantized relation is unpersisted once the
+    model is fitted (the final assignment recomputes one map-only scan
+    instead of pinning executor storage for the session)."""
     qdf = _quantized(spark, sf_dir).cache()
-    init_rows = qdf.orderBy("vec_id").limit(K_CLUSTERS).collect()
-    cids = list(range(K_CLUSTERS))
+    k = kmeans_k(qdf.count())
+    init_rows = qdf.orderBy("vec_id").limit(k).collect()
+    cids = list(range(k))
     cents = [[v / float(QSCALE) for v in r["vq"]] for r in init_rows]
     for _ in range(KMEANS_ITERS):
         cids, cents = _update(_assign(qdf, cids, cents))
-    return _assign(qdf, cids, cents)
+    final = _assign(qdf, cids, cents)
+    qdf.unpersist()
+    return final
 
 
 @query(
@@ -188,9 +206,10 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("clustering", "kmeans", "iterative", "semantic-dedup"),
 )
 def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means (k=8, 2 Lloyd updates, deterministic lowest-vec_id init)
-    over the embedding corpus; returns each vector's final cluster and
-    the cluster population.
+    """K-means (k = max(8, n/64), 2 Lloyd updates, deterministic
+    lowest-vec_id init) over the embedding corpus; returns each
+    vector's final cluster and the cluster population. At the fixture
+    base k resolves to 8, which the static oracle replays.
 
     Iteration = map-only assignment against the broadcast model + one
     exact-integer reduce; the corpus itself never shuffles, so cost per
@@ -244,12 +263,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking structure, exact pairwise cosine INSIDE each cluster only,
     near-dup pairs above the threshold.
 
-    Scale: the quadratic term is per-cluster (k grows with the corpus
-    so cluster populations stay bounded), and each cluster scores in
-    one Arrow batch — numpy with dimension-sequential accumulation, so
-    every score is bit-identical to the oracle's fold. Complements
-    ``dedup_embedding_cosine`` (sign-LSH blocking): clustering recalls
-    neighbors whose random-hyperplane signatures disagree.
+    Scale: the quadratic term is per-cluster, and k grows with the
+    corpus (``kmeans_k``: n/64 above the fixture base) so each
+    applyInPandas task scores a ~64×64 tile however large the corpus —
+    numpy with dimension-sequential accumulation, bit-identical to the
+    oracle's fold. Complements ``dedup_embedding_cosine`` (sign-LSH
+    blocking): clustering recalls neighbors whose random-hyperplane
+    signatures disagree.
     """
     assigned = kmeans_assignments(spark, sf_dir)
 
@@ -496,6 +516,10 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query subvectors (tiny by construction) -> exact ADC lookup table,
     # computed with the same per-dimension fold as the oracle
     q_rows = qdf.filter(F.col("vec_id") < PQ_QUERY_MAX_ID).collect()
+    # model fitted + queries extracted: the cache served its purpose;
+    # the final encode pass recomputes one map-only scan instead of
+    # pinning the quantized corpus in executor storage
+    qdf.unpersist()
     dtab_rows = []
     for r in q_rows:
         for s in range(PQ_M):

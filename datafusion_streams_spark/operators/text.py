@@ -443,7 +443,7 @@ FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
 @query("text_dup_span_stats", oracle=_DUP_SPAN_ORACLE, tags=("text", "dedup", "spans"))
 def text_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-duplicated span statistics: for each document, how many of
-    its {SPAN_GRAM}-gram positions also occur in ANOTHER document — the
+    its 4-gram (SPAN_GRAM) positions also occur in ANOTHER document — the
     signal motivating substring-level dedup (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better"), at
     n-gram granularity.
@@ -666,8 +666,9 @@ FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
 @query("text_contamination", oracle=_CONTAMINATION_ORACLE, tags=("text", "contamination", "broadcast"))
 def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screen: flag training documents sharing
-    any {CONTAM_GRAM}-gram with a held-out benchmark split (the n-gram
-    overlap decontamination of Brown et al. 2020 §C / Dodge et al. 2021).
+    any 5-gram (CONTAM_GRAM) with a held-out benchmark split (the
+    n-gram overlap decontamination of Brown et al. 2020 §C / Dodge et
+    al. 2021).
 
     Scale: the benchmark n-gram set is small by construction and
     BROADCAST, so the corpus side never shuffles for the probe — one
