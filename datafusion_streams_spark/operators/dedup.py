@@ -503,3 +503,63 @@ def min_label_components(pairs: DataFrame, id_col: str) -> DataFrame:
     return cur.select(
         F.col("node").alias(id_col), F.col("label").alias("canonical_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster size distribution
+# ---------------------------------------------------------------------------
+
+
+def _component_stats_oracle() -> str:
+    return f"""
+WITH RECURSIVE {minhash_ctes()},
+edges AS (
+    SELECT a_id AS src, b_id AS dst FROM mh_pairs
+    UNION
+    SELECT b_id AS src, a_id AS dst FROM mh_pairs
+),
+reach(src, node) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+),
+labels AS (
+    SELECT src AS doc_id, CAST(LEAST(src, MIN(node)) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY src
+),
+comp AS (
+    SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM labels GROUP BY canonical_id
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size - 1) AS BIGINT) AS removable_docs
+FROM comp GROUP BY cluster_size
+"""
+
+
+@query(
+    "dedup_component_stats",
+    oracle=_component_stats_oracle(),
+    tags=("dedup", "graph", "agg"),
+)
+def dedup_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many near-dup clusters
+    exist at each size and how many documents dedup would remove
+    (cluster_size - 1 per cluster, keeping the canonical doc) — the
+    dedup-rate report every curation run publishes before committing a
+    deletion.
+
+    Composition of the verified components fixpoint + two tiny
+    aggregations over the (cluster-count-sized) label relation; the
+    corpus is touched only by the pair-finding stage.
+    """
+    p = minhash_pairs(spark, sf_dir).select("a_id", "b_id")
+    labels = min_label_components(p, id_col="doc_id")
+    comp = labels.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return comp.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("removable_docs"),
+    )
