@@ -260,11 +260,13 @@ SELECT a_id, b_id, jaccard FROM mh_pairs
 """
 
 
-def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(a_id, b_id, jaccard) — MinHash-LSH verified near-dup pairs.
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs, per-doc shingle arrays) — the MinHash-LSH
+    bucketing stage, before exact verification.
 
-    Shared by ``dedup_minhash_lsh`` and ``pipeline_curation`` (the
-    Spark mirror of ``minhash_ctes``'s ``mh_pairs``).
+    Shared by ``minhash_pairs`` (Jaccard-verified near-dups) and
+    ``dedup_containment`` (asymmetric containment over the same
+    candidates).
 
     MinHash (16 perms) -> banded LSH (8 bands x 2 rows) -> verified
     near-dup pairs at Jaccard >= 0.6.
@@ -332,6 +334,14 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
+    return cand, withsh
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a_id, b_id, jaccard) — MinHash-LSH verified near-dup pairs at
+    Jaccard >= 0.6; the Spark mirror of ``minhash_ctes``'s ``mh_pairs``,
+    shared by ``dedup_minhash_lsh`` and ``pipeline_curation``."""
+    cand, withsh = minhash_candidates(spark, sf_dir)
     return _verify_pairs(cand, withsh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
@@ -562,4 +572,60 @@ def dedup_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.groupBy("cluster_size").agg(
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum(F.col("cluster_size") - 1).cast("long").alias("removable_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment (doc-in-doc duplication)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def _containment_oracle() -> str:
+    expr = "inter.n_inter / least(sa.n_sh, sb.n_sh)"
+    return f"""
+WITH {minhash_ctes()}
+SELECT c.a_id, c.b_id, p.jaccard, {expr} AS containment
+FROM cand c
+JOIN inter ON c.a_id = inter.a_id AND c.b_id = inter.b_id
+JOIN pairs p ON c.a_id = p.a_id AND c.b_id = p.b_id
+JOIN sizes sa ON c.a_id = sa.doc_id
+JOIN sizes sb ON c.b_id = sb.doc_id
+WHERE {expr} >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_containment",
+    oracle=_containment_oracle(),
+    tags=("dedup", "lsh", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment over the LSH candidates:
+    |A∩B| / min(|A|, |B|) — flags a document whose shingles are (near-)
+    entirely inside another (quotation, concatenation, doc-in-doc
+    duplication), which symmetric Jaccard under-scores when the sizes
+    differ (Broder 1997's containment measure).
+
+    Scale: same bucketed candidate generation as ``dedup_minhash_lsh``
+    (sub-quadratic); the containment score joins candidates back to the
+    cached per-doc shingle arrays — per-candidate cost only.
+    """
+    cand, withsh = minhash_candidates(spark, sf_dir)
+    sh_a = withsh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sh_b = withsh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    containment = inter / F.least(F.size("sh_a"), F.size("sh_b"))
+    return (
+        cand.join(sh_a, "a_id")
+        .join(sh_b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (inter / union).alias("jaccard"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
