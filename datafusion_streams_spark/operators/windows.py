@@ -471,3 +471,68 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("bal_percent_rank"),
         F.cume_dist().over(w).alias("bal_cume_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# trailing-window anomaly score (z-score vs the user's last hour)
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = f"""
+WITH e AS (
+    SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events
+),
+m AS (
+    SELECT event_id, user_id, ts_us, value,
+        CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+        CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+    FROM e
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts_us
+        RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW
+    )
+)
+SELECT event_id, user_id, ts_us, value, n_trailing,
+    CASE WHEN (s2 / n_trailing - (s1 / n_trailing) * (s1 / n_trailing)) > 0
+         THEN (value - s1 / n_trailing)
+              / sqrt(s2 / n_trailing - (s1 / n_trailing) * (s1 / n_trailing))
+         ELSE 0.0 END AS zscore
+FROM m
+"""
+
+
+@query("events_anomaly_zscore", oracle=_ZSCORE_ORACLE, tags=("window", "analytic", "events", "anomaly"))
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event anomaly score: how unusual is this value against the
+    SAME user's trailing hour — (x - mean)/stddev over a RANGE frame,
+    the online-feature shape of a fraud/abuse pipeline.
+
+    Float parity engineering: both moments are decimal-exact window
+    sums (value is 2 dp, its decimal square 4 dp — exact in any
+    accumulation order), cast once to double; mean/variance/z then use
+    the identical arithmetic expression tree in both engines, and the
+    var > 0 guard takes the same branch because the doubles are
+    bit-identical. One shuffle on user_id, single-pass sliding frame.
+    """
+    from datafusion_streams_spark.catalog import load_events_us
+
+    ev = load_events_us(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-RANGE_FRAME_US, Window.currentRow)
+    )
+    vdec = dec("value")
+    s1 = F.sum(vdec).over(w).cast("double")
+    s2 = F.sum(vdec * vdec).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w).cast("long")
+    m = ev.select(
+        "event_id", "user_id", "ts_us", "value",
+        n.alias("n_trailing"), s1.alias("s1"), s2.alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_trailing")
+    var = F.col("s2") / F.col("n_trailing") - mean * mean
+    z = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return m.select(
+        "event_id", "user_id", "ts_us", "value", "n_trailing", z.alias("zscore")
+    )
