@@ -87,3 +87,25 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass, all requested grouping combinations."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_GROUPING_SETS)
+
+
+_SQL_WINDOW = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+    CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+    lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_orderkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+@query("sql_window_functions", oracle=_SQL_WINDOW, tags=("sql", "window"))
+def sql_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions through the SQL entry point — ranking, offset,
+    and a decimal-exact running frame in one statement the ANSI oracle
+    replays verbatim (int-returning functions cast to BIGINT on both
+    sides; the frame sum is decimal so partition order cannot drift)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_WINDOW)

@@ -759,3 +759,60 @@ def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "bigram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM quality proxy (perplexity-style filtering signal)
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_LP_ORACLE = r"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+    FROM documents
+),
+uni AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY term
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM uni),
+scored AS (
+    SELECT tok.doc_id,
+           round(-ln(CAST(uni.n AS DOUBLE) / tot.n_total), 6) AS nll
+    FROM tok JOIN uni ON tok.term = uni.term CROSS JOIN tot
+)
+SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    round(CAST(SUM(CAST(nll * 1000000 AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*), 6)
+        AS avg_neg_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("text_unigram_logprob", oracle=_UNIGRAM_LP_ORACLE, tags=("text", "quality", "lm"))
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy: each document's average per-token
+    negative log-probability under the corpus's own unigram
+    distribution — the cheap stand-in for the LM-perplexity filtering
+    of CCNet (Wenzek et al. 2020): gibberish and off-distribution text
+    scores high, fluent text low.
+
+    Float parity: ln() is rounded to 6 dp per token (libm last-ulp),
+    then per-doc summation runs over EXACT integers (nll * 1e6 is
+    integral after the rounding) so accumulation order cannot drift;
+    one final double division + round. Two shuffles (term counts,
+    doc_id reduce) + one broadcast of the unigram table.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    n_total = uni.agg(F.sum("n")).collect()[0][0]
+    nll = F.round(-F.log(F.col("n").cast("double") / F.lit(float(n_total))), 6)
+    scored = tok.join(F.broadcast(uni.select("term", nll.alias("nll"))), "term")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(
+            F.sum((F.col("nll") * 1000000).cast("long")).cast("double")
+            / 1000000
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_neg_logprob"),
+    )
