@@ -248,3 +248,41 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(nibble < rate)
         .select("doc_id", "lang", "n_tokens")
     )
+
+
+STRATUM_TOPK_N = 40
+
+_STRATUM_TOPK_ORACLE = f"""
+SELECT doc_id, lang, sample_key, rn FROM (
+    SELECT doc_id, lang,
+        md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+        CAST(row_number() OVER (
+            PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS BIGINT) AS rn
+    FROM documents
+) WHERE rn <= {STRATUM_TOPK_N}
+"""
+
+
+@query("sample_topk_per_stratum", oracle=_STRATUM_TOPK_ORACLE, tags=("sampling", "stratified", "topk"))
+def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count sample PER STRATUM: the first N documents of each
+    language by key digest — "give me exactly 40 docs per language",
+    the fixed-budget mixture constructor (rate-based stratified
+    sampling cannot hit exact per-stratum counts).
+
+    Scale: one shuffle on the stratum key + per-partition sort cut at
+    N by row_number; membership is a pure function of the key, so the
+    sample is reproducible at any cluster size and stable under
+    corpus appends that don't displace the digest order prefix.
+    """
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        docs.select("doc_id", "lang", key.alias("sample_key"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= STRATUM_TOPK_N)
+    )
