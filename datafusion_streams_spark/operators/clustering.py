@@ -46,13 +46,19 @@ QSCALE = 1_000_000
 
 # SemDeDup sizes k so expected cluster population stays bounded; the
 # within-cluster pairwise term is then (TARGET_CLUSTER_SIZE)^2 per task
-# regardless of corpus size. At the fixture base (500 vectors) this
-# resolves to exactly K_CLUSTERS, which the static oracle replays —
-# the same grow-with-n pattern as similarity.lsh_bits_per_band.
+# regardless of corpus size — the same grow-with-n pattern as
+# similarity.lsh_bits_per_band, and like it, k is held at K_CLUSTERS
+# for every corpus up to BASE_KMEANS_ROWS (>= the largest shipped
+# fixture, sf0.1's 2000 embeddings) so the static DuckDB oracles
+# (_kmeans_oracle, _semantic_oracle, pipeline_curation_v2's sem stage)
+# hold at all fixture scales; k grows only beyond the base.
 TARGET_CLUSTER_SIZE = 64
+BASE_KMEANS_ROWS = 5000  # largest fixture corpus (sf0.1 = 2000 vectors)
 
 
-def kmeans_k(n_rows: int) -> int:
+def kmeans_k(n_rows: int, base_rows: int = BASE_KMEANS_ROWS) -> int:
+    if n_rows <= base_rows:
+        return K_CLUSTERS
     return max(K_CLUSTERS, n_rows // TARGET_CLUSTER_SIZE)
 
 

@@ -213,6 +213,7 @@ _SMP_SQL = (
 _AUDIO_ORACLE = f"""
 WITH p AS (
     SELECT doc_id, text, octet_length(encode(text)) // 2 AS n_smp FROM documents
+    WHERE octet_length(encode(text)) = length(text)
 ),
 s AS (
     SELECT doc_id,
@@ -246,9 +247,16 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     audio ingest pipeline with the codec stubbed (see decode_image).
 
     Scale: mapInPandas over Arrow batches, map-only, output ~n_samples/
-    hop rows per payload regardless of cluster size."""
+    hop rows per payload regardless of cluster size.
+
+    The oracle reconstructs samples from per-CHARACTER code points, so
+    byte==char alignment is required; both sides make that explicit by
+    keeping only ASCII payloads (octet_length == char length) instead
+    of silently assuming the fixture is pure ASCII."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    payloads = docs.where(F.octet_length("text") == F.length("text")).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
     schema = StructType(
         [
             StructField("doc_id", LongType()),

@@ -781,7 +781,7 @@ scored AS (
 )
 SELECT doc_id,
     CAST(COUNT(*) AS BIGINT) AS n_tokens,
-    round(CAST(SUM(CAST(nll * 1000000 AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*), 6)
+    round(CAST(SUM(CAST(round(nll * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*), 6)
         AS avg_neg_logprob
 FROM scored GROUP BY doc_id
 """
@@ -796,9 +796,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores high, fluent text low.
 
     Float parity: ln() is rounded to 6 dp per token (libm last-ulp),
-    then per-doc summation runs over EXACT integers (nll * 1e6 is
-    integral after the rounding) so accumulation order cannot drift;
-    one final double division + round. Two shuffles (term counts,
+    then per-doc summation runs over EXACT integers. The scaling to
+    integers must itself round-to-nearest on BOTH sides: nll*1e6 in
+    float64 routinely lands at d-1e-9 (e.g. 8377433.999999999), and a
+    truncating cast would disagree between engines by one unit — so
+    both sides compute round(nll*1e6, 0) before the integer cast.
+    One final double division + round. Two shuffles (term counts,
     doc_id reduce) + one broadcast of the unigram table.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
@@ -810,7 +813,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(
-            F.sum((F.col("nll") * 1000000).cast("long")).cast("double")
+            F.sum(F.round(F.col("nll") * 1000000, 0).cast("long")).cast("double")
             / 1000000
             / F.count(F.lit(1)),
             6,
