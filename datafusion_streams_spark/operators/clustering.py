@@ -187,23 +187,39 @@ FROM m3 JOIN sizes ON m3.cid = sizes.cid
 """
 
 
+# Fitted-model memo: the Lloyd fit is deterministic in (corpus, n), so
+# consumers that compose the same clustering (cluster_kmeans_embeddings,
+# dedup_semantic_clusters, pipeline_curation_v2) share one fit per
+# session instead of re-running ITERS full corpus passes each. The memo
+# holds only the model (k×dim floats + k ids) — never a DataFrame.
+_KMEANS_MODEL_MEMO: dict[tuple[str, int], tuple[list[int], list[list[float]]]] = {}
+
+
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the Lloyd iterations; return ``(vec_id, cluster, vq)`` —
     the Spark mirror of the oracle's ``m3``. k grows with the corpus
     (``kmeans_k``) so per-cluster population stays ~TARGET_CLUSTER_SIZE
-    at any scale; the cached quantized relation is unpersisted once the
-    model is fitted (the final assignment recomputes one map-only scan
-    instead of pinning executor storage for the session)."""
-    qdf = _quantized(spark, sf_dir).cache()
-    k = kmeans_k(qdf.count())
-    init_rows = qdf.orderBy("vec_id").limit(k).collect()
-    cids = list(range(k))
-    cents = [[v / float(QSCALE) for v in r["vq"]] for r in init_rows]
-    for _ in range(KMEANS_ITERS):
-        cids, cents = _update(_assign(qdf, cids, cents))
-    final = _assign(qdf, cids, cents)
-    qdf.unpersist()
-    return final
+    beyond the fixture base; the cached quantized relation is
+    unpersisted once the model is fitted (the final assignment
+    recomputes one map-only scan instead of pinning executor storage
+    for the session). Fits are memoized per (sf_dir, n)."""
+    qdf = _quantized(spark, sf_dir)
+    n = qdf.count()
+    memo_key = (sf_dir, n)
+    model = _KMEANS_MODEL_MEMO.get(memo_key)
+    if model is None:
+        qdf = qdf.cache()
+        k = kmeans_k(n)
+        init_rows = qdf.orderBy("vec_id").limit(k).collect()
+        cids = list(range(k))
+        cents = [[v / float(QSCALE) for v in r["vq"]] for r in init_rows]
+        for _ in range(KMEANS_ITERS):
+            cids, cents = _update(_assign(qdf, cids, cents))
+        _KMEANS_MODEL_MEMO[memo_key] = (cids, cents)
+        qdf.unpersist()
+    else:
+        cids, cents = model
+    return _assign(qdf, cids, cents)
 
 
 @query(
@@ -322,15 +338,15 @@ PQ_QUERY_MAX_ID = 10  # query set: vec_id < 10 (tiny by construction)
 PQ_TOPK = 5
 
 
-def _pq_train_and_encode(
+def _pq_train(
     qdf: DataFrame,
-) -> tuple[DataFrame, dict[int, list[int]], dict[int, list[list[float]]]]:
+) -> tuple[dict[int, list[int]], dict[int, list[list[float]]]]:
     """One Lloyd update per subspace codebook (init: the PQ_K lowest
-    vec_ids' subvectors), then final code assignment.
+    vec_ids' subvectors).
 
-    Returns (codes DataFrame ``(vec_id, sub, code)``, per-subspace code
-    ids, per-subspace centroids). All model state is m×k×subdim floats —
-    driver/closure-sized at any corpus scale.
+    Returns (per-subspace code ids, per-subspace centroids). All model
+    state is m×k×subdim floats — driver/closure-sized at any corpus
+    scale; the only exchange is the codebook update reduce (m×k rows).
     """
     subs = qdf.select(
         "vec_id",
@@ -405,8 +421,7 @@ def _pq_train_and_encode(
         cents[r["sub"]].append(
             [r[f"s{d}"] / (r["n"] * float(QSCALE)) for d in range(PQ_SUBDIM)]
         )
-    codes = assign(subs, cids, cents).select("vec_id", "sub", "code")
-    return codes, cids, cents
+    return cids, cents
 
 
 def _pq_oracle() -> str:
@@ -504,50 +519,93 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization ANN (Jégou et al. 2011): per-subspace
     codebooks (k=16 per 8-dim subspace, one Lloyd update, deterministic
     init) compress each vector to 8 codes; queries scan via asymmetric
-    distance — a broadcast (query, sub, code)→distance table summed
-    left-to-right across subspaces — and take top-5 per query.
+    distance — a (query, sub, code)→distance table broadcast as a plain
+    closure dict, summed subspace-by-subspace — and take top-5 per query.
 
-    Scale: the corpus is touched by (a) map-only encode passes and (b)
-    the ADC scan, which probes a broadcast m×k table per row instead of
-    computing 64-dim distances; codes are 8 small ints per vector — the
-    memory-compression path that complements IVF (``ann_ivf_probe``).
-    Codebook training traffic is m×k rows to the driver, corpus-size
-    independent.
-    """
-    import pandas as pd
+    Scale: the ADC scan is MAP-ONLY (the round-2 plan shuffled one row
+    per (vector, query, subspace) through a join+pivot just to sum 8
+    distances — classic ADC never exchanges the corpus). One fused
+    mapInPandas pass encodes each vector AND probes the q×m×k lookup
+    table, emitting only each partition's top-k per query, so the sole
+    remaining corpus-shaped exchange is the final top-k window over
+    ~k·q rows per partition. Codebook training traffic stays m×k rows.
 
+    Float parity with the oracle: per-subspace distances are computed
+    once per (query, code) on the driver with the oracle's sequential
+    dimension fold, and the cross-subspace sum accumulates in subspace
+    order (elementwise numpy adds, s=0..m-1) — the same left fold as
+    the oracle's nested (((d0+d1)+d2)+...)."""
     qdf = _quantized(spark, sf_dir).cache()
-    codes, cids, cents = _pq_train_and_encode(qdf)
+    cids, cents = _pq_train(qdf)
 
     # query subvectors (tiny by construction) -> exact ADC lookup table,
     # computed with the same per-dimension fold as the oracle
     q_rows = qdf.filter(F.col("vec_id") < PQ_QUERY_MAX_ID).collect()
     # model fitted + queries extracted: the cache served its purpose;
-    # the final encode pass recomputes one map-only scan instead of
+    # the fused scan below recomputes one map-only pass instead of
     # pinning the quantized corpus in executor storage
     qdf.unpersist()
-    dtab_rows = []
+    # dense per-(query, sub) arrays indexed by code (codes < PQ_K)
+    dtab: dict[int, list[list[float]]] = {}
     for r in q_rows:
+        per_sub = []
         for s in range(PQ_M):
             qsv = [v / float(QSCALE) for v in r["vq"][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]]
+            dense = [float("inf")] * PQ_K
             for code, cent in zip(cids[s], cents[s]):
                 acc = 0.0
                 for i in range(PQ_SUBDIM):
                     diff = qsv[i] - cent[i]
                     acc += diff * diff
-                dtab_rows.append((int(r["vec_id"]), s, code, acc))
-    dtab = spark.createDataFrame(
-        pd.DataFrame(dtab_rows, columns=["q_id", "sub", "code", "d"]),
-        "q_id long, sub int, code long, d double",
-    )
+                dense[code] = acc
+            per_sub.append(dense)
+        dtab[int(r["vec_id"])] = per_sub
 
-    per_q = codes.join(F.broadcast(dtab), ["sub", "code"]).groupBy(
-        "q_id", "vec_id"
-    ).pivot("sub", list(range(PQ_M))).agg(F.first("d"))
-    adc = F.col("0")
-    for s in range(1, PQ_M):
-        adc = adc + F.col(str(s))
-    scored = per_q.select("q_id", "vec_id", adc.alias("adc_dist"))
+    cids_local = {s: list(v) for s, v in cids.items()}
+    cents_local = {s: [list(c) for c in v] for s, v in cents.items()}
+
+    def encode_and_scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids = sorted(dtab)
+        # (q, s, code) -> d as numpy for vectorized row lookup
+        dt = {
+            q: [np.array(dtab[q][s], dtype=np.float64) for s in range(PQ_M)]
+            for q in q_ids
+        }
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vq = np.array(pdf["vq"].tolist(), dtype=np.float64) / float(QSCALE)
+            vec_ids = pdf["vec_id"].to_numpy()
+            # encode: nearest centroid per subspace (sequential dim fold)
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
+            for s in range(PQ_M):
+                x = vq[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                cn = np.array(cents_local[s], dtype=np.float64)
+                acc = np.zeros((x.shape[0], cn.shape[0]), dtype=np.float64)
+                for d in range(PQ_SUBDIM):
+                    diff = x[:, d, None] - cn[None, :, d]
+                    acc += diff * diff
+                lab = np.argmin(acc, axis=1)
+                codes[:, s] = np.array(cids_local[s], dtype=np.int64)[lab]
+            # ADC: left fold over subspaces, then partial top-k per query
+            out = {"q_id": [], "vec_id": [], "adc_dist": []}
+            for q in q_ids:
+                adc = np.zeros(len(pdf), dtype=np.float64)
+                for s in range(PQ_M):
+                    adc = adc + dt[q][s][codes[:, s]]
+                # partition-local top-k (exact: top-k is distributive)
+                order = np.lexsort((vec_ids, adc))[:PQ_TOPK]
+                out["q_id"].extend([q] * len(order))
+                out["vec_id"].extend(vec_ids[order].tolist())
+                out["adc_dist"].extend(adc[order].tolist())
+            yield pd.DataFrame(out)
+
+    scored = qdf.mapInPandas(
+        encode_and_scan, "q_id long, vec_id long, adc_dist double"
+    )
     w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))

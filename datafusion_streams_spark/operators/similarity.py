@@ -563,6 +563,13 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (T x T) float64 score tile is T^2 * 8 bytes — 2048 -> 32 MiB, well
 # inside an executor task's working memory.
 _BLOCK_TARGET_ROWS = 2048
+# Below this many rows a block is too small to amortize its replication
+# cost (each row is shuffled B+1 times): the parallelism floor yields to
+# corpus size so small corpora don't over-tile (round-2 bench showed the
+# 32-core floor forcing ~66 tiles on a 2k-row corpus, doubling cold
+# time; a 3-rep sweep at sf0.1 picked 512 — 4 blocks / 10 tiles —
+# as the cold+warm optimum, 2.3 s cold vs 4.3 s in round 2).
+_MIN_BLOCK_ROWS = 512
 
 
 @query("similarity_pairs_vectorized", oracle=_PAIRS_ORACLE, tags=("similarity", "pandas-udf", "scale"))
@@ -594,15 +601,20 @@ def similarity_pairs_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # metadata-cheap row count -> number of blocks; B grows with the
-    # corpus so tile memory stays constant at any scale, with a floor
-    # that yields at least ~2 tiles per core so small corpora still
-    # use the whole cluster (tiles = B*(B+1)/2)
+    # corpus so tile memory stays constant at any scale. The parallelism
+    # floor (~2 tiles per core, tiles = B*(B+1)/2) applies only once the
+    # corpus is big enough that blocks stay >= _MIN_BLOCK_ROWS — tiny
+    # corpora take a handful of fat tiles instead of paying B+1x
+    # replication for parallelism they don't need.
     import math
 
     n_rows = raw.count()
     cores = spark.sparkContext.defaultParallelism
     b_min = math.ceil((math.sqrt(16 * cores + 1) - 1) / 2)
-    n_blocks = max(b_min, -(-n_rows // _BLOCK_TARGET_ROWS))
+    # parallelism floor, capped so blocks keep >= _MIN_BLOCK_ROWS rows;
+    # the memory ceiling ceil(n/_BLOCK_TARGET_ROWS) always wins at scale
+    b_floor = min(b_min, max(1, -(-n_rows // _MIN_BLOCK_ROWS)))
+    n_blocks = max(b_floor, -(-n_rows // _BLOCK_TARGET_ROWS))
 
     combos = spark.createDataFrame(
         [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)],
