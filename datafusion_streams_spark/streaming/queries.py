@@ -68,7 +68,7 @@ def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    name, _ = run_drain_to_memory(agg, output_mode="complete")
+    name, _ = run_drain_to_memory(agg, output_mode="complete", state_partitions=8)
     return spark.table(name)
 
 
@@ -106,7 +106,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    name, _ = run_drain_to_memory(agg, output_mode="complete")
+    name, _ = run_drain_to_memory(agg, output_mode="complete", state_partitions=8)
     return spark.table(name)
 
 
@@ -138,7 +138,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    name, _ = run_drain_to_memory(agg, output_mode="complete")
+    name, _ = run_drain_to_memory(agg, output_mode="complete", state_partitions=8)
     return spark.table(name)
 
 
@@ -202,7 +202,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_ts").alias("view_ts"),
         F.col("p_ts").alias("purchase_ts"),
     )
-    name, _ = run_drain_to_memory(joined, output_mode="append")
+    name, _ = run_drain_to_memory(joined, output_mode="append", state_partitions=8)
     return spark.table(name)
 
 
@@ -232,7 +232,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
     )
     dd = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
-    name, _ = run_drain_to_memory(dd, output_mode="append")
+    name, _ = run_drain_to_memory(dd, output_mode="append", state_partitions=8)
     return spark.table(name)
 
 
@@ -276,7 +276,7 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by(F.col("value"), ordkey).alias("last_value"),
         F.count(F.lit(1)).alias("n_changes"),
     )
-    name, _ = run_drain_to_memory(latest, output_mode="complete")
+    name, _ = run_drain_to_memory(latest, output_mode="complete", state_partitions=8)
     return spark.table(name)
 
 
@@ -312,5 +312,5 @@ def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("total_value"),
     )
     top = agg.orderBy(F.desc("total_value"), "user_id").limit(10)
-    name, _ = run_drain_to_memory(top, output_mode="complete")
+    name, _ = run_drain_to_memory(top, output_mode="complete", state_partitions=8)
     return spark.table(name)

@@ -158,3 +158,62 @@ def test_lsh_candidates_grow_subquadratically(spark):
     )
     growth = counts[8 * base] / max(counts[base], 1)
     assert growth < 20, f"candidate growth {growth:.1f}x at 8x vectors (quadratic = 64x)"
+
+
+def test_prefix_filter_candidates_grow_subquadratically(spark):
+    """AllPairs prefix filtering must keep exact-Jaccard candidate pairs
+    sub-quadratic on a boilerplate-heavy corpus — the workload where
+    all-shingle blocking degenerates: a shared header makes EVERY doc
+    pair a candidate (n^2/2), while prefix filtering only blocks on each
+    doc's rarest shingles, which boilerplate never enters. Synthetic
+    deterministic corpus; 4x docs must yield far fewer than 16x
+    candidates and stay a tiny fraction of the naive count."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from datafusion_streams_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _prefix_candidates,
+    )
+
+    boiler = "terms of service apply to all content on this site".split()
+
+    def shingle_df(n):
+        rng = np.random.RandomState(7)
+        vocab = [f"w{i}" for i in range(n * 4)]
+        rows = []
+        prev_words = None
+        for d in range(n):
+            words = boiler + [vocab[i] for i in rng.randint(0, len(vocab), 24)]
+            # every 10th doc is a near-duplicate of its predecessor (two
+            # words swapped) — the linear-in-n signal the filter must keep
+            if d % 10 == 9 and prev_words is not None:
+                words = list(prev_words)
+                words[12] = vocab[int(rng.randint(0, len(vocab)))]
+                words[20] = vocab[int(rng.randint(0, len(vocab)))]
+            prev_words = words
+            sh = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+            rows.extend((d, s) for s in sh)
+        return spark.createDataFrame(rows, "doc_id LONG, shingle STRING").repartition(8)
+
+    counts, naive = {}, {}
+    for n in (250, 1000):
+        sh = shingle_df(n).cache()
+        counts[n] = _prefix_candidates(sh, JACCARD_THRESHOLD).count()
+        a, b = sh.alias("a"), sh.alias("b")
+        naive[n] = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select("a.doc_id", "b.doc_id").distinct().count()
+        )
+        sh.unpersist()
+
+    # boilerplate makes naive blocking fully quadratic
+    assert naive[250] == 250 * 249 // 2
+    assert naive[1000] == 1000 * 999 // 2
+    # prefix filtering: tiny fraction of naive, sub-quadratic growth
+    assert counts[250] < 0.05 * naive[250], (counts, naive)
+    assert counts[1000] < 0.05 * naive[1000], (counts, naive)
+    growth = counts[1000] / max(counts[250], 1)
+    assert growth < 8, f"candidate growth {growth:.1f}x at 4x docs (quadratic = 16x)"
+    print("PREFIX_DATAPOINT", counts, naive)
