@@ -60,6 +60,12 @@ HEADLINE = [
     "pipeline_curation",
     "streaming_ref_pipeline",
     "streaming_tumbling_hour",
+    # round-3 additions
+    "ann_ivf_pq",
+    "text_gopher_rules",
+    "events_path_analysis",
+    "sample_weighted",
+    "streaming_static_join",
 ]
 
 

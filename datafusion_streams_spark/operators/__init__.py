@@ -92,6 +92,7 @@ def _populate() -> None:
         text,
         multimodal,
         pipeline,
+        files_io,
     )
     from datafusion_streams_spark.streaming import queries as streaming_queries  # noqa: F401
 

@@ -336,6 +336,8 @@ PQ_SUBDIM = EMBED_DIM // PQ_M
 PQ_K = 16  # codes per subspace
 PQ_QUERY_MAX_ID = 10  # query set: vec_id < 10 (tiny by construction)
 PQ_TOPK = 5
+IVFPQ_COARSE = 8  # coarse cells (deterministic init: lowest vec_ids)
+IVFPQ_PROBE = 2  # cells scanned per query (the recall/cost dial)
 
 
 def _pq_train(
@@ -424,11 +426,131 @@ def _pq_train(
     return cids, cents
 
 
-def _pq_oracle() -> str:
+def _pq_dtab(q_rows, cids, cents) -> dict[int, list[list[float]]]:
+    """Driver-side exact ADC lookup table: dense per-(query, sub) arrays
+    indexed by code (codes < PQ_K), each distance computed with the
+    oracle's sequential per-dimension fold."""
+    dtab: dict[int, list[list[float]]] = {}
+    for r in q_rows:
+        per_sub = []
+        for s in range(PQ_M):
+            qsv = [v / float(QSCALE) for v in r["vq"][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]]
+            dense = [float("inf")] * PQ_K
+            for code, cent in zip(cids[s], cents[s]):
+                acc = 0.0
+                for i in range(PQ_SUBDIM):
+                    diff = qsv[i] - cent[i]
+                    acc += diff * diff
+                dense[code] = acc
+            per_sub.append(dense)
+        dtab[int(r["vec_id"])] = per_sub
+    return dtab
+
+
+def _adc_scan(
+    qdf: DataFrame,
+    cids,
+    cents,
+    dtab: dict[int, list[list[float]]],
+    coarse: list[list[float]] | None = None,
+    probed: dict[int, frozenset[int]] | None = None,
+) -> DataFrame:
+    """Fused map-only ADC scan: one mapInPandas pass over the quantized
+    corpus encodes each vector against the broadcast PQ model, probes
+    the q×m×k closure-broadcast lookup table, and emits each
+    partition's top-k per query (exact — top-k is distributive).
+
+    With ``coarse``/``probed`` set, the same pass also assigns each
+    vector to its nearest coarse cell (full-dim sequential fold) and
+    scores a query only against vectors in that query's probed cells —
+    the IVF shortlist fused into the scan, still zero corpus exchange.
+    """
+    cids_local = {s: list(v) for s, v in cids.items()}
+    cents_local = {s: [list(c) for c in v] for s, v in cents.items()}
+    coarse_local = [list(c) for c in coarse] if coarse is not None else None
+    probed_local = {q: frozenset(v) for q, v in probed.items()} if probed else None
+
+    def encode_and_scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids = sorted(dtab)
+        # (q, s, code) -> d as numpy for vectorized row lookup
+        dt = {
+            q: [np.array(dtab[q][s], dtype=np.float64) for s in range(PQ_M)]
+            for q in q_ids
+        }
+        cn_coarse = (
+            np.array(coarse_local, dtype=np.float64) if coarse_local is not None else None
+        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vq = np.array(pdf["vq"].tolist(), dtype=np.float64) / float(QSCALE)
+            vec_ids = pdf["vec_id"].to_numpy()
+            # encode: nearest centroid per subspace (sequential dim fold)
+            codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
+            for s in range(PQ_M):
+                x = vq[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                cn = np.array(cents_local[s], dtype=np.float64)
+                acc = np.zeros((x.shape[0], cn.shape[0]), dtype=np.float64)
+                for d in range(PQ_SUBDIM):
+                    diff = x[:, d, None] - cn[None, :, d]
+                    acc += diff * diff
+                lab = np.argmin(acc, axis=1)
+                codes[:, s] = np.array(cids_local[s], dtype=np.int64)[lab]
+            cells = None
+            if cn_coarse is not None:
+                acc = np.zeros((len(pdf), cn_coarse.shape[0]), dtype=np.float64)
+                for d in range(cn_coarse.shape[1]):
+                    diff = vq[:, d, None] - cn_coarse[None, :, d]
+                    acc += diff * diff
+                cells = np.argmin(acc, axis=1)  # ties -> lowest cell id
+            # ADC: left fold over subspaces, then partial top-k per query
+            out = {"q_id": [], "vec_id": [], "adc_dist": []}
+            for q in q_ids:
+                if cells is not None:
+                    mask = np.isin(cells, list(probed_local[q]))
+                    if not mask.any():
+                        continue
+                    ids_q = vec_ids[mask]
+                    codes_q = codes[mask]
+                else:
+                    ids_q = vec_ids
+                    codes_q = codes
+                adc = np.zeros(len(ids_q), dtype=np.float64)
+                for s in range(PQ_M):
+                    adc = adc + dt[q][s][codes_q[:, s]]
+                order = np.lexsort((ids_q, adc))[:PQ_TOPK]
+                out["q_id"].extend([q] * len(order))
+                out["vec_id"].extend(ids_q[order].tolist())
+                out["adc_dist"].extend(adc[order].tolist())
+            yield pd.DataFrame(out)
+
+    return qdf.mapInPandas(encode_and_scan, "q_id long, vec_id long, adc_dist double")
+
+
+def _adc_rank(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= PQ_TOPK)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "adc_dist", "rnk")
+    )
+
+
+def _pq_oracle(with_ivf: bool = False) -> str:
     def dist8(vexpr: str, cexpr: str) -> str:
         term = f"(CAST({vexpr}[i] AS DOUBLE)/{QSCALE}.0 - {cexpr}[i])"
         return (
             f"list_reduce(list_transform(range(1, {PQ_SUBDIM + 1}), "
+            f"i -> {term} * {term}), (a, b) -> a + b)"
+        )
+
+    def dist_full(vexpr: str, cexpr: str) -> str:
+        term = f"(CAST({vexpr}[i] AS DOUBLE)/{QSCALE}.0 - {cexpr}[i])"
+        return (
+            f"list_reduce(list_transform(range(1, {EMBED_DIM + 1}), "
             f"i -> {term} * {term}), (a, b) -> a + b)"
         )
 
@@ -489,6 +611,40 @@ score_{s} AS (
     for s in range(1, PQ_M):
         adc = f"({adc} + d{s})"
     subs_sql = ",\n".join(per_sub)
+    ivf_ctes = ""
+    ivf_joins = ""
+    if with_ivf:
+        ivf_ctes = f""",
+coarse AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           list_transform(vq, v -> CAST(v AS DOUBLE)/{QSCALE}.0) AS c
+    FROM (SELECT * FROM q ORDER BY vec_id LIMIT {IVFPQ_COARSE})
+),
+cellmap AS (
+    SELECT vec_id, cell FROM (
+        SELECT q.vec_id, coarse.cell,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY {dist_full('q.vq', 'coarse.c')}, coarse.cell
+               ) AS rn
+        FROM q CROSS JOIN coarse
+    ) WHERE rn = 1
+),
+probe AS (
+    SELECT q_id, cell FROM (
+        SELECT qr.vec_id AS q_id, coarse.cell,
+               row_number() OVER (
+                   PARTITION BY qr.vec_id
+                   ORDER BY {dist_full('qr.vq', 'coarse.c')}, coarse.cell
+               ) AS rn
+        FROM (SELECT vec_id, vq FROM q WHERE vec_id < {PQ_QUERY_MAX_ID}) qr
+        CROSS JOIN coarse
+    ) WHERE rn <= {IVFPQ_PROBE}
+)"""
+        ivf_joins = (
+            " JOIN cellmap ON cellmap.vec_id = score_0.vec_id"
+            " JOIN probe ON probe.q_id = score_0.q_id AND probe.cell = cellmap.cell"
+        )
     return f"""
 WITH q AS (
     SELECT vec_id,
@@ -496,10 +652,10 @@ WITH q AS (
             x -> CAST(FLOOR(CAST(x AS DOUBLE) * {QSCALE}.0 + 0.5) AS BIGINT)) AS vq
     FROM embeddings
 ),
-{subs_sql},
+{subs_sql}{ivf_ctes},
 scored AS (
     SELECT score_0.q_id, score_0.vec_id, {adc} AS adc_dist
-    FROM {joins}
+    FROM {joins}{ivf_joins}
 )
 SELECT q_id, vec_id AS neighbor_id, adc_dist,
        CAST(rnk AS BIGINT) AS rnk
@@ -545,70 +701,54 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fused scan below recomputes one map-only pass instead of
     # pinning the quantized corpus in executor storage
     qdf.unpersist()
-    # dense per-(query, sub) arrays indexed by code (codes < PQ_K)
-    dtab: dict[int, list[list[float]]] = {}
+    dtab = _pq_dtab(q_rows, cids, cents)
+    return _adc_rank(_adc_scan(qdf, cids, cents, dtab))
+
+
+@query(
+    "ann_ivf_pq",
+    oracle=_pq_oracle(with_ivf=True),
+    tags=("similarity", "ann", "ivf", "pq", "clustering"),
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composite ANN — the FAISS IVFADC architecture (Jégou et
+    al. 2011 §III): a coarse quantizer partitions the corpus into
+    inverted cells; each query probes its nprobe nearest cells and
+    computes PQ asymmetric distances only inside them. Combines the
+    scan-pruning of ``ann_ivf_probe`` with the memory compression of
+    ``ann_pq_adc``.
+
+    Execution: the SAME fused map-only pass as ann_pq_adc — cell
+    assignment (full-dim fold vs the broadcast coarse table), PQ
+    encode, probed-cell masking, ADC, partition-local top-k — so the
+    shortlist costs zero extra exchanges. At 100 TB the corpus would be
+    written bucketed by cell, turning the mask into partition pruning
+    (only nprobe/n_cells of the data is ever read).
+
+    Float parity: coarse distances use the oracle's sequential
+    dimension fold on both the driver (probe selection) and executors
+    (cell assignment); ADC inherits ann_pq_adc's left-fold discipline.
+    """
+    qdf = _quantized(spark, sf_dir).cache()
+    cids, cents = _pq_train(qdf)
+    coarse_rows = qdf.orderBy("vec_id").limit(IVFPQ_COARSE).collect()
+    coarse = [[v / float(QSCALE) for v in r["vq"]] for r in coarse_rows]
+    q_rows = qdf.filter(F.col("vec_id") < PQ_QUERY_MAX_ID).collect()
+    qdf.unpersist()
+    dtab = _pq_dtab(q_rows, cids, cents)
+    # probe selection on the driver: queries are tiny; the fold order
+    # matches the oracle's list_reduce exactly
+    probed: dict[int, frozenset[int]] = {}
     for r in q_rows:
-        per_sub = []
-        for s in range(PQ_M):
-            qsv = [v / float(QSCALE) for v in r["vq"][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]]
-            dense = [float("inf")] * PQ_K
-            for code, cent in zip(cids[s], cents[s]):
-                acc = 0.0
-                for i in range(PQ_SUBDIM):
-                    diff = qsv[i] - cent[i]
-                    acc += diff * diff
-                dense[code] = acc
-            per_sub.append(dense)
-        dtab[int(r["vec_id"])] = per_sub
-
-    cids_local = {s: list(v) for s, v in cids.items()}
-    cents_local = {s: [list(c) for c in v] for s, v in cents.items()}
-
-    def encode_and_scan(batches):
-        import numpy as np
-        import pandas as pd
-
-        q_ids = sorted(dtab)
-        # (q, s, code) -> d as numpy for vectorized row lookup
-        dt = {
-            q: [np.array(dtab[q][s], dtype=np.float64) for s in range(PQ_M)]
-            for q in q_ids
-        }
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            vq = np.array(pdf["vq"].tolist(), dtype=np.float64) / float(QSCALE)
-            vec_ids = pdf["vec_id"].to_numpy()
-            # encode: nearest centroid per subspace (sequential dim fold)
-            codes = np.empty((len(pdf), PQ_M), dtype=np.int64)
-            for s in range(PQ_M):
-                x = vq[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
-                cn = np.array(cents_local[s], dtype=np.float64)
-                acc = np.zeros((x.shape[0], cn.shape[0]), dtype=np.float64)
-                for d in range(PQ_SUBDIM):
-                    diff = x[:, d, None] - cn[None, :, d]
-                    acc += diff * diff
-                lab = np.argmin(acc, axis=1)
-                codes[:, s] = np.array(cids_local[s], dtype=np.int64)[lab]
-            # ADC: left fold over subspaces, then partial top-k per query
-            out = {"q_id": [], "vec_id": [], "adc_dist": []}
-            for q in q_ids:
-                adc = np.zeros(len(pdf), dtype=np.float64)
-                for s in range(PQ_M):
-                    adc = adc + dt[q][s][codes[:, s]]
-                # partition-local top-k (exact: top-k is distributive)
-                order = np.lexsort((vec_ids, adc))[:PQ_TOPK]
-                out["q_id"].extend([q] * len(order))
-                out["vec_id"].extend(vec_ids[order].tolist())
-                out["adc_dist"].extend(adc[order].tolist())
-            yield pd.DataFrame(out)
-
-    scored = qdf.mapInPandas(
-        encode_and_scan, "q_id long, vec_id long, adc_dist double"
-    )
-    w = Window.partitionBy("q_id").orderBy("adc_dist", "vec_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= PQ_TOPK)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), "adc_dist", "rnk")
-    )
+        qv = [v / float(QSCALE) for v in r["vq"]]
+        dists = []
+        for cell, c in enumerate(coarse):
+            acc = 0.0
+            for i in range(EMBED_DIM):
+                diff = qv[i] - c[i]
+                acc += diff * diff
+            dists.append((acc, cell))
+        probed[int(r["vec_id"])] = frozenset(
+            cell for _, cell in sorted(dists)[:IVFPQ_PROBE]
+        )
+    return _adc_rank(_adc_scan(qdf, cids, cents, dtab, coarse=coarse, probed=probed))

@@ -1,0 +1,89 @@
+"""File source/sink roundtrips as registered, oracle-checked queries.
+
+The reference gates file formats behind feature flags it never
+exercises (`/root/reference/Cargo.toml:7` — avro/csv/json features of
+the datafusion dependency, no test touches them). Here each format is
+exercised end-to-end AS A QUERY: read the canonical parquet table,
+write it through the format under test, read it back with an explicit
+schema, and aggregate — the aggregate must hash-match the oracle
+computed from the original parquet, proving the sink+source pair loses
+nothing (quoting, date formatting, float text round-trip).
+
+Scale posture: format conversion is map-only (one task per file split,
+no shuffle); the verification aggregate's single exchange carries the
+group keys only. Temp dirs are per-call (safe to re-run in a session).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_streams_spark.functions import dsum
+from datafusion_streams_spark.operators import query
+
+# o_note is synthesized WITH embedded commas and double quotes to force
+# the CSV writer through its quoting/escaping path; o_orderdate
+# exercises date text round-trip; o_totalprice exercises float text
+# round-trip (Spark writes shortest-roundtrip decimal strings, so the
+# reparsed double is bit-identical).
+_ORDERS_COLS = "o_orderkey LONG, o_orderdate DATE, o_orderpriority STRING, o_totalprice DOUBLE, o_note STRING"
+
+_ROUNDTRIP_ORACLE = """
+SELECT
+    o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+    CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+    CAST(SUM(length(o_orderpriority || ', "' || o_orderstatus || '"')) AS BIGINT) AS note_chars,
+    CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS first_date,
+    CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS last_date
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def _verify_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+        dsum("o_totalprice").alias("sum_total"),
+        F.sum(F.length("o_note")).cast("long").alias("note_chars"),
+        F.min("o_orderdate").cast("string").alias("first_date"),
+        F.max("o_orderdate").cast("string").alias("last_date"),
+    )
+
+
+def _orders_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    note = F.concat(
+        F.col("o_orderpriority"), F.lit(', "'), F.col("o_orderstatus"), F.lit('"')
+    )
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice", note.alias("o_note")
+    )
+
+
+@query("files_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("source", "sink", "files", "csv"))
+def files_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet -> CSV sink -> CSV source (explicit schema, header,
+    default quoting) -> verification aggregate. Checks the full CSV
+    dialect path: comma-field quoting, date formatting, float text."""
+    out = tempfile.mkdtemp(prefix="dfs_csv_")
+    _orders_subset(spark, sf_dir).write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.schema(_ORDERS_COLS).option("header", "true").csv(out)
+    return _verify_agg(back)
+
+
+@query("files_json_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("source", "sink", "files", "json"))
+def files_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet -> JSON-lines sink -> JSON source (explicit schema) ->
+    verification aggregate. Checks string escaping, ISO date text, and
+    double round-trip through JSON number literals."""
+    out = tempfile.mkdtemp(prefix="dfs_json_")
+    _orders_subset(spark, sf_dir).write.mode("overwrite").json(out)
+    back = spark.read.schema(_ORDERS_COLS).json(out)
+    return _verify_agg(back)

@@ -286,3 +286,53 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= STRATUM_TOPK_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (round 3): Efraimidis-Spirakis exponential race
+# ---------------------------------------------------------------------------
+
+SAMPLE_WEIGHTED_K = 500
+_U_DENOM = float(1 << 48)
+
+_WEIGHTED_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+        round(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+                  / {_U_DENOM:.1f}), 6) / n_chars AS es_key
+    FROM documents
+    WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, es_key
+FROM keyed
+ORDER BY es_key, doc_id
+LIMIT {SAMPLE_WEIGHTED_K}
+"""
+
+
+@query("sample_weighted", oracle=_WEIGHTED_ORACLE, tags=("sampling", "topk", "weighted"))
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis
+    2006): each document draws a deterministic uniform u from its key
+    digest and races with exponential key -ln(u)/w (w = n_chars); the
+    k smallest keys win, giving inclusion probability proportional to
+    weight — the "sample long documents more" knob of a data mixer,
+    reproducible across engines, runs, and cluster sizes.
+
+    Float parity: u = (48-bit digest prefix + 1) / 2^48 is an exact
+    double; ln is the one transcendental, rounded to 6 dp per repo
+    discipline before the single IEEE division by the integer weight.
+    Scale: compiles to TakeOrderedAndProject — per-partition k-heaps,
+    one k-row merge, no global sort.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast("long")
+        + 1
+    ) / F.lit(_U_DENOM)
+    es_key = F.round(-F.log(u), 6) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", es_key.alias("es_key"))
+        .orderBy("es_key", "doc_id")
+        .limit(SAMPLE_WEIGHTED_K)
+    )

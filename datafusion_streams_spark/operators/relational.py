@@ -1014,3 +1014,108 @@ def scalar_array_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.array_sort(v), F.size(v)).alias("max_val"),
         F.when(F.exists(v, lambda x: x > 0.5), 1).otherwise(0).alias("has_big"),
     )
+
+
+# ---------------------------------------------------------------------------
+# full outer join (round 3): presence matrix across disjoint keyspaces
+# ---------------------------------------------------------------------------
+
+_FULL_OUTER_ORACLE = """
+WITH ev AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id
+),
+j AS (
+    SELECT
+        COALESCE(ev.user_id, c.c_custkey) AS entity_id,
+        ev.n_events,
+        c.c_acctbal
+    FROM ev FULL OUTER JOIN customer c ON ev.user_id = c.c_custkey
+)
+SELECT
+    (n_events IS NOT NULL) AS has_events,
+    (c_acctbal IS NOT NULL) AS has_customer,
+    CAST(COUNT(*) AS BIGINT) AS n_entities,
+    CAST(COALESCE(SUM(n_events), 0) AS BIGINT) AS total_events,
+    CAST(SUM(CAST(COALESCE(c_acctbal, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM j GROUP BY 1, 2
+"""
+
+
+@query("join_full_outer", oracle=_FULL_OUTER_ORACLE, tags=("join", "outer", "setop"))
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join across two only-partially-overlapping keyspaces
+    (event actors vs the customer dimension), rolled into a presence
+    matrix: entities with activity but no account, both, or account
+    only. The unmatched-side preservation is the semantics under test —
+    inner/left variants silently drop exactly the rows this keeps.
+
+    Scale: both sides pre-aggregate before the join (events collapse to
+    one row per user), so the full-outer shuffle carries keyspace-sized
+    inputs, not event-sized; the presence rollup is a 4-group reduce.
+    """
+    ev = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_acctbal")
+    j = ev.join(c, ev["user_id"] == c["c_custkey"], "full_outer")
+    return (
+        j.groupBy(
+            F.col("n_events").isNotNull().alias("has_events"),
+            F.col("c_acctbal").isNotNull().alias("has_customer"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.coalesce(F.sum("n_events"), F.lit(0)).cast("long").alias("total_events"),
+            dsum(F.coalesce(F.col("c_acctbal"), F.lit(0))).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# unpivot / melt (round 3): wide measures -> long (measure, value) rows
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+    SELECT
+        l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(COUNT(*) AS DOUBLE)                                    AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, value FROM (
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'n_rows' AS measure, n_rows AS value FROM wide
+)
+"""
+
+
+@query("agg_unpivot", oracle=_UNPIVOT_ORACLE, tags=("agg", "unpivot", "setop"))
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): a wide per-flag aggregate turned into long
+    (measure, value) rows — the inverse of ``agg_pivot`` and the shape
+    metric stores and chart layers consume. Uses the native DataFrame
+    ``unpivot`` (SQL ``stack``), which is a zero-shuffle projection:
+    the only exchange is the upstream aggregation's.
+
+    Measures are decimal-exact sums cast to double once, so the melted
+    doubles hash identically to the oracle's UNION ALL formulation.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "n_rows"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

@@ -911,3 +911,77 @@ def similarity_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_common").cast("double") / F.col("n_exact")).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (round 3): storage compression audit
+# ---------------------------------------------------------------------------
+
+INT8_LEVELS = 127.0
+
+_INT8_ORACLE = f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+m AS (
+    SELECT vec_id, v,
+        list_reduce(list_transform(v, x -> abs(x)), (a, b) -> greatest(a, b)) AS max_abs
+    FROM v
+),
+s AS (
+    SELECT vec_id, v, max_abs, {INT8_LEVELS} / max_abs AS scale
+    FROM m WHERE max_abs > 0
+)
+SELECT vec_id, max_abs,
+    CAST(len(list_filter(v, x -> abs(floor(x * scale + 0.5)) >= {INT8_LEVELS})) AS BIGINT)
+        AS n_saturated,
+    round(list_reduce(
+        list_transform(v, x -> (x - floor(x * scale + 0.5) / scale)
+                             * (x - floor(x * scale + 0.5) / scale)),
+        (a, b) -> a + b) / len(v), 6) AS mse
+FROM s
+"""
+
+
+@query("embedding_int8_quantize", oracle=_INT8_ORACLE, tags=("similarity", "quantization", "storage"))
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit: per-vector absmax scaling
+    (q = floor(x*127/max_abs + 0.5)), saturation count, and
+    reconstruction MSE — the decision table for shipping embeddings at
+    1/4 the bytes (the standard vector-store compression step; PQ in
+    ``ann_pq_adc`` is the aggressive follow-on).
+
+    Float parity: max is order-free, scale is one IEEE division,
+    quantize/reconstruct are single-op chains mirrored verbatim, and
+    the squared-error sum is a strict left fold on both engines
+    (F.aggregate <-> list_reduce); one final round(6) on the MSE.
+    Scale: map-only projection, no shuffle at all.
+    """
+    from datafusion_streams_spark.functions import as_double_array
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    m = e.select(
+        "vec_id",
+        "v",
+        F.aggregate(
+            F.transform("v", lambda x: F.abs(x)),
+            F.lit(0.0),
+            lambda a, b: F.greatest(a, b),
+        ).alias("max_abs"),
+    ).filter(F.col("max_abs") > 0)
+    s = m.withColumn("scale", F.lit(INT8_LEVELS) / F.col("max_abs"))
+    scale = F.col("scale")
+    quant = lambda x: F.floor(x * scale + F.lit(0.5))  # noqa: E731
+    err2 = lambda x: (x - quant(x) / scale) * (x - quant(x) / scale)  # noqa: E731
+    return s.select(
+        "vec_id",
+        "max_abs",
+        F.size(F.filter("v", lambda x: F.abs(quant(x)) >= INT8_LEVELS)).cast("long").alias("n_saturated"),
+        F.round(
+            F.aggregate(F.transform("v", err2), F.lit(0.0), lambda a, b: a + b) / F.size("v"),
+            6,
+        ).alias("mse"),
+    )

@@ -819,3 +819,112 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_neg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule battery (round 3)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 2.0
+GOPHER_MAX_MEAN_LEN = 12.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+_GOPHER_ORACLE = rf"""
+WITH base AS (
+    SELECT doc_id,
+        regexp_split_to_array(lower(text), '\s+') AS tk,
+        (length(text) - length(replace(text, '#', ''))) AS n_hash,
+        (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis
+    FROM documents
+),
+m AS (
+    SELECT doc_id, n_hash, n_ellipsis,
+        CAST(len(tk) AS BIGINT) AS n_words,
+        CAST(list_reduce(list_transform(tk, t -> length(t)), (a, b) -> a + b) AS BIGINT) AS word_chars,
+        CAST(len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+        {_marker_count_sql(STOPWORDS)} AS n_stop
+    FROM base
+)
+SELECT doc_id, n_words,
+    CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
+    (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS ok_word_count,
+    (CAST(word_chars AS DOUBLE) / n_words >= {GOPHER_MIN_MEAN_LEN}
+     AND CAST(word_chars AS DOUBLE) / n_words <= {GOPHER_MAX_MEAN_LEN}) AS ok_mean_len,
+    (CAST(n_hash + n_ellipsis AS DOUBLE) / n_words <= {GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbols,
+    (CAST(n_alpha_words AS DOUBLE) / n_words >= {GOPHER_MIN_ALPHA_FRAC}) AS ok_alpha,
+    (n_stop >= {GOPHER_MIN_STOPWORDS}) AS ok_stopwords,
+    (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+     AND CAST(word_chars AS DOUBLE) / n_words >= {GOPHER_MIN_MEAN_LEN}
+     AND CAST(word_chars AS DOUBLE) / n_words <= {GOPHER_MAX_MEAN_LEN}
+     AND CAST(n_hash + n_ellipsis AS DOUBLE) / n_words <= {GOPHER_MAX_SYMBOL_RATIO}
+     AND CAST(n_alpha_words AS DOUBLE) / n_words >= {GOPHER_MIN_ALPHA_FRAC}
+     AND n_stop >= {GOPHER_MIN_STOPWORDS}) AS gopher_pass
+FROM m
+"""
+
+
+@query("text_gopher_rules", oracle=_GOPHER_ORACLE, tags=("text", "quality", "filter"))
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality battery (Rae et al. 2021 §A1.1, as
+    adapted by Penedo et al. 2023 for RefinedWeb): per-document boolean
+    gates — word count bounds, mean word length bounds, symbol-to-word
+    ratio (# and ellipsis), alphabetic-word fraction, minimum stopword
+    hits — plus the conjunctive pass flag corpora are filtered on.
+
+    Float parity: every ratio is one integer-over-integer IEEE division
+    compared against a literal threshold — no accumulation, no
+    transcendentals — so boolean flags and doubles hash identically.
+    Scale: map-only projection; the filter fuses into any downstream
+    scan (predicate pushdown applies to gopher_pass = true consumers).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tk = tokens("text")
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    base = docs.select(
+        "doc_id",
+        tk.alias("tk"),
+        n_hash.cast("long").alias("n_hash"),
+        n_ellipsis.alias("n_ellipsis"),
+    )
+    m = base.select(
+        "doc_id",
+        "n_hash",
+        "n_ellipsis",
+        F.size("tk").cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(F.col("tk"), lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("word_chars"),
+        F.size(F.filter(F.col("tk"), lambda t: t.rlike("[a-z]"))).cast("long").alias("n_alpha_words"),
+        _marker_count(F.col("tk"), STOPWORDS).alias("n_stop"),
+    )
+    mean_len = F.col("word_chars").cast("double") / F.col("n_words")
+    ok_words = (F.col("n_words") >= GOPHER_MIN_WORDS) & (F.col("n_words") <= GOPHER_MAX_WORDS)
+    ok_mean = (mean_len >= GOPHER_MIN_MEAN_LEN) & (mean_len <= GOPHER_MAX_MEAN_LEN)
+    ok_sym = (
+        (F.col("n_hash") + F.col("n_ellipsis")).cast("double") / F.col("n_words")
+        <= GOPHER_MAX_SYMBOL_RATIO
+    )
+    ok_alpha = (
+        F.col("n_alpha_words").cast("double") / F.col("n_words") >= GOPHER_MIN_ALPHA_FRAC
+    )
+    ok_stop = F.col("n_stop") >= GOPHER_MIN_STOPWORDS
+    return m.select(
+        "doc_id",
+        "n_words",
+        mean_len.alias("mean_word_len"),
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop).alias("gopher_pass"),
+    )

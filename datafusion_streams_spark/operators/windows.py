@@ -536,3 +536,85 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_id", "user_id", "ts_us", "value", "n_trailing", z.alias("zscore")
     )
+
+
+# ---------------------------------------------------------------------------
+# path analysis (round 3): per-session ordered event-type journeys
+# ---------------------------------------------------------------------------
+
+_PATH_ORACLE = """
+WITH flagged AS (
+    SELECT
+        user_id, ts, event_id, event_type,
+        CASE
+            WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+            WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) + INTERVAL 30 MINUTE THEN 1
+            ELSE 0
+        END AS is_new
+    FROM events
+), numbered AS (
+    SELECT *,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+    FROM flagged
+), paths AS (
+    SELECT user_id, grp,
+        string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+    FROM numbered GROUP BY user_id, grp
+)
+SELECT path,
+    CAST(COUNT(*) AS BIGINT) AS n_sessions,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+"""
+
+
+@query("events_path_analysis", oracle=_PATH_ORACLE, tags=("events", "session", "window", "funnel"))
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: sessionize (30-minute gap), concatenate each
+    session's event types in time order into a journey string, count
+    sessions and distinct users per journey — the product-analytics
+    staple behind funnel discovery (which paths actually happen).
+
+    Determinism: events are ordered by (ts, event_id) inside every
+    session via sort_array over structs — a total order, so the path
+    string is unique; the oracle mirrors it with ordered string_agg.
+    Scale: one shuffle to sessionize per user, one to count paths;
+    session arrays are bounded by session length, never corpus-sized.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap = F.expr("INTERVAL 30 MINUTES")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(prev_ts.isNull() | (F.col("ts") >= prev_ts + gap), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.withColumn(
+        "grp",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    paths = numbered.groupBy("user_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            "->",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

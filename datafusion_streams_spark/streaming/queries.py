@@ -314,3 +314,47 @@ def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = agg.orderBy(F.desc("total_value"), "user_id").limit(10)
     name, _ = run_drain_to_memory(top, output_mode="complete", state_partitions=8)
     return spark.table(name)
+
+
+_STREAM_STATIC_ORACLE = """
+SELECT
+    e.event_type,
+    c.c_mktsegment,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY e.event_type, c.c_mktsegment
+"""
+
+
+@query(
+    "streaming_static_join",
+    oracle=_STREAM_STATIC_ORACLE,
+    tags=("streaming", "join", "broadcast", "enrichment"),
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined per micro-batch
+    against a static broadcast dimension (customer), then aggregated —
+    the canonical "enrich the firehose with reference data" pattern.
+
+    Unlike a stream-stream join this keeps NO join state: the static
+    side is re-planned (and stays broadcast) each micro-batch, so a
+    dimension update between triggers is picked up automatically.
+    The aggregation state is keyspace-sized (event_type x segment).
+    Output mode complete re-emits the running totals each trigger;
+    after AvailableNow drains the bounded replay it equals the batch
+    join exactly (prefix consistency).
+    """
+    ev = normalize_event_ts(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
+    )
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+    )
+    joined = ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
+    agg = joined.groupBy("event_type", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value")
+    )
+    name, _ = run_drain_to_memory(agg, output_mode="complete", state_partitions=8)
+    return spark.table(name)
