@@ -53,3 +53,35 @@ def ref_kafka_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_s,
         F.length(F.col("value").cast("string")).cast("long").alias("len_value"),
     )
+
+
+@query(
+    "ref_kafka_datasource_pipeline",
+    oracle=_REF_PIPELINE_ORACLE,
+    tags=("reference", "source", "datasource"),
+)
+def ref_kafka_datasource_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline driven through a PLUGGABLE source: the
+    Spark-4 Python DataSource (`sources/pydatasource.py`) is this
+    engine's literal analogue of the reference registering
+    ``KafkaExecutionPlan`` into DataFusion
+    (`/root/reference/src/kafka/execution.rs:31`, used at
+    `tests/basic_tests.rs:47-51`) — a custom scan node with the fixed
+    binary schema, per-partition tasks, and micro-batch planning hooks,
+    plugged into the engine's planner rather than bolted on beside it.
+    Downstream is the identical cast -> length projection, so the same
+    oracle verifies the custom source produces byte-identical data to
+    the built-in path (``ref_kafka_pipeline``)."""
+    from datafusion_streams_spark.sources.pydatasource import register_kafka_emu
+
+    register_kafka_emu(spark)
+    msgs = (
+        spark.read.format("kafka_emu")
+        .option("path", f"{sf_dir}/events.parquet")
+        .load()
+    )
+    return msgs.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.length(F.col("value").cast("string")).cast("long").alias("len_value"),
+    )
