@@ -1119,3 +1119,20 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@query("agg_approx_percentile", oracle=None, tags=("agg", "approx", "scale"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (Greenwald-Khanna with relative error
+    1e-4) — the fixed-memory companion to ``agg_percentiles``' exact
+    formulation, which must sort the full column per group. At 100 TB
+    the sketch mergeable-summary shape is the only viable one.
+    Approximate by design, so no value oracle; accuracy is bounded
+    against the exact interpolated percentile in
+    tests/test_oracle_parity.py (same pattern as agg_approx_distinct).
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("ap50_price"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("ap90_price"),
+    )

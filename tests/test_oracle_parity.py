@@ -114,3 +114,24 @@ def test_vectorized_ann_matches_bruteforce(spark):
         for r in REGISTRY["ann_topk_vectorized"].fn(spark, SF_DIR).collect()
     }
     assert brute == fast
+
+
+def test_approx_percentile_accuracy(spark, duck):
+    """GK-sketch percentiles within 1% relative of the exact
+    interpolated quantiles per group."""
+    approx = {
+        r["l_returnflag"]: (r["ap50_price"], r["ap90_price"])
+        for r in REGISTRY["agg_approx_percentile"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        k: (p50, p90)
+        for k, p50, p90 in duck.execute(
+            "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5), "
+            "quantile_cont(l_extendedprice, 0.9) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    assert set(approx) == set(exact)
+    for k, (e50, e90) in exact.items():
+        a50, a90 = approx[k]
+        assert abs(a50 - e50) <= 0.01 * e50, (k, a50, e50)
+        assert abs(a90 - e90) <= 0.01 * e90, (k, a90, e90)
