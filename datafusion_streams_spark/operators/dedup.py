@@ -629,3 +629,58 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-source overlap matrix (round 3)
+# ---------------------------------------------------------------------------
+
+_CROSS_SOURCE_ORACLE = r"""
+WITH toks AS (
+    SELECT source, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents
+),
+sh AS (
+    SELECT DISTINCT source,
+        unnest(CASE WHEN len(tk) >= 3
+               THEN list_transform(range(1, len(tk) - 2 + 1),
+                                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+               ELSE [array_to_string(tk, ' ')] END) AS shingle
+    FROM toks
+)
+SELECT a.source AS src_lo, b.source AS src_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+@query("dedup_source_overlap", oracle=_CROSS_SOURCE_ORACLE, tags=("dedup", "agg", "provenance"))
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap matrix: for every pair of sources, how many
+    distinct 3-word shingles appear in both — the provenance report
+    that surfaces mirrored feeds and shared boilerplate BEFORE any
+    per-document dedup runs (a source pair with outsized overlap is a
+    mirror candidate; its documents route to the near-dup pipeline).
+
+    Scale: distinct (source, shingle) collapses the corpus to the
+    shingle vocabulary per source (bounded by vocabulary, not corpus);
+    the self-join keys on the shingle and the output is bounded by
+    sources^2 cells. Same shingle definition as ``dedup_ngram_jaccard``
+    (word_shingles k=3), so the report composes with the dedup suite.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
+    sh = docs.select(
+        "source", F.explode(word_shingles("text", 3)).alias("shingle")
+    ).distinct()
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_lo"), F.col("b.source").alias("src_hi")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
+    )

@@ -928,3 +928,61 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop).alias("gopher_pass"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixture report (round 3)
+# ---------------------------------------------------------------------------
+
+_MIX_ORACLE = r"""
+WITH per_doc AS (
+    SELECT lang, source,
+        CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM per_doc)
+SELECT lang, source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+    round(CAST(SUM(n_tokens) AS DOUBLE) / (SELECT corpus_tokens FROM tot), 6)
+        AS token_share
+FROM per_doc GROUP BY lang, source
+"""
+
+
+@query("text_domain_mix", oracle=_MIX_ORACLE, tags=("text", "mixture", "agg"))
+def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture report: docs / tokens / chars and corpus token share
+    per (language, source) cell — the table a mixture sampler consumes
+    to rebalance training data (the decision input for
+    ``sample_stratified`` / ``sample_topk_per_stratum``).
+
+    Float parity: shares are one integer/integer IEEE division rounded
+    to 6 dp; token totals are exact integers. Scale: one shuffle on the
+    (lang, source) keyspace; the corpus-total is a broadcast scalar.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = docs.select(
+        "lang",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    cells = per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    corpus_tokens = per_doc.agg(F.sum("n_tokens")).collect()[0][0]
+    return cells.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        F.round(
+            F.col("total_tokens").cast("double") / F.lit(float(corpus_tokens)), 6
+        ).alias("token_share"),
+    )

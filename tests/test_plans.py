@@ -133,3 +133,27 @@ def test_contamination_probe_is_broadcast(spark):
 
     gram_exchanges = len(re.findall(r"hashpartitioning\(g#", plan))
     assert gram_exchanges <= 1, f"corpus must not shuffle on grams:\n{plan}"
+
+
+def test_round3_plan_shapes(spark):
+    """Plan-shape contracts for the round-3 operators: the properties
+    that make them scale are visible in the physical plan and must not
+    regress silently."""
+    spark.catalog.clearCache()
+    # weighted sampling: per-partition heaps + k-row merge, no global sort
+    plan = formatted_plan(REGISTRY["sample_weighted"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+    # int8 quantization audit: map-only, zero exchanges
+    plan = formatted_plan(REGISTRY["embedding_int8_quantize"].fn(spark, SF_DIR))
+    assert "hashpartitioning(" not in plan and "rangepartitioning(" not in plan, plan
+
+    # gopher rules: map-only projection (filters fuse downstream)
+    plan = formatted_plan(REGISTRY["text_gopher_rules"].fn(spark, SF_DIR))
+    assert "hashpartitioning(" not in plan, plan
+
+    # PQ ADC: the fused scan leaves only the final top-k window exchange
+    spark.catalog.clearCache()
+    plan = formatted_plan(REGISTRY["ann_pq_adc"].fn(spark, SF_DIR))
+    n_exchanges = plan.count("hashpartitioning(") + plan.count("rangepartitioning(")
+    assert n_exchanges <= 2, f"ADC scan must stay map-only:\n{plan}"
