@@ -1136,3 +1136,57 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("ap50_price"),
         F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("ap90_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy entity matching (round 3): edit-distance join on the vocabulary
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 2
+
+_FUZZY_ORACLE = f"""
+WITH names AS (
+    SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b
+  ON a.p_name < b.p_name
+ AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+"""
+
+
+@query("join_fuzzy_match", oracle=_FUZZY_ORACLE, tags=("join", "fuzzy", "entity-resolution"))
+def join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: name pairs within Levenshtein distance 2,
+    with each name's corpus support — the typo/variant detector of an
+    entity-resolution pass (both engines implement the identical DP
+    edit distance, so the integer result is exactly comparable).
+
+    Scale: the quadratic term runs on the DISTINCT VOCABULARY, never
+    the corpus — names collapse to (name, n_parts) first (one shuffle
+    on the name keyspace), and the vocabulary side is broadcast for the
+    theta join. A 100 TB parts table with a bounded name vocabulary
+    costs the same pair scan as this fixture; corpus rows rejoin by
+    exact key afterwards if row-level output is needed.
+    """
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    names = p.groupBy("p_name").agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    a = names.select(F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b"))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("name_a") < F.col("name_b"))
+            & (F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST),
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+            "n_parts_a",
+            "n_parts_b",
+        )
+    )
