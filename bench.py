@@ -66,6 +66,9 @@ HEADLINE = [
     "events_path_analysis",
     "sample_weighted",
     "streaming_static_join",
+    "text_domain_mix",
+    "dedup_source_overlap",
+    "join_fuzzy_match",
 ]
 
 

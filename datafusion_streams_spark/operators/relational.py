@@ -1190,3 +1190,36 @@ def join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_parts_b",
         )
     )
+
+
+_BITWISE_ORACLE = """
+SELECT
+    p_partkey,
+    CAST(p_size & 15 AS BIGINT)            AS size_and,
+    CAST(p_size | 64 AS BIGINT)            AS size_or,
+    CAST(xor(p_size, 255) AS BIGINT)       AS size_xor,
+    CAST(p_size << 2 AS BIGINT)            AS size_shl,
+    CAST(p_size >> 1 AS BIGINT)            AS size_shr,
+    CAST(~p_size AS BIGINT)                AS size_not,
+    CAST(bit_count(CAST(p_size AS BIGINT)) AS BIGINT) AS size_popcount
+FROM part
+"""
+
+
+@query("scalar_bitwise_pack", oracle=_BITWISE_ORACLE, tags=("scalar", "bitwise"))
+def scalar_bitwise_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise-operator battery (and/or/xor/shifts/not/popcount) —
+    exact integer semantics on both engines, the toolkit behind flag
+    columns, bitmap indexes, and hash bucketing."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    size = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        size.bitwiseAND(15).cast("long").alias("size_and"),
+        size.bitwiseOR(64).cast("long").alias("size_or"),
+        size.bitwiseXOR(255).cast("long").alias("size_xor"),
+        F.shiftleft(size, 2).cast("long").alias("size_shl"),
+        F.shiftright(size, 1).cast("long").alias("size_shr"),
+        F.bitwise_not(size).cast("long").alias("size_not"),
+        F.bit_count(size.cast("long")).cast("long").alias("size_popcount"),
+    )

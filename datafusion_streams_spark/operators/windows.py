@@ -618,3 +618,55 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# active-user analytics (round 3): DAU + trailing-7-day distinct (WAU)
+# ---------------------------------------------------------------------------
+
+_ACTIVE_USERS_ORACLE = """
+WITH daily AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+days AS (SELECT DISTINCT day FROM daily)
+SELECT
+    CAST(d.day AS VARCHAR) AS day,
+    CAST((SELECT COUNT(*) FROM daily x WHERE x.day = d.day) AS BIGINT) AS dau,
+    CAST((SELECT COUNT(DISTINCT user_id) FROM daily x
+          WHERE x.day > d.day - 7 AND x.day <= d.day) AS BIGINT) AS wau_trailing_7d
+FROM days d
+"""
+
+
+@query("events_active_users", oracle=_ACTIVE_USERS_ORACLE, tags=("events", "agg", "window", "cohort"))
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day WAU per day — the engagement dashboard
+    primitive. Trailing DISTINCT cannot ride a window frame (distinct
+    aggregation isn't frameable), so WAU joins each day against the
+    7-day slice of the (day, user) relation and counts distinct —
+    exact, and bounded by days x daily-actives, not by raw events.
+
+    Scale: events collapse to distinct (day, user) first (one shuffle);
+    the day-range join replicates that small relation at most 7x; days
+    themselves broadcast. Output day is a string (DATE outputs diverge
+    between engines' hashers — repo discipline)."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    dau = daily.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    d = days.select(F.col("day").alias("anchor_day"))
+    trailing = (
+        daily.join(
+            F.broadcast(d),
+            (F.col("day") > F.date_sub(F.col("anchor_day"), 7))
+            & (F.col("day") <= F.col("anchor_day")),
+        )
+        .groupBy("anchor_day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau_trailing_7d"))
+    )
+    return (
+        dau.join(trailing, dau["day"] == trailing["anchor_day"])
+        .select(F.col("day").cast("string").alias("day"), "dau", "wau_trailing_7d")
+    )
