@@ -24,6 +24,10 @@ Two entry points:
 
 from __future__ import annotations
 
+import glob as _glob
+
+import pyarrow as pa
+import pyarrow.parquet as _pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -32,11 +36,51 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
-# ts declared long: the fixture parquet stores TIMESTAMP(NANOS), which
-# Spark reads as raw nanos (spark.sql.legacy.parquet.nanosAsLong);
-# normalize_event_ts converts to a microsecond TIMESTAMP_NTZ.
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """True iff the events fixture stores ``ts`` as TIMESTAMP(NANOS) (or a
+    raw int64), which Spark reads as a bare long under
+    ``spark.sql.legacy.parquet.nanosAsLong``. TIMESTAMP(MICROS/MILLIS)
+    is read natively as TIMESTAMP_NTZ and must NOT be divided.
+
+    One parquet-footer read per call, driver-side at plan time — cheap,
+    and the only robust way to know what Spark's explicit-schema
+    streaming read will actually yield (the file stream source cannot
+    infer, and a wrong declared type silently reinterprets the column;
+    a micros fixture read as long then divided lands in 1970).
+    """
+    paths = sorted(_glob.glob(f"{sf_dir}/events*.parquet"))
+    if not paths:
+        raise FileNotFoundError(f"no events*.parquet under {sf_dir}")
+    t = _pq.read_schema(paths[0]).field("ts").type
+    if pa.types.is_timestamp(t):
+        return t.unit == "ns"
+    return True  # raw int64: historical nanos-as-long fixtures
+
+
+def events_raw_schema(sf_dir: str) -> StructType:
+    """Explicit schema for a streaming read of the events fixture,
+    matching the parquet footer's actual physical type for ``ts``
+    (long for NANOS fixtures, TIMESTAMP_NTZ for MICROS)."""
+    ts_type = LongType() if _events_ts_is_nanos(sf_dir) else TimestampNTZType()
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# Back-compat alias: the nanos-as-long shape. Streaming readers should
+# use events_stream()/events_raw_schema(sf_dir) instead, which probe the
+# fixture's real physical type.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -50,9 +94,28 @@ EVENTS_RAW_SCHEMA = StructType(
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """ns-long -> microsecond TIMESTAMP_NTZ (integer floor division,
-    matching DuckDB's nanos->micros narrowing)."""
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    """Normalize ``ts`` to microsecond TIMESTAMP_NTZ whatever shape it
+    arrived in: ns-long -> integer floor division (matching DuckDB's
+    nanos->micros narrowing); native timestamp -> cast only. The dtype
+    guard mirrors catalog.load_events — dividing an already-micros
+    column is the 1000x-off bug class."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events fixture with ``ts`` normalized to
+    microsecond TIMESTAMP_NTZ — the streaming twin of
+    ``catalog.load_events``, sharing its dtype-guard semantics. Every
+    event-time streaming query goes through here so the micros/nanos
+    decision lives in exactly one place."""
+    ev = spark.readStream.schema(events_raw_schema(sf_dir)).parquet(
+        f"{sf_dir}/events*.parquet"
+    )
+    return normalize_event_ts(ev)
 
 
 def kafka_source_options(
@@ -138,7 +201,7 @@ def kafka_like_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-micro-batch replan loop (`…/execution.rs:119-132`) natively.
     """
     # glob form: the file streaming source requires a directory basePath
-    ev = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
+    ev = spark.readStream.schema(events_raw_schema(sf_dir)).parquet(f"{sf_dir}/events*.parquet")
     return ev.select(
         F.encode(F.concat(F.lit("Key "), F.col("event_id").cast("string")), "UTF-8").alias("key"),
         F.encode(F.concat(F.lit("Message "), F.col("event_id").cast("string")), "UTF-8").alias("value"),

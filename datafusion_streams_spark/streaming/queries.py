@@ -16,7 +16,7 @@ from datafusion_streams_spark.functions import dsum
 from datafusion_streams_spark.operators import query
 from datafusion_streams_spark.operators.reference import _REF_PIPELINE_ORACLE
 from datafusion_streams_spark.operators.windows import _SESSION_ORACLE, _SLIDING_ORACLE, _TUMBLING_ORACLE
-from datafusion_streams_spark.sources.kafka import EVENTS_RAW_SCHEMA, kafka_like_stream, normalize_event_ts
+from datafusion_streams_spark.sources.kafka import events_stream, kafka_like_stream
 from datafusion_streams_spark.streaming.microbatch import run_drain_to_memory
 
 
@@ -55,9 +55,7 @@ def streaming_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     append-mode variant is exercised in tests/test_streaming.py, where
     late-data dropping is the *expected* behavior under test.
     """
-    ev = normalize_event_ts(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
-    )
+    ev = events_stream(spark, sf_dir)
     agg = (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
@@ -89,9 +87,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions, which is what the bounded-replay comparison needs.
     """
     ev = (
-        normalize_event_ts(
-            spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
-        )
+        events_stream(spark, sf_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "1 second")
     )
@@ -122,9 +118,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the third of the three built-in window shapes exercised end-to-end
     through the streaming engine."""
     ev = (
-        normalize_event_ts(
-            spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
-        )
+        events_stream(spark, sf_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", "1 second")
     )
@@ -175,9 +169,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def side(alias_type: str, prefix: str) -> DataFrame:
         ev = (
-            normalize_event_ts(
-                spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
-            )
+            events_stream(spark, sf_dir)
             .withColumn("ts", F.col("ts").cast("timestamp"))
             .filter(F.col("event_type") == alias_type)
             .select(
@@ -228,9 +220,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     on arrival order for keys spanning the watermark, so the exact
     global-dedup form is the oracle-checkable one.
     """
-    ev = normalize_event_ts(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
-    )
+    ev = events_stream(spark, sf_dir)
     dd = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     name, _ = run_drain_to_memory(dd, output_mode="append", state_partitions=8)
     return spark.table(name)
@@ -266,9 +256,7 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact. Complete mode re-emits the view — the bounded-replay
     comparison surface.
     """
-    ev = normalize_event_ts(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
-    )
+    ev = events_stream(spark, sf_dir)
     ordkey = F.struct(F.col("ts"), F.col("event_id"))
     latest = ev.groupBy("user_id").agg(
         F.max_by(F.col("event_type"), ordkey).alias("last_event_type"),
@@ -304,9 +292,7 @@ def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     State is one row per user (key cardinality), the sort sees only
     the aggregated relation — never raw events — and the decimal value
     sum keeps the ranking exact under any micro-batch split."""
-    ev = normalize_event_ts(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
-    )
+    ev = events_stream(spark, sf_dir)
     agg = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
@@ -345,9 +331,7 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     after AvailableNow drains the bounded replay it equals the batch
     join exactly (prefix consistency).
     """
-    ev = normalize_event_ts(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events*.parquet")
-    )
+    ev = events_stream(spark, sf_dir)
     dim = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
         .select("c_custkey", "c_mktsegment")
