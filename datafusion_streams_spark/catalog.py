@@ -66,6 +66,28 @@ def load_events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spread(spark: SparkSession, df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition with an EXPLICIT partition count (defaultParallelism).
+
+    A bare ``repartition(col)`` has no pinned count, so AQE sizes the
+    exchange by shuffle bytes — and small-but-compute-heavy relations
+    (5k documents of raw text feeding shingle HOFs) coalesce into ONE
+    partition, serializing all downstream map work on a single task
+    (the round-3 `dedup_ngram_jaccard` 1.8x regression). An explicit
+    count is exempt from AQE coalescing. On a real pre-split 100 TB
+    table these repartitions are cheap no-op-shaped exchanges; on the
+    single-file fixtures they are what buys parallelism.
+    """
+    n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents spread across the cluster for compute-heavy map
+    pipelines (shingling, tokenization, quality scoring)."""
+    return spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id")
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture parquet under ``sf_dir`` as a DataFrame.
 

@@ -93,6 +93,7 @@ def _populate() -> None:
         multimodal,
         pipeline,
         files_io,
+        udtf_surface,
     )
     from datafusion_streams_spark.streaming import queries as streaming_queries  # noqa: F401
 

@@ -71,7 +71,9 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # single-file fixture = one input partition; a real table arrives
     # pre-split, so restore parallelism before the iterative passes
-    return emb.select("vec_id", vq.alias("vq")).repartition("vec_id")
+    return emb.select("vec_id", vq.alias("vq")).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
 
 
 def _assign(qdf: DataFrame, cids: list[int], centroids: list[list[float]]) -> DataFrame:

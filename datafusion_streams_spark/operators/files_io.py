@@ -62,8 +62,15 @@ def _orders_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
     note = F.concat(
         F.col("o_orderpriority"), F.lit(', "'), F.col("o_orderstatus"), F.lit('"')
     )
+    # the fixture stores o_orderdate as TIMESTAMP; the roundtrip contract
+    # under test is the DATE type (ORC additionally has no NTZ-timestamp
+    # physical type to round-trip through), so cast at the source
     return spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice", note.alias("o_note")
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+        "o_totalprice",
+        note.alias("o_note"),
     )
 
 
@@ -86,4 +93,23 @@ def files_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="dfs_json_")
     _orders_subset(spark, sf_dir).write.mode("overwrite").json(out)
     back = spark.read.schema(_ORDERS_COLS).json(out)
+    return _verify_agg(back)
+
+
+@query("files_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE, tags=("source", "sink", "files", "orc"))
+def files_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet -> ORC sink -> ORC source -> verification aggregate.
+
+    ORC is the second binary columnar format Spark ships natively
+    (predicate pushdown, column pruning, and vectorized reads apply
+    exactly as for parquet); the round-trip proves binary-exact date /
+    double / string fidelity through the ORC writer+reader pair, hash-
+    checked against the aggregate computed from the original parquet.
+    The read-back declares the same explicit schema as csv/json: the
+    ORC reader otherwise surfaces DATE as TIMESTAMP under some
+    reader/writer config combinations, and the explicit schema pins
+    the round-trip contract to the column types under test."""
+    out = tempfile.mkdtemp(prefix="dfs_orc_")
+    _orders_subset(spark, sf_dir).write.mode("overwrite").orc(out)
+    back = spark.read.schema(_ORDERS_COLS).orc(out)
     return _verify_agg(back)

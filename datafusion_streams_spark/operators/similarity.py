@@ -112,7 +112,7 @@ def _normalized_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalize + downstream pair folds across all cores (a real-scale
     # table arrives pre-split).
     return (
-        e.repartition("vec_id")
+        e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
         .select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
         .select("vec_id", F.transform("v", lambda x: x / F.col("nrm")).alias("vn"))
     )
@@ -446,7 +446,7 @@ def _lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_lsh_bucketed`` and ``dedup_embedding_cosine``."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     bits = lsh_bits_per_band(emb.count())  # metadata-cheap count
-    sig = _lsh_signature_df(emb.repartition("vec_id"), N_SIGN_BANDS, bits)
+    sig = _lsh_signature_df(emb.repartition(spark.sparkContext.defaultParallelism, "vec_id"), N_SIGN_BANDS, bits)
     return _lsh_bucket_scored_pairs(sig, N_SIGN_BANDS, bits)
 
 
@@ -496,7 +496,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("ann_topk_vectorized", oracle=None, tags=("similarity", "ann", "pandas-udf", "scale"))
+# Ranking-only oracle: the strict-fold _ANN_ORACLE with the score
+# projected OUT. The BLAS path's summation order differs from the
+# strict fold in the last float bits, so the score column can never be
+# hash-identical — but the RANKING is (asserted additionally against
+# the bruteforce in tests), and (q_id, neighbor_id, rn) is exactly the
+# answer an ANN caller consumes. This upgrades the query from a
+# rows-only check to a real hash-checked CORRECTNESS row.
+_ANN_RANKING_ORACLE = f"""
+WITH {_NORMALIZED_SQL.strip()},
+q AS (SELECT vec_id AS q_id, vn AS qn FROM n WHERE vec_id < 10),
+scored AS (
+    SELECT q.q_id, n.vec_id AS neighbor_id,
+           {_dot_sql('q.qn', 'n.vn')} AS score
+    FROM q CROSS JOIN n
+    WHERE n.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY q_id ORDER BY score DESC, neighbor_id
+    ) AS BIGINT) AS rn
+    FROM scored
+)
+SELECT q_id, neighbor_id, rn FROM ranked WHERE rn <= {TOP_K}
+"""
+
+
+@query(
+    "ann_topk_vectorized",
+    oracle=_ANN_RANKING_ORACLE,
+    tags=("similarity", "ann", "pandas-udf", "scale"),
+)
 def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-speed exact top-k: numpy matmul inside mapInPandas.
 
@@ -504,10 +534,11 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py) but ~2 orders of magnitude faster per
     batch: the corpus streams through Arrow batches, each batch is one
     BLAS matmul against the broadcast query matrix, followed by a
-    per-query global top-k window. No oracle entry: BLAS summation
-    order makes scores differ from the strict-fold definition in the
-    last float bits (ranking is identical on this data — asserted in
-    tests), so this registers as the rows-only scale variant.
+    per-query global top-k window. Output is ranking-only
+    (q_id, neighbor_id, rn): BLAS summation order perturbs the score's
+    last bits vs the strict-fold definition, so the hash-checked
+    contract is the ranking — which is identical (also asserted
+    against the bruteforce in tests) — not the float score.
     """
     import numpy as np
     import pandas as pd
@@ -556,6 +587,7 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
+        .select("q_id", "neighbor_id", "rn")
     )
 
 

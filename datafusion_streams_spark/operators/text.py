@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_streams_spark.functions import tokens
+from datafusion_streams_spark.catalog import load_documents
 from datafusion_streams_spark.operators import query
 
 # Marker stopwords per language (tiny, deterministic; a real system
@@ -385,7 +386,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per document regardless of cluster size. Trailing windows are
     shorter (kept: they carry the document tail).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
+    docs = load_documents(spark, sf_dir)
     base = docs.select("doc_id", tokens("text").alias("tk"))
     chunks = base.select(
         "doc_id",
@@ -453,7 +454,7 @@ def text_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrives pre-collapsed), then the probe join re-shuffles grams once
     more; per-doc counts reduce on doc_id. No driver-side state.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
+    docs = load_documents(spark, sf_dir)
     t = docs.select("doc_id", tokens("text").alias("tk"))
     g = t.select("doc_id", F.explode(_positional_grams(F.col("tk"), SPAN_GRAM)).alias("g"))
     gdf = (
@@ -569,7 +570,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition; the three per-doc aggregates then combine on doc_id
     alone. Everything else is codegen column math.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
+    docs = load_documents(spark, sf_dir)
     t = docs.select("doc_id", tokens("text").alias("tk"))
     base = t.select(
         "doc_id",
@@ -675,7 +676,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side explode + broadcast hash join + one doc_id-keyed count. The
     corpus can be 100 TB; only the benchmark must fit in memory.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
+    docs = load_documents(spark, sf_dir)
     t = docs.select("doc_id", tokens("text").alias("tk"))
     gram = _positional_grams(F.col("tk"), CONTAM_GRAM)
     bench = (
@@ -736,7 +737,7 @@ def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     compiles to TakeOrderedAndProject — per-partition heaps, no global
     sort). The bigram/doc tiebreak keeps the LIMIT deterministic.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
+    docs = load_documents(spark, sf_dir)
     toks = docs.select("doc_id", tokens("text").alias("tk"))
     n = F.size("tk")
     # guard: Spark's sequence(1, stop) runs BACKWARDS when stop < 1, so
@@ -804,7 +805,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     One final double division + round. Two shuffles (term counts,
     doc_id reduce) + one broadcast of the unigram table.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition("doc_id")
+    docs = load_documents(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     n_total = uni.agg(F.sum("n")).collect()[0][0]
@@ -985,4 +986,131 @@ def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("total_tokens").cast("double") / F.lit(float(corpus_tokens)), 6
         ).alias("token_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval (round 4)
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "query", "join")
+BM25_TOP_N = 50
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+_BM25_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+    FROM documents
+),
+dl AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok WHERE term IN ({_BM25_TERMS_SQL})
+    GROUP BY doc_id, term
+),
+idf AS (
+    SELECT tf.term,
+           ln(1.0 + (stats.n_docs - COUNT(DISTINCT tf.doc_id) + 0.5)
+                    / (COUNT(DISTINCT tf.doc_id) + 0.5)) AS idf
+    FROM tf CROSS JOIN stats
+    GROUP BY tf.term, stats.n_docs
+),
+contrib AS (
+    SELECT tf.doc_id,
+        round(idf.idf * ((tf.tf * {BM25_K1 + 1.0}) /
+            (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / stats.avgdl))), 6)
+            AS c
+    FROM tf
+    JOIN idf ON tf.term = idf.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+),
+scored AS (
+    SELECT doc_id,
+        round(CAST(SUM(CAST(round(c * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000, 6)
+            AS bm25
+    FROM contrib GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, bm25, CAST(row_number() OVER (
+        ORDER BY bm25 DESC, doc_id
+    ) AS BIGINT) AS rn
+    FROM scored
+)
+SELECT doc_id, bm25, rn FROM ranked WHERE rn <= {BM25_TOP_N}
+"""
+
+
+@query("text_bm25_search", oracle=_BM25_ORACLE, tags=("text", "search", "topk", "quality"))
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: score every document against a fixed
+    query-term set with the Okapi BM25 function (Robertson/Walker,
+    Lucene's ln(1 + (N-df+0.5)/(df+0.5)) idf variant; k1=1.2, b=0.75)
+    and return the global top-50 — the relevance-retrieval primitive
+    behind corpus curation-by-query and contamination auditing.
+
+    Scale: term frequencies shuffle on (doc_id, term) for ONLY the
+    query terms (filter pushed below the explode's aggregation);
+    document lengths shuffle on doc_id once; the df/idf table is
+    query-terms-sized and broadcasts; the final top-50 is
+    TakeOrderedAndProject. No corpus-wide inverted index is
+    materialized — at 100 TB this is one filtered scan + two bounded
+    shuffles.
+
+    Float parity: idf * tf-saturation per (doc, term) is one identical
+    IEEE expression tree in both engines, rounded to 6 dp; per-doc
+    summation runs over exact integer micros (the
+    ``text_unigram_logprob`` discipline); avgdl is a single
+    int-sum/int-count division.
+    """
+    docs = load_documents(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    n_docs, sum_dl = dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
+    avgdl = sum_dl / n_docs  # int/int true division == SQL DOUBLE division
+    tf = (
+        tok.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(
+        F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.countDistinct("doc_id") + F.lit(0.5))
+            / (F.countDistinct("doc_id") + F.lit(0.5))
+        ).alias("idf")
+    )
+    sat = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select("doc_id", F.round(F.col("idf") * sat, 6).alias("c"))
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.round(F.col("c") * 1000000, 0).cast("long")).cast("double")
+            / 1000000,
+            6,
+        ).alias("bm25")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= BM25_TOP_N)
     )

@@ -79,11 +79,11 @@ def test_verified_prefix_covers_every_family():
     missing = required_tags - window_tags
     assert not missing, f"families outside the verified window: {missing}"
     assert set(KEYSTONES_R3) <= set(window)
-    # all window slots carry a DuckDB oracle (hash-checked) except the
-    # explicitly rows-only-by-design BLAS path, which pytest ranks
-    # against the strict-fold bruteforce instead
+    # every window slot carries a DuckDB oracle (hash-checked): the BLAS
+    # ANN path got a ranking-only oracle in r4, so no slot burns on a
+    # rows-only check
     rows_only = [n for n in window if REGISTRY[n].oracle is None]
-    assert rows_only == ["ann_topk_vectorized"], rows_only
+    assert rows_only == [], rows_only
 
 
 def test_approx_distinct_accuracy(spark, duck):
