@@ -103,79 +103,112 @@ def _populate() -> None:
 # bounded prefix — observed cap: the first 50 entries.  Registration order
 # is import order, which groups by module and would leave whole operator
 # families outside the verified window.  VERIFIED_FIRST pins the prefix
-# explicitly and ROTATES each round: rounds 1+2 drove 80 of the then-114
-# queries hash-green, so round 3's window leads with the 34 queries that
-# have never had a driver CORRECTNESS row (the round-2 additions: batch
-# window/events suite, IVF/PQ ANN, the round-2 text suite, sampling v2,
-# CDC) — taking cumulative driver coverage to 114/114 — followed by 16
-# keystone re-checks, one per operator family, all driver-green in r1/r2.
+# explicitly and ROTATES each round.  Rounds 1-3 drove 111 of the 131
+# then-registered queries hash-green; round 4's window = every query with
+# no driver CORRECTNESS row yet (the 17 round-3 additions + the 6 round-4
+# additions), the 6 repaired/re-oracled queries (the five streaming
+# event-time queries broken by the micros fixture drift + the BLAS ANN
+# path's new ranking-only oracle), then keystones biased toward code that
+# CHANGED this round (the repartition/AQE fix touched the dedup,
+# similarity, clustering, and text pipelines) plus minimum tag-coverage
+# fillers so every operator family keeps one hash-checked representative.
 # Demoted queries stay registered — they count toward coverage and are
-# oracle-checked by the local pytest parity suite (tests/test_oracle_parity.py),
-# which sweeps EVERY registered oracle, not just this prefix.
-ROTATED_IN_R3: tuple[str, ...] = (
-    # window functions / SQL window surface (round-2 batch additions)
-    "sql_window_functions",
-    "window_topk_per_group",
-    "window_running_total",
-    "window_lag_delta",
-    "window_range_frame",
-    "window_distribution",
-    # batch event-time windows + event analytics
-    "events_tumbling_hour",
-    "events_sliding_window",
-    "events_session_window",
-    "events_retention",
-    "events_anomaly_zscore",
-    # dedup additions
-    "dedup_component_stats",
-    "dedup_containment",
-    "dedup_semantic_clusters",
-    # similarity / ANN additions
-    "similarity_pairs",
-    "ann_topk_vectorized",  # rows-only by design (BLAS path; ranked against bruteforce in pytest)
-    "ann_ivf_probe",
-    "ann_pq_adc",
-    "similarity_recall_lsh",
-    # text suite (round 2)
-    "lateral_explode_tokens",
-    "text_pii_scrub",
-    "text_chunking",
-    "text_dup_span_stats",
-    "text_repetition_filter",
-    "text_contamination",
-    "text_ngram_stats",
-    "text_unigram_logprob",
-    # multimodal / sampling / curation v2
-    "multimodal_audio_windows",
-    "sample_deterministic",
-    "sample_uniform_topk",
-    "sample_topk_per_stratum",
-    "pipeline_curation_v2",
-    # stateful streaming additions
+# oracle-checked by the local pytest parity suite
+# (tests/test_oracle_parity.py), which sweeps EVERY registered oracle,
+# not just this prefix.
+ROTATED_IN_R4: tuple[str, ...] = (
+    # round-3 additions, never driver-checked
+    "ref_kafka_datasource_pipeline",
+    "join_full_outer",
+    "agg_unpivot",
+    "agg_approx_percentile",  # rows-only by design (GK sketch; 1%-bounded vs exact in pytest)
+    "join_fuzzy_match",
+    "scalar_bitwise_pack",
+    "events_path_analysis",
+    "events_active_users",
+    "dedup_source_overlap",
+    "embedding_int8_quantize",
+    "ann_ivf_pq",
+    "text_gopher_rules",
+    "text_domain_mix",
+    "sample_weighted",
+    "files_csv_roundtrip",
+    "files_json_roundtrip",
+    "streaming_static_join",
+    # round-4 additions
+    "udtf_token_windows",
+    "text_bm25_search",
+    "files_orc_roundtrip",
+    "dedup_rewrite_map",
+    "pipeline_token_packing",
+    "sample_quality_tiers",
+)
+
+# Broken-then-fixed (streaming ts normalization) or re-oracled this
+# round — each needs a fresh driver row; streaming_cdc_upsert has never
+# been hash-green in any round and MUST come back green now.
+REPAIRED_IN_R4: tuple[str, ...] = (
+    "streaming_tumbling_hour",
+    "streaming_session_window",
+    "streaming_sliding_window",
+    "streaming_stream_join",
     "streaming_cdc_upsert",
+    "ann_topk_vectorized",  # ranking-only oracle since r4
+)
+
+KEYSTONES_R4: tuple[str, ...] = (
+    # code changed this round (events_stream probe / repartition fix /
+    # shared shingle cache) — re-verify the families it touched
+    "ref_kafka_pipeline",
+    "streaming_ref_pipeline",
+    "streaming_dedup_keys",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "ann_topk_bruteforce",
+    "ann_lsh_bucketed",
+    "similarity_pairs_vectorized",
+    "cluster_kmeans_embeddings",
+    "text_unigram_logprob",
+    # minimum tag-coverage fillers (all driver-green in r1-r3)
+    "sql_in_subquery",          # sql + subquery + semi
+    "q22_sales_opportunity",    # anti + subquery
+    "join_asof",                # asof + temporal
+    "rollup_multiresolution",   # rollup
+    "multimodal_binary_meta",   # multimodal
+    "window_rank_battery",      # rank
+    "window_range_frame",       # range
+    "agg_salted_skew",          # skew
+    "sort_topk_global",         # sort
+    "scalar_string_pack",       # string
+)
+
+# Kept for the historical record / older tests' imports.
+ROTATED_IN_R3: tuple[str, ...] = (
+    "sql_window_functions", "window_topk_per_group", "window_running_total",
+    "window_lag_delta", "window_range_frame", "window_distribution",
+    "events_tumbling_hour", "events_sliding_window", "events_session_window",
+    "events_retention", "events_anomaly_zscore", "dedup_component_stats",
+    "dedup_containment", "dedup_semantic_clusters", "similarity_pairs",
+    "ann_topk_vectorized", "ann_ivf_probe", "ann_pq_adc",
+    "similarity_recall_lsh", "lateral_explode_tokens", "text_pii_scrub",
+    "text_chunking", "text_dup_span_stats", "text_repetition_filter",
+    "text_contamination", "text_ngram_stats", "text_unigram_logprob",
+    "multimodal_audio_windows", "sample_deterministic", "sample_uniform_topk",
+    "sample_topk_per_stratum", "pipeline_curation_v2", "streaming_cdc_upsert",
     "streaming_topk_users",
 )
 
 KEYSTONES_R3: tuple[str, ...] = (
-    "ref_kafka_pipeline",       # reference pipeline (A1-B7)
-    "filter_project_pushdown",  # filter/projection pushdown
-    "agg_salted_skew",          # aggregation + skew handling
-    "join_left_semi",           # join family
-    "join_left_anti",
-    "join_left_outer_agg",
-    "sort_topk_global",         # sort / top-k
-    "set_union",                # set ops
-    "scalar_string_pack",       # scalar packs
-    "scalar_json_extract",
-    "sql_correlated_subquery",  # SQL surface + subqueries
-    "join_asof",                # temporal custom operators
-    "rollup_multiresolution",
-    "window_rank_battery",      # window-function battery
-    "events_funnel",            # event analytics
-    "cluster_kmeans_embeddings",  # iterative clustering (kmeans_k re-based in r3)
+    "ref_kafka_pipeline", "filter_project_pushdown", "agg_salted_skew",
+    "join_left_semi", "join_left_anti", "join_left_outer_agg",
+    "sort_topk_global", "set_union", "scalar_string_pack",
+    "scalar_json_extract", "sql_correlated_subquery", "join_asof",
+    "rollup_multiresolution", "window_rank_battery", "events_funnel",
+    "cluster_kmeans_embeddings",
 )
 
-VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R3 + KEYSTONES_R3
+VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R4 + REPAIRED_IN_R4 + KEYSTONES_R4
 
 
 def _prioritize() -> None:

@@ -716,3 +716,60 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src_lo", "src_hi")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus rewrite map (round 4): apply the dedup decision
+# ---------------------------------------------------------------------------
+
+
+def _rewrite_map_oracle() -> str:
+    return f"""
+WITH RECURSIVE {minhash_ctes()},
+edges AS (
+    SELECT a_id AS src, b_id AS dst FROM mh_pairs
+    UNION
+    SELECT b_id AS src, a_id AS dst FROM mh_pairs
+),
+reach(src, node) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src
+),
+labels AS (
+    SELECT src AS doc_id, CAST(LEAST(src, MIN(node)) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       COALESCE(l.canonical_id, d.doc_id) AS keeper_id,
+       COALESCE(l.canonical_id, d.doc_id) <> d.doc_id AS is_dup
+FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+"""
+
+
+@query("dedup_rewrite_map", oracle=_rewrite_map_oracle(), tags=("dedup", "graph", "join"))
+def dedup_rewrite_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applied dedup decision for EVERY document: (doc_id,
+    keeper_id, is_dup) — docs outside any near-dup cluster keep
+    themselves, clustered docs point at the cluster's canonical
+    minimum. This is the relation a curation job writes next to the
+    corpus so downstream consumers can drop or remap duplicates with
+    one equi-join (the MERGE-input shape), completing the find-pairs ->
+    cluster -> KEEP/DROP pipeline.
+
+    Scale: the label relation is cluster-member-sized (tiny vs the
+    corpus) and broadcasts into a map-side left join against the full
+    document scan — the corpus itself never shuffles.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    p = minhash_pairs(spark, sf_dir).select("a_id", "b_id")
+    labels = min_label_components(p, id_col="doc_id").withColumnRenamed(
+        "canonical_id", "keeper_id"
+    )
+    return docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("keeper_id"), F.col("doc_id")).alias("keeper_id"),
+        (F.coalesce(F.col("keeper_id"), F.col("doc_id")) != F.col("doc_id")).alias(
+            "is_dup"
+        ),
+    )

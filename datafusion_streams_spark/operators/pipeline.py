@@ -336,3 +336,148 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("es_key", "doc_id")
         .limit(SAMPLE_WEIGHTED_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (round 4): greedy token-budget binning
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048  # tokens per training-sequence bin
+
+_PACKING_ORACLE = rf"""
+WITH per_doc AS (
+    SELECT lang, doc_id,
+        CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+    FROM documents
+),
+runs AS (
+    SELECT lang, doc_id, n_tok,
+        CAST(SUM(n_tok) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS cum
+    FROM per_doc
+),
+binned AS (
+    SELECT lang, doc_id, n_tok, (cum - n_tok) // {PACK_BUDGET} AS bin FROM runs
+)
+SELECT lang,
+    CAST(bin AS BIGINT) AS bin,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+    CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+    CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+    round(CAST(SUM(n_tok) AS DOUBLE) / {PACK_BUDGET}, 6) AS fill_ratio
+FROM binned GROUP BY lang, bin
+"""
+
+
+@query("pipeline_token_packing", oracle=_PACKING_ORACLE, tags=("pipeline", "packing", "window"))
+def pipeline_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: stream each language's documents in
+    doc_id order into consecutive 2048-token training bins (a doc goes
+    to the bin its running-total start offset falls in) and report the
+    per-bin packing efficiency — the batch-construction step that turns
+    a curated corpus into fixed-budget training sequences, and the
+    fill-ratio report that tells you how much padding the budget costs.
+
+    Deterministic: bin assignment is a pure function of (lang, doc_id
+    order, token counts) — identical at any parallelism, so the packing
+    can be recomputed instead of stored. Scale: one shuffle per lang
+    partition for the running sum (Spark range-partitions the window),
+    one keyspace-sized aggregation; token counting is map-side. A doc
+    straddling a boundary is charged to its starting bin (bins
+    slightly overflow rather than split documents — the standard
+    concat-then-chunk packing would use text_chunking downstream).
+    """
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = docs.select(
+        "lang", "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = per_doc.select(
+        "lang",
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_BUDGET).alias("bin"),
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+        F.round(F.sum("n_tok").cast("double") / PACK_BUDGET, 6).alias("fill_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-tiered resampling (round 4)
+# ---------------------------------------------------------------------------
+
+QUALITY_TIERS = 10
+
+_TIER_SAMPLE_ORACLE = f"""
+WITH tiered AS (
+    SELECT doc_id, lang, n_chars,
+        CAST(ntile({QUALITY_TIERS}) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS tier
+    FROM documents
+),
+kept AS (
+    SELECT * FROM tiered
+    WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+          < (16 - (tier - 1))
+)
+SELECT tier,
+    CAST(COUNT(*) AS BIGINT) AS n_kept,
+    CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+    CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+FROM kept GROUP BY tier
+"""
+
+
+@query("sample_quality_tiers", oracle=_TIER_SAMPLE_ORACLE, tags=("sampling", "quality", "window"))
+def sample_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tiered resampling: rank documents into quality deciles
+    (proxy score: n_chars, ties by doc_id) and keep a tier-dependent
+    deterministic hash fraction — tier 1 keeps 16/16, each lower tier
+    keeps one nibble-step less, down to 7/16 for tier 10. This is the
+    quality-curriculum mixture shape (upsample the best, keep a
+    long-tail floor) with hash-mod reproducibility: membership is a
+    pure function of doc_id, stable across engines and cluster sizes.
+
+    Scale note: ntile needs a total order; at 100 TB the global sort
+    is replaced by approx-quantile tier BOUNDARIES (computed once,
+    broadcast, assigned map-side) — same downstream shape. The exact
+    ntile form here is what makes the result oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tiered = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.ntile(QUALITY_TIERS)
+        .over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+        .cast("long")
+        .alias("tier"),
+    )
+    nibble = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    kept = tiered.filter(nibble < (F.lit(16) - (F.col("tier") - 1)))
+    return kept.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
