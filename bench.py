@@ -69,6 +69,15 @@ HEADLINE = [
     "text_domain_mix",
     "dedup_source_overlap",
     "join_fuzzy_match",
+    # round-4 additions
+    "text_bm25_search",
+    "dedup_rewrite_map",
+    "pipeline_token_packing",
+    "sample_quality_tiers",
+    "files_orc_roundtrip",
+    "udtf_token_windows",
+    "events_sessionize",
+    "streaming_stateful_totals",
 ]
 
 
@@ -153,14 +162,19 @@ def _streaming_metrics(spark) -> dict:
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     from pyspark.sql import functions as F
 
-    pipe = kafka_like_stream(spark, SF_DIR).select(
-        F.col("key").cast("string").alias("key"),
-        F.length(F.col("value").cast("string")).alias("len_value"),
-    )
-    t0 = time.perf_counter()
-    name, _ = run_drain_to_memory(pipe, output_mode="append")
-    elapsed = time.perf_counter() - t0
-    replay_rows_per_sec = round(n_events / elapsed, 1)
+    # min-of-2 like the query timings: the first drain pays one-time
+    # MicroBatchExecution/source-listing setup that a steady-state
+    # pipeline amortizes away
+    best = float("inf")
+    for _ in range(2):
+        pipe = kafka_like_stream(spark, SF_DIR).select(
+            F.col("key").cast("string").alias("key"),
+            F.length(F.col("value").cast("string")).alias("len_value"),
+        )
+        t0 = time.perf_counter()
+        name, _ = run_drain_to_memory(pipe, output_mode="append")
+        best = min(best, time.perf_counter() - t0)
+    replay_rows_per_sec = round(n_events / best, 1)
 
     # (c) cadence: rate source, 3 partitions, 200 ms trigger; average
     # trigger execution time from query progress.

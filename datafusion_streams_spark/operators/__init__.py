@@ -142,6 +142,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
     "dedup_rewrite_map",
     "pipeline_token_packing",
     "sample_quality_tiers",
+    "events_sessionize",
+    "streaming_stateful_totals",
 )
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
@@ -161,7 +163,6 @@ KEYSTONES_R4: tuple[str, ...] = (
     # shared shingle cache) — re-verify the families it touched
     "ref_kafka_pipeline",
     "streaming_ref_pipeline",
-    "streaming_dedup_keys",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_components",
@@ -169,7 +170,6 @@ KEYSTONES_R4: tuple[str, ...] = (
     "ann_lsh_bucketed",
     "similarity_pairs_vectorized",
     "cluster_kmeans_embeddings",
-    "text_unigram_logprob",
     # minimum tag-coverage fillers (all driver-green in r1-r3)
     "sql_in_subquery",          # sql + subquery + semi
     "q22_sales_opportunity",    # anti + subquery

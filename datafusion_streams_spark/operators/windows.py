@@ -670,3 +670,69 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         dau.join(trailing, dau["day"] == trailing["anchor_day"])
         .select(F.col("day").cast("string").alias("day"), "dau", "wau_trailing_7d")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-event sessionization map (round 4)
+# ---------------------------------------------------------------------------
+
+SESSIONIZE_GAP_MIN = 30
+
+_SESSIONIZE_ORACLE = f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, ts,
+        CASE WHEN prev_ts IS NULL
+                  OR ts > prev_ts + INTERVAL {SESSIONIZE_GAP_MIN} MINUTE
+             THEN 1 ELSE 0 END AS is_start
+    FROM ordered
+)
+SELECT user_id, event_id, ts,
+    CAST(SUM(is_start) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS session_seq,
+    CAST(is_start AS BOOLEAN) AS is_session_start
+FROM flagged
+"""
+
+
+@query("events_sessionize", oracle=_SESSIONIZE_ORACLE, tags=("events", "session", "window"))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event session assignment (gaps-and-islands): every event
+    labeled with its user's running session number — a new session
+    starts after a 30-minute silence. Where events_session_window
+    aggregates per session, this emits the event-level mapping a
+    sessionized fact table stores (the join key for attribution,
+    path, and dwell-time analyses downstream).
+
+    Scale: one shuffle on user_id serves both window passes (lag and
+    the running sum share the same partitioning + ordering, so Catalyst
+    plans a single exchange + sort); deterministic under any
+    parallelism via the (ts, event_id) total tiebreak.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_start = F.when(
+        prev.isNull()
+        | (F.col("ts") > prev + F.expr(f"INTERVAL {SESSIONIZE_GAP_MIN} MINUTES")),
+        1,
+    ).otherwise(0)
+    flagged = ev.select("user_id", "event_id", "ts", is_start.alias("is_start"))
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("is_start").over(wsum).cast("long").alias("session_seq"),
+        F.col("is_start").cast("boolean").alias("is_session_start"),
+    )

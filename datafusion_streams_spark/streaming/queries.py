@@ -342,3 +342,65 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name, _ = run_drain_to_memory(agg, output_mode="complete", state_partitions=8)
     return spark.table(name)
+
+
+_STATEFUL_TOTALS_ORACLE = """
+SELECT user_id,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY user_id
+"""
+
+
+@query(
+    "streaming_stateful_totals",
+    oracle=_STATEFUL_TOTALS_ORACLE,
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running (count, cents-sum) maintained in imperative Python state
+    across micro-batches — the extension point for stateful logic the
+    built-in aggregates can't express (sessionized ML features, decay
+    counters, custom CDC). Emits the running totals each batch in
+    update mode; the final answer per key is the row with the maximum
+    event count, which equals the batch aggregate whatever the
+    micro-batch splits were (running totals are monotone in events
+    consumed — the prefix-consistency argument made explicit).
+
+    Parity: money accumulates as integer CENTS inside state (float
+    accumulation order across batches would be engine-visible);
+    the oracle mirrors round(value*100) exactly. State is one
+    (long, long) pair per user — key-cardinality bounded.
+    """
+    import pandas as pd
+
+    def running_totals(key, pdfs, state):
+        if state.exists:
+            n, cents = state.get
+        else:
+            n, cents = 0, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round(0).astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        running_totals,
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    name, _ = run_drain_to_memory(updates, output_mode="update", state_partitions=8)
+    emitted = spark.table(name)
+    final = F.max_by(F.struct("n_events", "total_cents"), F.col("n_events")).alias("f")
+    return (
+        emitted.groupBy("user_id")
+        .agg(final)
+        .select("user_id", F.col("f.n_events").alias("n_events"), F.col("f.total_cents").alias("total_cents"))
+    )
