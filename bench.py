@@ -78,6 +78,7 @@ HEADLINE = [
     "udtf_token_windows",
     "events_sessionize",
     "streaming_stateful_totals",
+    "join_salted_skew",
 ]
 
 

@@ -144,6 +144,7 @@ ROTATED_IN_R4: tuple[str, ...] = (
     "sample_quality_tiers",
     "events_sessionize",
     "streaming_stateful_totals",
+    "join_salted_skew",
 )
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
@@ -178,7 +179,6 @@ KEYSTONES_R4: tuple[str, ...] = (
     "multimodal_binary_meta",   # multimodal
     "window_rank_battery",      # rank
     "window_range_frame",       # range
-    "agg_salted_skew",          # skew
     "sort_topk_global",         # sort
     "scalar_string_pack",       # string
 )

@@ -1223,3 +1223,55 @@ def scalar_bitwise_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bitwise_not(size).cast("long").alias("size_not"),
         F.bit_count(size.cast("long")).cast("long").alias("size_popcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# salted skew JOIN (round 4) — the join-side twin of agg_salted_skew
+# ---------------------------------------------------------------------------
+
+_SALT_JOIN_N = 8
+
+_SALTED_JOIN_ORACLE = """
+SELECT
+    e.event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+    CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY e.event_type
+"""
+
+
+@query("join_salted_skew", oracle=_SALTED_JOIN_ORACLE, tags=("join", "skew", "scale"))
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join: the fact side carries a deterministic salt
+    (event_id mod 8), the dimension side is replicated once per salt
+    value, and the join keys on (key, salt) — so a hot join key spreads
+    over 8 reducers instead of stalling one. This is the standard
+    manual skew-join idiom for when AQE's runtime skew split can't
+    apply (e.g. the skewed side feeds a stateful op, or stats are
+    unavailable); the result is provably identical to the plain join,
+    which is exactly what the oracle checks.
+
+    Scale: replication factor x dim size is the cost — salt counts are
+    chosen per-key in production (only salt the hot keys, from a
+    frequency sketch); here a uniform salt keeps the oracle exact. The
+    shuffle is forced (broadcast disabled via hint-free sort-merge on
+    the salted key) to exercise the pattern the idiom exists for.
+    """
+    ev = load_events(spark, sf_dir).withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(_SALT_JOIN_N)).cast("int")
+    )
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_JOIN_N)])))
+    )
+    joined = ev.hint("shuffle_merge").join(
+        dim, (ev["user_id"] == dim["c_custkey"]) & (ev["salt"] == dim["salt"])
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        dsum("value").alias("total_value"),
+    )
