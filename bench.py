@@ -79,6 +79,8 @@ HEADLINE = [
     "events_sessionize",
     "streaming_stateful_totals",
     "join_salted_skew",
+    "sql_recursive_date_spine",
+    "events_attribution",
 ]
 
 

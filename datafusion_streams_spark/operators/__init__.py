@@ -145,6 +145,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
     "events_sessionize",
     "streaming_stateful_totals",
     "join_salted_skew",
+    "sql_recursive_date_spine",
+    "events_attribution",
 )
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
@@ -168,8 +170,6 @@ KEYSTONES_R4: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "dedup_components",
     "ann_topk_bruteforce",
-    "ann_lsh_bucketed",
-    "similarity_pairs_vectorized",
     "cluster_kmeans_embeddings",
     # minimum tag-coverage fillers (all driver-green in r1-r3)
     "sql_in_subquery",          # sql + subquery + semi

@@ -109,3 +109,60 @@ def sql_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides; the frame sum is decimal so partition order cannot drift)."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_WINDOW)
+
+
+# ---------------------------------------------------------------------------
+# recursive CTE (round 4): date-spine densification
+# ---------------------------------------------------------------------------
+
+# 60-day spine anchored at the fixture's stable epoch; depth stays under
+# Spark's cteRecursionLevelLimit (default 100). At scale a spine is
+# generated once per query, spine-length rows — never corpus-sized.
+_SPINE_START = "1995-01-01"
+_SPINE_DAYS = 60
+
+_RECURSIVE_SPINE_ORACLE = f"""
+WITH RECURSIVE spine(day) AS (
+    SELECT DATE '{_SPINE_START}'
+    UNION ALL
+    SELECT day + INTERVAL 1 DAY FROM spine
+    WHERE day < DATE '{_SPINE_START}' + INTERVAL {_SPINE_DAYS - 1} DAY
+)
+SELECT CAST(s.day AS VARCHAR) AS day,
+    CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+    CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS day_total
+FROM spine s LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = s.day
+GROUP BY s.day
+"""
+
+_RECURSIVE_SPINE_SPARK = f"""
+WITH RECURSIVE spine(day) AS (
+    SELECT DATE '{_SPINE_START}'
+    UNION ALL
+    SELECT date_add(day, 1) FROM spine
+    WHERE day < date_add(DATE '{_SPINE_START}', {_SPINE_DAYS - 1})
+)
+SELECT CAST(s.day AS STRING) AS day,
+    CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+    CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS day_total
+FROM spine s LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = s.day
+GROUP BY s.day
+"""
+
+
+@query("sql_recursive_date_spine", oracle=_RECURSIVE_SPINE_ORACLE, tags=("sql", "recursive", "temporal"))
+def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) generating a 60-day
+    calendar spine, left-joined to per-day order totals — time-series
+    DENSIFICATION: days with zero orders appear with explicit zeros,
+    which a plain GROUP BY can never produce. The DuckDB oracle runs
+    the same recursion (dialect delta: date_add vs + INTERVAL).
+
+    This exercises the recursive-query surface end-to-end through
+    spark.sql: recursion-depth limiting, the UNION ALL anchor/step
+    split, and a recursive relation joined against a fact table. The
+    spine is spine-length rows (60) — generation cost is nil at any
+    corpus scale; the join broadcasts the spine.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SPINE_SPARK)

@@ -736,3 +736,89 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_start").over(wsum).cast("long").alias("session_seq"),
         F.col("is_start").cast("boolean").alias("is_session_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution (round 4)
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW_MIN = 60
+
+_ATTRIBUTION_ORACLE = f"""
+WITH joined AS (
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           v.event_id AS view_id,
+           v.ts AS view_ts,
+           CAST(row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY v.ts DESC, v.event_id DESC
+           ) AS BIGINT) AS rn
+    FROM events p JOIN events v
+      ON p.event_type = 'purchase' AND v.event_type = 'view'
+     AND p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTE
+)
+SELECT purchase_id, user_id, purchase_ts, view_id, view_ts,
+       CAST(date_diff('second', view_ts, purchase_ts) AS BIGINT) AS gap_seconds
+FROM joined WHERE rn = 1
+"""
+
+
+@query("events_attribution", oracle=_ATTRIBUTION_ORACLE, tags=("events", "join", "window", "temporal"))
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's most
+    recent view within the preceding hour (ties broken by event_id) —
+    the canonical marketing-attribution join, and the batch mirror of
+    the streaming interval join's "which view caused this purchase"
+    question answered with AS-OF (latest-before) semantics instead of
+    all-pairs.
+
+    Scale: the interval join shuffles both sides on user_id once; the
+    per-purchase row_number window state is bounded by views within
+    the attribution window (time-bounded, not history-bounded). The
+    (v.ts, v.event_id) DESC tiebreak makes the winner unique, so the
+    result is deterministic at any parallelism.
+    """
+    ev = load_events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_MIN} MINUTES")
+        ),
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.desc("view_ts"), F.desc("view_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            "view_id",
+            "view_ts",
+            # second-BOUNDARY difference (what DuckDB date_diff('second')
+            # counts): truncate each side to epoch seconds, then subtract
+            F.expr(
+                "CAST(unix_micros(CAST(purchase_ts AS TIMESTAMP)) div 1000000 "
+                "- unix_micros(CAST(view_ts AS TIMESTAMP)) div 1000000 AS BIGINT)"
+            ).alias("gap_seconds"),
+        )
+    )
