@@ -81,6 +81,9 @@ HEADLINE = [
     "join_salted_skew",
     "sql_recursive_date_spine",
     "events_attribution",
+    "files_partitioned_pruning",
+    "streaming_parquet_sink",
+    "agg_histogram",
 ]
 
 

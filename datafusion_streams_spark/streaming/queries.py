@@ -404,3 +404,51 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(final)
         .select("user_id", F.col("f.n_events").alias("n_events"), F.col("f.total_cents").alias("total_cents"))
     )
+
+
+_STREAM_PARQUET_SINK_ORACLE = """
+SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+@query(
+    "streaming_parquet_sink",
+    oracle=_STREAM_PARQUET_SINK_ORACLE,
+    tags=("streaming", "sink", "files"),
+)
+def streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet SINK exercised end-to-end: the event stream is
+    drained through a real file-sink micro-batch execution (exactly-once
+    via the checkpoint + _spark_metadata transaction log), then the
+    sink's output is read BACK as a batch table and aggregated — the
+    aggregate must hash-match the oracle computed from the source, so
+    a lost or double-written micro-batch cannot hide. This is the B6
+    sink row made driver-checkable (previously pytest-only).
+
+    Scale: the file sink appends one directory of part files per
+    micro-batch and commits them atomically in the metadata log;
+    readers see only committed batches. State: none (append mode,
+    stateless projection).
+    """
+    import tempfile
+
+    ev = events_stream(spark, sf_dir).select("event_type", "value")
+    out = tempfile.mkdtemp(prefix="dfs_stream_pq_")
+    ckpt = tempfile.mkdtemp(prefix="dfs_stream_pq_ckpt_")
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
