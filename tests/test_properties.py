@@ -178,3 +178,97 @@ def test_kmeans_model_partitioning_invariance(spark, nparts):
             reference = model
         else:
             assert model == reference, f"model drifted at {parts} partitions"
+
+
+def test_sessionize_partition_invariance(spark):
+    """events_sessionize must produce the identical session map under
+    1-partition and 32-partition input — the window's (ts, event_id)
+    total tiebreak is what makes per-event session numbering a pure
+    function of the data, not the shuffle layout."""
+    from datafusion_streams_spark.operators import REGISTRY
+
+    base = REGISTRY["events_sessionize"].fn(spark, SF_DIR_SMALL)
+    one = {
+        (r.user_id, r.event_id): (r.session_seq, r.is_session_start)
+        for r in base.repartition(1).collect()
+    }
+    many = {
+        (r.user_id, r.event_id): (r.session_seq, r.is_session_start)
+        for r in base.repartition(32).collect()
+    }
+    assert one == many and len(one) > 0
+
+
+def test_token_packing_partition_invariance(spark):
+    """Greedy bin assignment is a pure function of (lang, doc order,
+    token counts): shuffle.partitions must not change any bin stats."""
+    from datafusion_streams_spark.operators import REGISTRY
+
+    def run():
+        return {
+            (r.lang, r.bin): (r.n_docs, r.total_tokens, r.first_doc, r.last_doc)
+            for r in REGISTRY["pipeline_token_packing"].fn(spark, SF_DIR_SMALL).collect()
+        }
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b and len(a) > 0
+
+
+def test_stateful_totals_batch_split_invariance(spark, tmp_path):
+    """streaming_stateful_totals' contract: the final per-key answer is
+    independent of HOW the stream was micro-batched. Replay the same
+    rows as 1 file (1 batch) and as 4 files (4 batches with
+    maxFilesPerTrigger=1) through the same applyInPandasWithState
+    logic and require identical finals."""
+    import pandas as pd
+
+    rows = [(i % 5, float(i) + 0.25) for i in range(40)]
+
+    def run(n_files: int, subdir: str) -> dict:
+        src = tmp_path / subdir
+        src.mkdir()
+        chunk = len(rows) // n_files
+        for f in range(n_files):
+            spark.createDataFrame(
+                rows[f * chunk : (f + 1) * chunk], "user_id long, value double"
+            ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{f}"))
+
+        def totals(key, pdfs, state):
+            n, cents = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                cents += int(pdf["value"].mul(100).round(0).astype("int64").sum())
+            state.update((n, cents))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n], "cents": [cents]})
+
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*/part-*.parquet")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                totals,
+                outputStructType="user_id long, n long, cents long",
+                stateStructType="n long, cents long",
+                outputMode="update",
+                timeoutConf="NoTimeout",
+            )
+        )
+        from datafusion_streams_spark.streaming.microbatch import run_drain_to_memory
+
+        name, _ = run_drain_to_memory(stream, output_mode="update")
+        out = {}
+        for r in spark.table(name).collect():
+            prev = out.get(r.user_id)
+            if prev is None or r.n > prev[0]:
+                out[r.user_id] = (r.n, r.cents)
+        return out
+
+    assert run(1, "one") == run(4, "four")
