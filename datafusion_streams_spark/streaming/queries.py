@@ -452,3 +452,69 @@ def streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+@query(
+    "streaming_checkpoint_recovery",
+    oracle=_STREAM_PARQUET_SINK_ORACLE,
+    tags=("streaming", "sink", "checkpoint", "stateful"),
+)
+def streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a mid-stream KILL: the event stream (split
+    into 4 source files, one micro-batch each) starts draining into a
+    parquet sink, is stopped after ~the first batch, then a SECOND
+    query resumes from the same checkpoint and finishes the drain. The
+    read-back aggregate must hash-match the batch oracle: offsets
+    already committed are not re-read (no duplicates) and offsets not
+    committed are replayed (no loss), wherever the kill landed.
+
+    This is the deliberate delta from the reference made checkable: the
+    reference restarts from Beginning on every recv loop
+    (`/root/reference/src/kafka/execution.rs:77-79`) and would
+    double-count on restart; Spark's checkpoint + sink commit log is
+    the exactly-once upgrade documented in SURVEY §4.2 — here the
+    driver verifies it, not just pytest.
+    """
+    import tempfile
+    import time as _time
+
+    src = tempfile.mkdtemp(prefix="dfs_ckpt_src_")
+    out = tempfile.mkdtemp(prefix="dfs_ckpt_out_")
+    ckpt = tempfile.mkdtemp(prefix="dfs_ckpt_log_")
+    # split the fixture into 4 files -> 4 micro-batches at 1 file/trigger
+    from datafusion_streams_spark.catalog import load_events
+
+    load_events(spark, sf_dir).select("event_type", "value").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def start():
+        stream = (
+            spark.readStream.schema("event_type string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/part-*.parquet")
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q1 = start()
+    # let roughly one micro-batch commit, then kill mid-drain (if the
+    # drain already finished, recovery is a no-op — result unchanged)
+    deadline = _time.time() + 30
+    while not q1.recentProgress and _time.time() < deadline:
+        _time.sleep(0.05)
+    q1.stop()
+    q2 = start()
+    q2.awaitTermination(120)
+
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
