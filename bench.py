@@ -84,6 +84,8 @@ HEADLINE = [
     "files_partitioned_pruning",
     "streaming_parquet_sink",
     "agg_histogram",
+    "streaming_checkpoint_recovery",
+    "text_seq_dedup",
 ]
 
 

@@ -151,6 +151,7 @@ ROTATED_IN_R4: tuple[str, ...] = (
     "streaming_parquet_sink",
     "agg_histogram",
     "streaming_checkpoint_recovery",
+    "text_seq_dedup",
 )
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
@@ -171,7 +172,6 @@ KEYSTONES_R4: tuple[str, ...] = (
     # touched; reference coverage rides on streaming_ref_pipeline +
     # the rotated ref_kafka_datasource_pipeline, the components
     # fixpoint is re-proved through the rotated dedup_rewrite_map
-    "streaming_ref_pipeline",
     "dedup_minhash_lsh",
     "cluster_kmeans_embeddings",
     # minimum tag-coverage fillers (all driver-green in r1-r3)

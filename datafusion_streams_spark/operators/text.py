@@ -1114,3 +1114,93 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= BM25_TOP_N)
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence-level exact dedup (round 4)
+# ---------------------------------------------------------------------------
+
+SEQDEDUP_WINDOW = 16
+
+_SEQ_DEDUP_ORACLE = rf"""
+WITH t AS (
+    SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS tk
+    FROM documents
+),
+w AS (
+    SELECT doc_id,
+        unnest(range(1, greatest(len(tk), 1) + 1, {SEQDEDUP_WINDOW})) AS start,
+        tk
+    FROM t
+),
+hashed AS (
+    SELECT doc_id,
+        CAST((start - 1) // {SEQDEDUP_WINDOW} AS BIGINT) AS win_idx,
+        CAST(len(list_slice(tk, start, start + {SEQDEDUP_WINDOW} - 1)) AS BIGINT) AS n_tok,
+        md5(array_to_string(list_slice(tk, start, start + {SEQDEDUP_WINDOW} - 1), ' ')) AS h
+    FROM w
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY h ORDER BY doc_id, win_idx
+    ) AS rn
+    FROM hashed
+)
+SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_windows,
+    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+    CAST(SUM(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+    CAST(SUM(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_removed
+FROM ranked GROUP BY doc_id
+"""
+
+
+@query("text_seq_dedup", oracle=_SEQ_DEDUP_ORACLE, tags=("text", "dedup", "window", "quality"))
+def text_seq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-level exact dedup (Lee et al. 2022's exact-substring
+    regime at window granularity): split every document into
+    non-overlapping 16-token windows, keep each distinct window's FIRST
+    corpus occurrence (ordered by doc_id, position), and report per
+    document how many windows/tokens survive — the curation step that
+    removes boilerplate repeated across documents while keeping one
+    canonical copy, at sub-document granularity exact dedup can't see.
+
+    Scale: one shuffle on the window digest (uniform md5 keys — no
+    skew whatever the text distribution) carrying (doc_id, win_idx,
+    n_tok) only; one shuffle back on doc_id for the report. The
+    first-occurrence rule makes the winner unique and the whole result
+    a pure function of the corpus.
+    """
+    docs = load_documents(spark, sf_dir)
+    base = docs.select("doc_id", tokens("text").alias("tk"))
+    wins = base.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("tk"), F.lit(1)), F.lit(SEQDEDUP_WINDOW)
+            )
+        ).alias("start"),
+    )
+    piece = F.slice(F.col("tk"), F.col("start"), SEQDEDUP_WINDOW)
+    hashed = wins.select(
+        "doc_id",
+        ((F.col("start") - 1) / SEQDEDUP_WINDOW).cast("long").alias("win_idx"),
+        F.size(piece).cast("long").alias("n_tok"),
+        F.md5(F.array_join(piece, " ")).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id", "win_idx")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_removed"),
+    )
