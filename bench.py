@@ -86,6 +86,8 @@ HEADLINE = [
     "agg_histogram",
     "streaming_checkpoint_recovery",
     "text_seq_dedup",
+    "text_source_contrast",
+    "pipeline_curation_v3",
 ]
 
 

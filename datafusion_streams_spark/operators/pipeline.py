@@ -481,3 +481,99 @@ def sample_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_doc"),
         F.sum("n_chars").cast("long").alias("kept_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation v3 (round 4): gopher gate -> seq-dedup floor -> tier sampling
+# ---------------------------------------------------------------------------
+
+
+def _curation_v3_oracle() -> str:
+    from datafusion_streams_spark.operators.text import _GOPHER_ORACLE, _SEQ_DEDUP_ORACLE
+
+    return f"""
+WITH g AS (
+    SELECT doc_id FROM ({_GOPHER_ORACLE}) WHERE gopher_pass
+),
+s AS (
+    SELECT doc_id FROM ({_SEQ_DEDUP_ORACLE})
+    WHERE tokens_removed * 2 <= tokens_kept + tokens_removed
+),
+tiered AS (
+    SELECT doc_id, lang, n_chars,
+        CAST(ntile({QUALITY_TIERS}) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS tier
+    FROM documents
+),
+kept AS (
+    SELECT t.* FROM tiered t
+    JOIN g ON t.doc_id = g.doc_id
+    JOIN s ON t.doc_id = s.doc_id
+    WHERE (strpos('0123456789abcdef', substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 1)) - 1)
+          < (16 - (t.tier - 1))
+)
+SELECT lang, tier,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM kept GROUP BY lang, tier
+"""
+
+
+@query(
+    "pipeline_curation_v3",
+    oracle=_curation_v3_oracle(),
+    tags=("pipeline", "quality", "dedup", "sampling"),
+)
+def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 curation recipe in one Catalyst DAG: Gopher rule
+    battery -> sequence-level dedup floor (drop documents where
+    duplicated windows account for more than half their tokens) ->
+    quality-tier curriculum sampling -> per-(lang, tier) mixture
+    report. Every stage is an independently-oracle-verified round-4
+    operator composed without materialization; the oracle replays the
+    identical stages nested as subqueries, so the COMPOSITION is
+    hash-checked, not just the parts.
+
+    Scale: the gates are semi-joins against doc_id-keyed relations
+    (each bounded by the corpus, shuffling only ids); the tier window
+    is the one global sort (replaced by approx-quantile boundaries at
+    100 TB — see sample_quality_tiers); the report is keyspace-sized.
+    Integer arithmetic end-to-end: the dedup floor is an exact integer
+    comparison, membership is a pure hash function, and only COUNT/SUM
+    of longs reach the output.
+    """
+    from datafusion_streams_spark.operators.text import text_gopher_rules, text_seq_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = text_gopher_rules(spark, sf_dir).filter(F.col("gopher_pass")).select("doc_id")
+    s = text_seq_dedup(spark, sf_dir).filter(
+        F.col("tokens_removed") * 2 <= F.col("tokens_kept") + F.col("tokens_removed")
+    ).select("doc_id")
+    from pyspark.sql import Window
+
+    tiered = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.ntile(QUALITY_TIERS)
+        .over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+        .cast("long")
+        .alias("tier"),
+    )
+    nibble = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    kept = (
+        tiered.join(g, "doc_id", "left_semi")
+        .join(s, "doc_id", "left_semi")
+        .filter(nibble < (F.lit(16) - (F.col("tier") - 1)))
+    )
+    return kept.groupBy("lang", "tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -1204,3 +1204,101 @@ def text_seq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source distinctive terms (round 4)
+# ---------------------------------------------------------------------------
+
+_CONTRAST_TOP = 3
+
+_CONTRAST_ORACLE = rf"""
+WITH tok AS (
+    SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+    FROM documents
+),
+cst AS (
+    SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st
+    FROM tok GROUP BY source, term
+),
+ns AS (
+    SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cst GROUP BY source
+),
+ct AS (
+    SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY term
+),
+tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM ns),
+scored AS (
+    SELECT cst.source, cst.term,
+        round(
+            ln((cst.c_st + 0.5) / (ns.n_s - cst.c_st + 0.5))
+            - ln((ct.c_t - cst.c_st + 0.5) / ((tot.n - ns.n_s) - (ct.c_t - cst.c_st) + 0.5)),
+        6) AS log_odds
+    FROM cst
+    JOIN ns ON cst.source = ns.source
+    JOIN ct ON cst.term = ct.term
+    CROSS JOIN tot
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY source ORDER BY log_odds DESC, term
+    ) AS BIGINT) AS rn
+    FROM scored
+)
+SELECT source, term, log_odds, rn FROM ranked WHERE rn <= {_CONTRAST_TOP}
+"""
+
+
+@query("text_source_contrast", oracle=_CONTRAST_ORACLE, tags=("text", "quality", "window", "provenance"))
+def text_source_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source: log-odds of each term inside a
+    source vs the rest of the corpus (the add-0.5 smoothed odds-ratio —
+    the "Fightin' Words" statistic without the Dirichlet prior), top-3
+    per source. This is the mixture-debugging report that exposes what
+    a feed actually contains before it is weighted into training data —
+    boilerplate, spam markers, and domain drift surface as extreme
+    log-odds terms.
+
+    Scale: (source, term) counts are one shuffle over the vocabulary x
+    sources relation; source totals and term totals fold from it
+    (broadcast-joined back); the window is per-source top-k. Float
+    parity: counts stay integer until two ln() calls in one identical
+    expression tree, rounded to 6 dp before ranking with a term
+    tiebreak.
+    """
+    docs = load_documents(spark, sf_dir)
+    tok = docs.select("source", F.explode(tokens("text")).alias("term"))
+    cst = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    ns = cst.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    ct = cst.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    n_total = int(ns.agg(F.sum("n_s")).collect()[0][0])
+    scored = (
+        cst.join(F.broadcast(ns), "source")
+        .join(ct, "term")
+        .select(
+            "source",
+            "term",
+            F.round(
+                F.log(
+                    (F.col("c_st") + F.lit(0.5))
+                    / (F.col("n_s") - F.col("c_st") + F.lit(0.5))
+                )
+                - F.log(
+                    (F.col("c_t") - F.col("c_st") + F.lit(0.5))
+                    / (
+                        (F.lit(n_total) - F.col("n_s"))
+                        - (F.col("c_t") - F.col("c_st"))
+                        + F.lit(0.5)
+                    )
+                ),
+                6,
+            ).alias("log_odds"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("log_odds"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _CONTRAST_TOP)
+    )
