@@ -154,6 +154,10 @@ ROTATED_IN_R4: tuple[str, ...] = (
     "text_seq_dedup",
 )
 
+# Never driver-checked yet — MUST lead ROTATED_IN_R5 (the r4 window was
+# tag-saturated at 50 slots; both are green in the local oracle sweep):
+#   text_source_contrast, pipeline_curation_v3
+
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never
 # been hash-green in any round and MUST come back green now.
