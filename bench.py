@@ -88,6 +88,7 @@ HEADLINE = [
     "text_seq_dedup",
     "text_source_contrast",
     "pipeline_curation_v3",
+    "join_bucketed",
 ]
 
 

@@ -155,8 +155,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 )
 
 # Never driver-checked yet — MUST lead ROTATED_IN_R5 (the r4 window was
-# tag-saturated at 50 slots; both are green in the local oracle sweep):
-#   text_source_contrast, pipeline_curation_v3
+# tag-saturated at 50 slots; all are green in the local oracle sweep):
+#   text_source_contrast, pipeline_curation_v3, join_bucketed
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

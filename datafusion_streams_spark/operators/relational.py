@@ -1333,3 +1333,56 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").cast("double").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join (round 4): the pre-shuffled 100 TB layout
+# ---------------------------------------------------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT
+    o.o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS n_items,
+    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("join_bucketed", oracle=_BUCKETED_ORACLE, tags=("join", "bucketing", "scale"))
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both fact tables written bucketBy(8)
+    + sortBy on the join key, then sort-merge joined with ZERO
+    exchange on either side (plan-asserted in tests/test_plans.py) —
+    the layout a recurring 100 TB join amortizes its shuffle into.
+    One bucketed write replaces a shuffle in EVERY subsequent join on
+    that key; at petabyte scale that is the difference between a
+    nightly pipeline that re-shuffles the fact table per query and one
+    that never moves it again.
+
+    The aggregate hash-matches the plain-join oracle, proving bucket
+    pruning/merging loses no rows. Table names are per-sf so repeated
+    calls in one session reuse the bucketed layout (the amortization
+    being demonstrated) instead of rewriting it.
+    """
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+    ot, lt = f"dfs_orders_b_{tag}", f"dfs_lineitem_b_{tag}"
+    if not spark.catalog.tableExists(ot):
+        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority"
+        ).write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).saveAsTable(ot)
+    if not spark.catalog.tableExists(lt):
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        ).write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).saveAsTable(lt)
+    lb = spark.table(lt)
+    ob = spark.table(ot)
+    joined = lb.join(ob.hint("merge"), lb["l_orderkey"] == ob["o_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        dsum("l_extendedprice").alias("total_price"),
+    )
