@@ -1365,20 +1365,27 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     calls in one session reuse the bucketed layout (the amortization
     being demonstrated) instead of rewriting it.
     """
+    import shutil
+
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
     ot, lt = f"dfs_orders_b_{tag}", f"dfs_lineitem_b_{tag}"
-    if not spark.catalog.tableExists(ot):
-        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-            "o_orderkey", "o_orderpriority"
-        ).write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
-            "o_orderkey"
-        ).saveAsTable(ot)
-    if not spark.catalog.tableExists(lt):
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-            "l_orderkey", "l_extendedprice"
-        ).write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
-            "l_orderkey"
-        ).saveAsTable(lt)
+
+    def ensure(table: str, src: str, cols: list[str], key: str) -> None:
+        if spark.catalog.tableExists(table):
+            return
+        # a PRIOR session's managed-table directory may survive in the
+        # warehouse while this session's catalog has no entry — clear it
+        # or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+        spark.read.parquet(f"{sf_dir}/{src}.parquet").select(*cols).write.mode(
+            "overwrite"
+        ).bucketBy(8, key).sortBy(key).saveAsTable(table)
+
+    ensure(ot, "orders", ["o_orderkey", "o_orderpriority"], "o_orderkey")
+    ensure(lt, "lineitem", ["l_orderkey", "l_extendedprice"], "l_orderkey")
     lb = spark.table(lt)
     ob = spark.table(ot)
     joined = lb.join(ob.hint("merge"), lb["l_orderkey"] == ob["o_orderkey"])
