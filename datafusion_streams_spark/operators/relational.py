@@ -1393,3 +1393,40 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_items"),
         dsum("l_extendedprice").alias("total_price"),
     )
+
+
+_MODE_ORACLE = """
+WITH c AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id, event_type
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY n DESC, event_type
+    ) AS rn
+    FROM c
+)
+SELECT user_id, event_type AS mode_event, n AS n_occurrences
+FROM r WHERE rn = 1
+"""
+
+
+@query("agg_mode_tiebreak", oracle=_MODE_ORACLE, tags=("agg", "events"))
+def agg_mode_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: each user's most frequent event type, ties
+    resolved to the lexicographically smallest — the explicit-tiebreak
+    formulation that native mode() aggregates (Spark and DuckDB both
+    leave tie order undefined) cannot hash-check. Count-then-rank is
+    also the scalable shape: the heavy relation is (user, type) counts
+    (keyspace-bounded), and the window ranks only that.
+    """
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), F.col("n").alias("n_occurrences"))
+    )
