@@ -157,7 +157,7 @@ ROTATED_IN_R4: tuple[str, ...] = (
 # Never driver-checked yet — MUST lead ROTATED_IN_R5 (the r4 window was
 # tag-saturated at 50 slots; all are green in the local oracle sweep):
 #   text_source_contrast, pipeline_curation_v3, join_bucketed,
-#   agg_mode_tiebreak
+#   agg_mode_tiebreak, embedding_norm_audit
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

@@ -1017,3 +1017,65 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding norm audit (round 4)
+# ---------------------------------------------------------------------------
+
+_NORM_AUDIT_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nrm AS (
+    SELECT vec_id, round(sqrt({_dot_sql('v', 'v')}), 6) AS l2
+    FROM e
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        round(CAST(SUM(CAST(round(l2 * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*), 6) AS mean_l2
+    FROM nrm
+)
+SELECT nrm.vec_id, nrm.l2,
+    (nrm.l2 < stats.mean_l2 * 0.5 OR nrm.l2 > stats.mean_l2 * 2.0) AS is_outlier
+FROM nrm CROSS JOIN stats
+"""
+
+
+@query("embedding_norm_audit", oracle=_NORM_AUDIT_ORACLE, tags=("similarity", "quality", "scale"))
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding data-quality audit: every vector's L2 norm plus an
+    outlier flag for norms outside [0.5x, 2x] of the corpus mean —
+    the cheap screen that catches zero vectors, unnormalized batches,
+    and precision-corrupted embeddings BEFORE they poison
+    cosine-similarity dedup (a zero/huge norm silently reorders every
+    top-k it touches).
+
+    Float parity: the norm is the strict left-to-right dot fold
+    (functions.dot discipline) rounded to 6 dp; the corpus mean
+    accumulates exact integer micros. One map pass + one scalar
+    aggregate broadcast back — no shuffle of the corpus at any scale.
+    """
+    from datafusion_streams_spark.functions import dot
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    nrm = e.select(
+        "vec_id", F.round(F.sqrt(dot(F.col("v"), F.col("v"))), 6).alias("l2")
+    )
+    srow = nrm.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("l2") * 1000000, 0).cast("long")).cast("double")
+            / 1000000
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_l2"),
+    ).collect()[0]
+    mean_l2 = float(srow["mean_l2"])
+    return nrm.select(
+        "vec_id",
+        "l2",
+        (
+            (F.col("l2") < F.lit(mean_l2) * 0.5) | (F.col("l2") > F.lit(mean_l2) * 2.0)
+        ).alias("is_outlier"),
+    )
