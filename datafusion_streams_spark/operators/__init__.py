@@ -94,6 +94,7 @@ def _populate() -> None:
         pipeline,
         files_io,
         udtf_surface,
+        lifecycle,
     )
     from datafusion_streams_spark.streaming import queries as streaming_queries  # noqa: F401
 
@@ -157,7 +158,9 @@ ROTATED_IN_R4: tuple[str, ...] = (
 # Never driver-checked yet — MUST lead ROTATED_IN_R5 (the r4 window was
 # tag-saturated at 50 slots; all are green in the local oracle sweep):
 #   text_source_contrast, pipeline_curation_v3, join_bucketed,
-#   agg_mode_tiebreak, embedding_norm_audit
+#   agg_mode_tiebreak, embedding_norm_audit, events_scd2_compress,
+#   events_markov_transitions, events_cumulative_uniques,
+#   timeseries_gap_fill, events_rfm_segmentation, files_schema_evolution
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

@@ -153,3 +153,51 @@ def files_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         dsum("o_totalprice").alias("sum_total"),
     )
+
+
+_SCHEMA_EVOLUTION_ORACLE = """
+SELECT
+    source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(CASE WHEN doc_id % 2 = 1 THEN lang END) AS BIGINT) AS n_with_lang,
+    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY source
+"""
+
+
+@query(
+    "files_schema_evolution",
+    oracle=_SCHEMA_EVOLUTION_ORACLE,
+    tags=("source", "files", "schema"),
+)
+def files_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the documents
+    table — v1 without the lang column, v2 (later rows) with it — read
+    back in one scan with mergeSchema=true; the evolved column must
+    surface as NULL on v1 rows and populated on v2 rows. This is the
+    append-only data-lake contract every long-lived 100 TB table
+    relies on (columns are added over time; old files stay readable).
+
+    The verification aggregate counts lang presence per source and
+    hash-matches an oracle computed from the ORIGINAL table with the
+    v1/v2 split re-derived (doc_id parity) — proving the merged scan
+    reconstructs exactly the union-by-name semantics. Schema merge is
+    footer-only work at planning time; the scan itself stays map-only.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tempfile.mkdtemp(prefix="dfs_evo_")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "n_chars"
+    ).write.mode("overwrite").parquet(f"{out}/gen=1")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "n_chars", "lang"
+    ).write.mode("overwrite").parquet(f"{out}/gen=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen=1", f"{out}/gen=2"
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("lang").cast("long").alias("n_with_lang"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

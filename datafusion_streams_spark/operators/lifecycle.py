@@ -1,0 +1,366 @@
+"""Entity-lifecycle analytics over the events stream (batch form).
+
+Warehouse-shaped operators the reference's Kafka pipeline feeds in
+practice (SURVEY.md §2.3 inherits them via DataFusion but never
+exercises them): slowly-changing-dimension history compression, state
+transition matrices, cumulative-unique growth curves, calendar
+gap-filling with forward fill, and RFM segmentation. Each is a single
+Catalyst DAG partitioned on user_id — the natural key at 100 TB — and
+each carries a DuckDB oracle mirrored expression-for-expression.
+
+Determinism posture: every window carries a total tiebreak order
+(ts_us, event_id), day keys are emitted as formatted strings
+(engine-portable), money aggregates are exact DECIMAL sums cast once
+to double, and ratio columns divide two exactly-determined numbers so
+the doubles are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_streams_spark.catalog import load_events, load_events_us
+from datafusion_streams_spark.functions import dsum
+from datafusion_streams_spark.operators import query
+
+# ---------------------------------------------------------------------------
+# SCD type-2 history compression
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH e AS (
+    SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+    FROM events
+),
+lagged AS (
+    SELECT user_id, event_type, ts_us, event_id,
+        lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+        ) AS prev_type
+    FROM e
+),
+ch AS (
+    SELECT user_id, event_type, ts_us, event_id
+    FROM lagged
+    WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT
+    user_id,
+    event_type AS state,
+    ts_us AS valid_from_us,
+    lead(ts_us) OVER w AS valid_to_us,
+    CAST(row_number() OVER w AS BIGINT) AS version,
+    CAST(CASE WHEN lead(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+        AS is_current
+FROM ch
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+@query("events_scd2_compress", oracle=_SCD2_ORACLE, tags=("events", "cdc", "window", "temporal"))
+def events_scd2_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the raw event log:
+    collapse each user's event stream to its state-CHANGE points, then
+    stamp every surviving row with a [valid_from, valid_to) interval,
+    a version number, and an is_current flag — the standard CDC-to-
+    dimension materialization (the reference's Kafka topic is exactly
+    such a changelog; cf. /root/reference/src/kafka/execution.rs
+    message decode, which yields the changelog rows this compresses).
+
+    Scale: one shuffle on user_id; both windows reuse the same
+    partitioning (Catalyst plans a single exchange + sort). The change
+    filter drops consecutive duplicates map-side-after-sort, so state
+    is never larger than the partition's rows. valid_* are integer
+    microseconds — exact in both engines.
+    """
+    ev = load_events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", "ts_us", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.when(F.lead("ts_us").over(w2).isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event types
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH e AS (
+    SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+    FROM events
+),
+p AS (
+    SELECT event_type,
+        lead(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+        ) AS next_type
+    FROM e
+),
+c AS (
+    SELECT
+        event_type AS from_type,
+        next_type AS to_type,
+        CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM p
+    WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+    CAST(n_transitions AS DOUBLE)
+        / CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+        AS p_transition
+FROM c
+"""
+
+
+@query("events_markov_transitions", oracle=_MARKOV_ORACLE, tags=("events", "window", "agg", "path"))
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: count (from, to) adjacent pairs, normalize per source
+    state — the session-modeling primitive behind next-action
+    prediction and bot detection.
+
+    Scale: one shuffle on user_id for the lead(), then the pair count
+    shuffles on the (from, to) key — a relation bounded by
+    |event_type|², tiny at any corpus size; the per-row probability
+    divides two bigints (bit-identical doubles in both engines).
+    """
+    ev = load_events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(tot).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cumulative unique users (growth curve)
+# ---------------------------------------------------------------------------
+
+_CUM_UNIQUES_ORACLE = """
+WITH f AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY user_id
+),
+d AS (
+    SELECT strftime(first_day, '%Y-%m-%d') AS day,
+        CAST(COUNT(*) AS BIGINT) AS n_new_users
+    FROM f GROUP BY 1
+)
+SELECT day, n_new_users,
+    CAST(SUM(n_new_users) OVER (
+        ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS cum_users
+FROM d
+"""
+
+
+@query("events_cumulative_uniques", oracle=_CUM_UNIQUES_ORACLE, tags=("events", "cohort", "window", "agg"))
+def events_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day WITHOUT a distinct-over-window
+    (which neither engine supports): reduce each user to their first
+    active day, count first-appearances per day, then running-sum.
+    This is the scale trick — a windowed COUNT(DISTINCT) over 100 TB
+    of events becomes one user-keyed min() plus a day-sized cumsum.
+
+    Scale: one shuffle on user_id (first-day agg), then a day-count
+    relation small enough that the unpartitioned running-sum window is
+    a single-task no-op. Day keys are formatted strings.
+    """
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = firsts.groupBy(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# calendar gap-fill with zero-fill and forward-fill
+# ---------------------------------------------------------------------------
+
+_GAP_FILL_ORACLE = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+    FROM events GROUP BY 1, 2
+),
+b AS (
+    SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+),
+spine AS (
+    SELECT user_id,
+        CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM b
+),
+j AS (
+    SELECT s.user_id, s.day, d.day_total
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT
+    user_id,
+    strftime(day, '%Y-%m-%d') AS day,
+    COALESCE(day_total, 0.0) AS day_total_filled,
+    last_value(day_total IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS day_total_carry,
+    CAST(CASE WHEN day_total IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+FROM j
+"""
+
+
+@query("timeseries_gap_fill", oracle=_GAP_FILL_ORACLE, tags=("events", "temporal", "window", "join"))
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize each user's daily-total series onto a dense calendar
+    spine: generate every day in the user's [first, last] activity
+    range, left-join the observed totals, and emit both a zero-filled
+    and a forward-filled (last-observation-carried-forward) column —
+    the time-series-regularization step every per-entity model
+    training job needs before featurization.
+
+    Scale: the spine is sequence()/explode per user — generated
+    map-side from the user's own bounds row, never a cross join
+    against a global calendar — so spine size is activity-span-bounded
+    and the join key (user_id, day) reuses the daily agg's
+    partitioning. Totals are exact decimal sums; forward fill is
+    last(ignorenulls) over the same sort both engines apply.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        dsum("value").alias("day_total")
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("day_total", F.lit(0.0)).alias("day_total_filled"),
+        F.last("day_total", ignorenulls=True).over(w).alias("day_total_carry"),
+        F.col("day_total").isNull().cast("long").alias("is_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH s AS (
+    SELECT user_id,
+        MAX(CAST(ts AS DATE)) AS last_day,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+    FROM events GROUP BY user_id
+),
+r AS (
+    SELECT user_id,
+        CAST(date_diff('day', last_day, MAX(last_day) OVER ()) AS BIGINT)
+            AS recency_days,
+        n_events, monetary
+    FROM s
+)
+SELECT user_id, recency_days, n_events, monetary,
+    CAST(ntile(4) OVER (ORDER BY recency_days ASC,  user_id) AS BIGINT) AS r_score,
+    CAST(ntile(4) OVER (ORDER BY n_events DESC,     user_id) AS BIGINT) AS f_score,
+    CAST(ntile(4) OVER (ORDER BY monetary DESC,     user_id) AS BIGINT) AS m_score,
+    CAST(ntile(4) OVER (ORDER BY recency_days ASC,  user_id) AS VARCHAR)
+        || '-' || CAST(ntile(4) OVER (ORDER BY n_events DESC, user_id) AS VARCHAR)
+        || '-' || CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS VARCHAR)
+        AS segment
+FROM r
+"""
+
+
+@query("events_rfm_segmentation", oracle=_RFM_ORACLE, tags=("events", "window", "agg", "cohort"))
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation: one
+    row per user with ntile(4) scores on each axis and the composite
+    'r-f-m' segment label — the classic user-value stratification that
+    downstream sampling operators (sample_quality_tiers) consume.
+
+    Scale: one shuffle on user_id reduces the event log to a
+    users-sized relation; the three ntile windows run over that
+    reduced relation (global sort of |users| rows — at extreme scale
+    swap ntile for a percentile-threshold join, same contract).
+    Monetary is an exact decimal sum so the ORDER BY monetary ties are
+    resolved identically in both engines (user_id tiebreak regardless).
+    """
+    ev = load_events(spark, sf_dir)
+    stats = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum("value").alias("monetary"),
+    )
+    stats = stats.withColumn(
+        "recency_days",
+        F.datediff(F.max("last_day").over(Window.partitionBy()), F.col("last_day"))
+        .cast("long"),
+    )
+    w_r = Window.orderBy(F.asc("recency_days"), "user_id")
+    w_f = Window.orderBy(F.desc("n_events"), "user_id")
+    w_m = Window.orderBy(F.desc("monetary"), "user_id")
+    scored = stats.select(
+        "user_id",
+        "recency_days",
+        "n_events",
+        "monetary",
+        F.ntile(4).over(w_r).cast("long").alias("r_score"),
+        F.ntile(4).over(w_f).cast("long").alias("f_score"),
+        F.ntile(4).over(w_m).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "-",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
