@@ -160,7 +160,9 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   text_source_contrast, pipeline_curation_v3, join_bucketed,
 #   agg_mode_tiebreak, embedding_norm_audit, events_scd2_compress,
 #   events_markov_transitions, events_cumulative_uniques,
-#   timeseries_gap_fill, events_rfm_segmentation, files_schema_evolution
+#   timeseries_gap_fill, events_rfm_segmentation, files_schema_evolution,
+#   events_peak_concurrency, join_interval_overlap, sample_group_split,
+#   text_dataset_card
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

@@ -364,3 +364,227 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# peak concurrency (sweep-line over session intervals)
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000  # the sessionize gap, in integer microseconds
+
+_SESSION_BOUNDS_CTE = f"""
+e AS (
+    SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+),
+lagged AS (
+    SELECT user_id, event_id, ts_us,
+        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+            AS prev_us
+    FROM e
+),
+flagged AS (
+    SELECT user_id, ts_us,
+        CASE WHEN prev_us IS NULL OR ts_us > prev_us + {_GAP_US}
+             THEN 1 ELSE 0 END AS is_start
+    FROM lagged
+),
+numbered AS (
+    SELECT user_id, ts_us,
+        SUM(is_start) OVER (
+            PARTITION BY user_id ORDER BY ts_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_seq
+    FROM flagged
+),
+sess AS (
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        MIN(ts_us) AS s_start_us, MAX(ts_us) AS s_end_us
+    FROM numbered GROUP BY user_id, session_seq
+)
+"""
+
+_CONCURRENCY_ORACLE = f"""
+WITH {_SESSION_BOUNDS_CTE},
+deltas AS (
+    SELECT user_id, session_seq, s_start_us AS ts_us, 1 AS delta FROM sess
+    UNION ALL
+    SELECT user_id, session_seq, s_end_us AS ts_us, -1 AS delta FROM sess
+),
+swept AS (
+    SELECT ts_us, delta,
+        SUM(delta) OVER (
+            ORDER BY ts_us, delta DESC, user_id, session_seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS concurrency
+    FROM deltas
+)
+SELECT
+    strftime(CAST(make_timestamp(ts_us) AS DATE), '%Y-%m-%d') AS day,
+    CAST(MAX(concurrency) AS BIGINT) AS peak_concurrency,
+    CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_sessions_started
+FROM swept
+GROUP BY 1
+"""
+
+
+@query("events_peak_concurrency", oracle=_CONCURRENCY_ORACLE, tags=("events", "session", "window", "temporal"))
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the classic sweep-line:
+    sessionize (30-min gap), emit +1 at each session start and -1 at
+    each end, running-sum the deltas in timestamp order (starts before
+    ends at the same instant — closed intervals), then take the daily
+    maximum — the capacity-planning number every serving stack asks of
+    its event log.
+
+    Scale: sessionization is the user_id-partitioned window pass; the
+    sweep itself is a prefix sum over a sessions-sized (not
+    events-sized) relation. The single global sweep window is the
+    textbook two-pass distributed prefix sum at extreme scale
+    (per-partition subtotals + broadcast prefix offsets); at any
+    realistic session cardinality the one-task window over +/-1 longs
+    is negligible. All arithmetic is integer microseconds.
+    """
+    ev = load_events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    is_start = F.when(prev.isNull() | (F.col("ts_us") > prev + _GAP_US), 1).otherwise(0)
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = ev.select(
+        "user_id",
+        "ts_us",
+        F.sum(is_start).over(wsum).cast("long").alias("session_seq"),
+    )
+    sess = numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("s_start_us"), F.max("ts_us").alias("s_end_us")
+    )
+    deltas = sess.select(
+        "user_id", "session_seq", F.col("s_start_us").alias("ts_us"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select(
+            "user_id", "session_seq", F.col("s_end_us").alias("ts_us"), F.lit(-1).alias("delta")
+        )
+    )
+    wsweep = Window.orderBy(
+        "ts_us", F.desc("delta"), "user_id", "session_seq"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = deltas.select(
+        "ts_us", "delta", F.sum("delta").over(wsweep).alias("concurrency")
+    )
+    return swept.groupBy(
+        F.date_format(F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.max("concurrency").cast("long").alias("peak_concurrency"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sessions_started"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join (big x big shape via day binning)
+# ---------------------------------------------------------------------------
+
+_CAMPAIGN_WEEKS = 5
+
+_INTERVAL_OVERLAP_ORACLE = f"""
+WITH {_SESSION_BOUNDS_CTE},
+g AS (SELECT MIN(CAST(ts AS DATE)) AS g0 FROM events),
+camp AS (
+    SELECT CAST(i AS BIGINT) AS c_id,
+        epoch_us(CAST(g0 + to_days(CAST(i * 7 AS INTEGER)) AS TIMESTAMP))
+            AS c_start_us,
+        epoch_us(CAST(g0 + to_days(CAST((i + 1) * 7 AS INTEGER)) AS TIMESTAMP))
+            AS c_end_us
+    FROM g, (SELECT UNNEST(generate_series(0, {_CAMPAIGN_WEEKS - 1})) AS i)
+)
+SELECT s.user_id, s.session_seq, c.c_id,
+    least(s.s_end_us, c.c_end_us) - greatest(s.s_start_us, c.c_start_us)
+        AS overlap_us
+FROM sess s JOIN camp c
+  ON s.s_start_us <= c.c_end_us AND c.c_start_us <= s.s_end_us
+"""
+
+
+@query("join_interval_overlap", oracle=_INTERVAL_OVERLAP_ORACLE, tags=("join", "temporal", "range", "events"))
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join — session intervals x weekly campaign
+    windows, closed-interval semantics — executed with the DAY-BIN
+    equi-join strategy: explode each interval into the calendar days
+    it touches, equi-join on the day key, dedupe pairs, compute the
+    exact overlap, and filter to true overlaps. Spark has no native
+    interval join; the bin trick turns it into a plain shuffled
+    equi-join that scales to big x big inputs (neither side needs to
+    be broadcast, unlike join_range_bands' broadcast-range strategy),
+    at the cost of duration/bin-width fan-out — pick the bin so a
+    typical interval touches O(1) bins.
+
+    The DuckDB oracle runs the textbook inequality join instead, so
+    the hash match proves the binned rewrite is exactly lossless (a
+    closed overlap always shares >= 1 calendar day with both binned
+    sides; the final overlap_us >= 0 filter removes same-day
+    non-overlaps). All bound arithmetic is integer microseconds.
+    """
+    ev = load_events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("ts_us").over(w)
+    is_start = F.when(prev.isNull() | (F.col("ts_us") > prev + _GAP_US), 1).otherwise(0)
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = ev.select(
+        "user_id", "ts_us", F.sum(is_start).over(wsum).cast("long").alias("session_seq")
+    )
+    sess = numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts_us").alias("s_start_us"), F.max("ts_us").alias("s_end_us")
+    )
+    g0 = ev.agg(F.min(F.to_date(F.timestamp_micros("ts_us"))).alias("g0"))
+    camp = g0.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_CAMPAIGN_WEEKS - 1))).alias("i"), "g0"
+    ).select(
+        F.col("i").cast("long").alias("c_id"),
+        F.unix_micros(
+            F.to_timestamp(F.date_add("g0", F.col("i") * 7))
+        ).alias("c_start_us"),
+        F.unix_micros(
+            F.to_timestamp(F.date_add("g0", (F.col("i") + 1) * 7))
+        ).alias("c_end_us"),
+    )
+    sess_days = sess.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.to_date(F.timestamp_micros("s_start_us")),
+                F.to_date(F.timestamp_micros("s_end_us")),
+            )
+        ),
+    )
+    camp_days = camp.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.to_date(F.timestamp_micros("c_start_us")),
+                F.to_date(F.timestamp_micros("c_end_us")),
+            )
+        ),
+    )
+    paired = (
+        sess_days.join(camp_days, "day")
+        .groupBy("user_id", "session_seq", "c_id",
+                 "s_start_us", "s_end_us", "c_start_us", "c_end_us")
+        .agg(F.count(F.lit(1)).alias("_shared_days"))
+    )
+    return paired.select(
+        "user_id",
+        "session_seq",
+        "c_id",
+        (
+            F.least("s_end_us", "c_end_us") - F.greatest("s_start_us", "c_start_us")
+        ).alias("overlap_us"),
+    ).filter(F.col("overlap_us") >= 0)

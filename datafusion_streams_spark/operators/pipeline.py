@@ -577,3 +577,58 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_doc"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+_GROUP_SPLIT_ORACLE = """
+WITH g AS (
+    SELECT doc_id, source, n_chars, md5(text) AS group_key,
+        CASE WHEN substr(md5(md5(text)), 1, 2) < 'cd' THEN 'train'
+             WHEN substr(md5(md5(text)), 1, 2) < 'e6' THEN 'val'
+             ELSE 'test' END AS split
+    FROM documents
+)
+SELECT split, source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(DISTINCT group_key) AS BIGINT) AS n_groups,
+    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM g
+GROUP BY split, source
+"""
+
+
+@query("sample_group_split", oracle=_GROUP_SPLIT_ORACLE, tags=("sampling", "dedup", "pipeline"))
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split is a pure function
+    of the DUPLICATE GROUP (md5 of the normalized content), not of the
+    row — so exact duplicates can never straddle a split boundary and
+    contaminate evaluation. Thresholds are lexicographic on the hex
+    digest ('cd' = 205/256 ~ 80% train, 'e6' = 230/256 ~ 10% val),
+    identical string comparisons in both engines.
+
+    At 100 TB the same contract extends to NEAR-dup groups by keying
+    the split on dedup_components' component label instead of the
+    content hash (dedup_rewrite_map emits exactly that mapping);
+    membership stays a pure function of the key — reproducible across
+    runs, restarts, and cluster sizes, no RNG state to checkpoint.
+
+    Scale: map-side hashing plus one aggregation; the per-(split,
+    source) audit emitted here is the dataset-card row a training job
+    logs before writing shards.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gk = F.md5("text")
+    bucket = F.substring(F.md5(gk), 1, 2)
+    split = (
+        F.when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars", gk.alias("group_key"), split.alias("split")
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("group_key").cast("long").alias("n_groups"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )

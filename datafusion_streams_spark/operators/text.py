@@ -1302,3 +1302,95 @@ def text_source_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= _CONTRAST_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# dataset card: per-source statistics report (round 4)
+# ---------------------------------------------------------------------------
+
+_DATASET_CARD_ORACLE = """
+WITH sl AS (
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c,
+        CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY source, lang
+),
+tot AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+        CAST(SUM(chars) AS BIGINT) AS total_chars
+    FROM sl GROUP BY source
+),
+terms AS (
+    SELECT sl.source,
+        round(
+            -(CAST(sl.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+                * ln(CAST(sl.c AS DOUBLE) / CAST(tot.n AS DOUBLE)),
+            6
+        ) AS term
+    FROM sl JOIN tot ON sl.source = tot.source
+),
+ent AS (
+    SELECT source,
+        CAST(SUM(CAST(round(term * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000
+            AS lang_entropy
+    FROM terms GROUP BY source
+)
+SELECT tot.source,
+    tot.n AS n_docs,
+    tot.total_chars,
+    CAST(tot.total_chars AS DOUBLE) / CAST(tot.n AS DOUBLE) AS avg_chars,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM sl WHERE sl.source = tot.source)
+        AS n_langs,
+    ent.lang_entropy
+FROM tot JOIN ent ON tot.source = ent.source
+"""
+
+
+@query("text_dataset_card", oracle=_DATASET_CARD_ORACLE, tags=("text", "agg", "pipeline", "provenance"))
+def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: document count, character volume,
+    average length, language count, and language-distribution Shannon
+    entropy (nats) — the one-page mixture summary logged alongside
+    every training-data release (what a reader checks before trusting
+    a corpus).
+
+    Float parity: probabilities divide two exact bigints; each
+    p*ln(p) term is rounded to 6 dp (libm last-ulp) and the terms are
+    summed through the integer-micro trick (scale by 1e6, sum as
+    BIGINT, scale back) so the entropy is exact in any accumulation
+    order — the same discipline as text_unigram_logprob. avg_chars is
+    one double division of two exact integers.
+
+    Scale: two shuffles over relations bounded by |source| x |lang| —
+    trivially small at any corpus size; the heavy input scan reads two
+    columns (pruned projection).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    tot = sl.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    p = F.col("c").cast("double") / F.col("n_docs").cast("double")
+    terms = sl.join(tot.select("source", "n_docs"), "source").select(
+        "source", F.round(-p * F.log(p), 6).alias("term")
+    )
+    ent = terms.groupBy("source").agg(
+        (
+            F.sum(F.round(F.col("term") * 1000000, 0).cast("long")).cast("double")
+            / 1000000
+        ).alias("lang_entropy")
+    )
+    return tot.join(ent, "source").select(
+        "source",
+        "n_docs",
+        "total_chars",
+        (F.col("total_chars").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avg_chars"
+        ),
+        "n_langs",
+        "lang_entropy",
+    )
