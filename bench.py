@@ -89,6 +89,11 @@ HEADLINE = [
     "text_source_contrast",
     "pipeline_curation_v3",
     "join_bucketed",
+    # round-4 lifecycle additions
+    "events_scd2_compress",
+    "timeseries_gap_fill",
+    "join_interval_overlap",
+    "sample_group_split",
 ]
 
 

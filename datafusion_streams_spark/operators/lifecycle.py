@@ -588,3 +588,209 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("s_end_us", "c_end_us") - F.greatest("s_start_us", "c_start_us")
         ).alias("overlap_us"),
     ).filter(F.col("overlap_us") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# sequence pattern match (MATCH_RECOGNIZE emulation)
+# ---------------------------------------------------------------------------
+
+_PATTERN = "vcp"  # view -> click -> purchase, consecutive
+
+_PATTERN_ORACLE = f"""
+WITH e AS (
+    SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+        substr(event_type, 1, 1) AS sym
+    FROM events
+),
+seqs AS (
+    SELECT user_id,
+        string_agg(sym, '' ORDER BY ts_us, event_id) AS seq
+    FROM e
+    GROUP BY user_id
+)
+SELECT user_id,
+    CAST(length(seq) AS BIGINT) AS seq_len,
+    CAST((length(seq) - length(replace(seq, '{_PATTERN}', ''))) / 3 AS BIGINT)
+        AS n_patterns
+FROM seqs
+WHERE length(seq) - length(replace(seq, '{_PATTERN}', '')) > 0
+"""
+
+
+@query("events_pattern_match", oracle=_PATTERN_ORACLE, tags=("events", "path", "window"))
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection: users whose
+    event history contains the consecutive view->click->purchase
+    motif, with the per-user match count — the conversion-pattern
+    primitive SQL engines expose as MATCH_RECOGNIZE (neither Spark nor
+    DuckDB implements it; both get the same semantics here by encoding
+    each user's ordered history as a compact symbol string and
+    counting non-overlapping motif occurrences via replace()).
+
+    Scale: one shuffle on user_id; the per-user encode is
+    collect_list bounded by the user's own event count (human-scale —
+    for machine actors with unbounded histories, pre-chunk by month
+    and overlap chunks by |pattern|-1 symbols, same contract), and
+    array_sort on (ts_us, event_id) makes the collected order
+    deterministic under any partitioning.
+    """
+    ev = load_events_us(spark, sf_dir)
+    seqs = ev.select(
+        "user_id", "ts_us", "event_id", F.substring("event_type", 1, 1).alias("sym")
+    ).groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "sym"))),
+                lambda x: x["sym"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    n_matches = (
+        F.length("seq") - F.length(F.replace(F.col("seq"), F.lit(_PATTERN), F.lit("")))
+    ) / 3
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        n_matches.cast("long").alias("n_patterns"),
+    ).filter(F.col("n_patterns") > 0)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-type transition graph (iterative, exact parity)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+_PR_SCALE = 1_000_000_000  # contribution rounding grid (1e-9)
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as chained CTEs.
+
+    Each iteration rounds every edge contribution rank*weight onto a
+    1e-9 grid and sums the scaled BIGINTs, so the accumulation is
+    order-free and exact — the same integer-grid discipline as
+    text_unigram_logprob, applied per iteration so float state never
+    diverges between engines.
+    """
+    parts = [
+        """
+WITH e AS (
+    SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+    FROM events
+),
+p AS (
+    SELECT event_type AS src,
+        lead(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+        ) AS dst
+    FROM e
+),
+edges_n AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p WHERE dst IS NOT NULL GROUP BY src, dst
+),
+edges AS (
+    SELECT src, dst,
+        CAST(n AS DOUBLE)
+            / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS w
+    FROM edges_n
+),
+nodes AS (
+    SELECT src AS node FROM edges_n
+    UNION
+    SELECT dst FROM edges_n
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM nodes),
+r0 AS (
+    SELECT node, 1.0 / CAST(n_nodes AS DOUBLE) AS rank
+    FROM nodes, nn
+)"""
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        parts.append(
+            f""",
+inc{k} AS (
+    SELECT e.dst AS node,
+        CAST(SUM(CAST(round(r.rank * e.w * {_PR_SCALE}, 0) AS BIGINT)) AS DOUBLE)
+            / {_PR_SCALE} AS incoming
+    FROM edges e JOIN r{k - 1} r ON e.src = r.node
+    GROUP BY e.dst
+),
+r{k} AS (
+    SELECT n.node,
+        0.15 / CAST((SELECT n_nodes FROM nn) AS DOUBLE)
+            + {_PR_DAMP} * COALESCE(i.incoming, 0.0) AS rank
+    FROM nodes n LEFT JOIN inc{k} i ON n.node = i.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, rank FROM r{_PR_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@query("graph_pagerank_transitions", oracle=_pagerank_oracle(), tags=("graph", "iterative", "events", "agg"))
+def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration (5) damped PageRank over the event-type
+    transition graph: which states does user behavior concentrate in —
+    the canonical iterative-graph workload, here with an EXACT oracle
+    (DuckDB runs the identical 5 iterations as unrolled CTEs).
+
+    Float parity across an iterative algorithm: per iteration, every
+    edge contribution rank*weight is rounded onto a 1e-9 grid and the
+    scaled BIGINTs are summed (order-free), so both engines hold
+    bit-identical rank vectors at every step — float divergence can
+    never compound. Edge weights divide two exact bigints.
+
+    Scale: the rank vector is node-sized (like k-means' centroids) and
+    rides a broadcast join against the src-partitioned edge relation;
+    each iteration is one map-side join + one shuffle on dst, the
+    standard distributed PageRank shape. The driver-side Python loop
+    only stitches the (tiny) logical plan — no data is collected.
+    """
+    ev = load_events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    edges_n = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    edges = edges_n.select(
+        "src",
+        "dst",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("src")).cast("double")
+        ).alias("w"),
+    )
+    nodes = edges_n.select(F.col("src").alias("node")).union(
+        edges_n.select(F.col("dst").alias("node"))
+    ).distinct()
+    n_nodes = nodes.count()  # model-sized scalar (|event types|), not corpus data
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(_PR_ITERS):
+        inc = (
+            edges.join(F.broadcast(ranks), edges["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") * F.col("w") * _PR_SCALE, 0)
+                .cast("long")
+                .alias("scaled"),
+            )
+            .groupBy("node")
+            .agg((F.sum("scaled").cast("double") / _PR_SCALE).alias("incoming"))
+        )
+        ranks = nodes.join(inc, "node", "left").select(
+            "node",
+            (
+                F.lit(0.15 / n_nodes)
+                + _PR_DAMP * F.coalesce(F.col("incoming"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks
