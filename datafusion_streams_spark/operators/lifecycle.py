@@ -794,3 +794,85 @@ def graph_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank"),
         )
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# per-user linear trend (exact-sum simple regression)
+# ---------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH e AS (
+    SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value FROM events
+),
+x AS (
+    SELECT user_id,
+        (ts_us - MIN(ts_us) OVER (PARTITION BY user_id)) // 1000000 AS x_sec,
+        CAST(round(value * 100, 0) AS BIGINT) AS y_c
+    FROM e
+),
+s AS (
+    SELECT user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(x_sec) AS BIGINT) AS sx,
+        CAST(SUM(y_c) AS BIGINT) AS sy,
+        CAST(SUM(x_sec * y_c) AS BIGINT) AS sxy,
+        CAST(SUM(x_sec * x_sec) AS BIGINT) AS sxx
+    FROM x GROUP BY user_id
+)
+SELECT user_id, n_events,
+    CASE WHEN CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+         THEN 0.0
+         ELSE (CAST(n_events AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n_events AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * 864.0 END
+        AS slope_per_day
+FROM s
+"""
+
+
+@query("events_value_trend", oracle=_TREND_ORACLE, tags=("events", "agg", "analytic", "window"))
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event value over time (ordinary least
+    squares slope, value units per day) — is this account's spend
+    rising or falling — computed as a single exact-sum aggregation,
+    the closed-form regression every feature store materializes.
+
+    Float parity for a REGRESSION: x is integer seconds since the
+    user's first event, y is integer cents (the fixture's values are
+    2 dp exact, verified), so all five sufficient statistics (n, Sx,
+    Sy, Sxy, Sxx) are exact BIGINTs in any accumulation order; the
+    slope formula then runs in doubles over those exact integers —
+    bit-identical in both engines, including the degenerate-variance
+    branch (den == 0 compares exactly).
+
+    Scale: one shuffle on user_id shared by the min-ts window and the
+    aggregation; sufficient statistics compose map-side (partial
+    aggregation), the canonical distributed-regression shape.
+    """
+    ev = load_events_us(spark, sf_dir)
+    x = ev.select(
+        "user_id",
+        (
+            (F.col("ts_us") - F.min("ts_us").over(Window.partitionBy("user_id")))
+            / F.lit(1_000_000)
+        ).cast("long").alias("x_sec"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y_c"),
+    )
+    s = x.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("x_sec").cast("long").alias("sx"),
+        F.sum("y_c").cast("long").alias("sy"),
+        F.sum(F.col("x_sec") * F.col("y_c")).cast("long").alias("sxy"),
+        F.sum(F.col("x_sec") * F.col("x_sec")).cast("long").alias("sxx"),
+    )
+    n_d = F.col("n_events").cast("double")
+    den = n_d * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    num = n_d * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    return s.select(
+        "user_id",
+        "n_events",
+        F.when(den == 0.0, F.lit(0.0)).otherwise(num / den * 864.0).alias("slope_per_day"),
+    )

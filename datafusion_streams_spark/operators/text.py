@@ -8,7 +8,7 @@ the fingerprint group-by — so they scale linearly with input bytes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_streams_spark.functions import tokens
@@ -1393,4 +1393,110 @@ def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_langs",
         "lang_entropy",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit over the corpus term distribution (round 4)
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 100
+
+_ZIPF_ORACLE = rf"""
+WITH tf AS (
+    SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+        SELECT UNNEST(regexp_split_to_array(lower(text), '\s+')) AS t
+        FROM documents
+    )
+    GROUP BY term
+),
+top AS (
+    SELECT term, freq FROM tf ORDER BY freq DESC, term LIMIT {_ZIPF_TOP}
+),
+ranked AS (
+    SELECT freq,
+        CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rnk
+    FROM top
+),
+pts AS (
+    SELECT
+        CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000, 0) AS BIGINT) AS xi,
+        CAST(round(ln(CAST(freq AS DOUBLE)) * 1000000, 0) AS BIGINT) AS yi
+    FROM ranked
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(xi) AS BIGINT) AS sx,
+        CAST(SUM(yi) AS BIGINT) AS sy,
+        CAST(SUM(xi * yi) AS BIGINT) AS sxy,
+        CAST(SUM(xi * xi) AS BIGINT) AS sxx
+    FROM pts
+)
+SELECT n AS n_terms,
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope
+FROM s
+"""
+
+
+@query("text_zipf_fit", oracle=_ZIPF_ORACLE, tags=("text", "agg", "analytic", "topk"))
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent of the corpus: OLS slope of ln(freq) vs
+    ln(rank) over the top-100 terms — natural text tracks slope ~ -1,
+    so a corpus that deviates sharply (flat: boilerplate/templating;
+    steep: degenerate repetition) fails the distributional sanity
+    check data-quality audits run before training.
+
+    Float parity for a log-log regression: each ln() is rounded onto
+    the 1e-6 grid and scaled to BIGINT, so the five sufficient
+    statistics are exact integers in any accumulation order; the slope
+    formula then runs identical double arithmetic in both engines
+    (same discipline as graph_pagerank_transitions' per-iteration
+    grid).
+
+    Scale: term counting is the one corpus-sized shuffle (map-side
+    combine on the term key); top-100 compiles to per-partition heaps
+    (TakeOrderedAndProject), and the regression itself runs over 100
+    rows. The rank window runs AFTER the limit — never a global sort
+    of the vocabulary.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    top = tf.orderBy(F.desc("freq"), "term").limit(_ZIPF_TOP)
+    ranked = top.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "term"))
+        .cast("long")
+        .alias("rnk"),
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("xi"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000000, 0)
+        .cast("long")
+        .alias("yi"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xi").cast("long").alias("sx"),
+        F.sum("yi").cast("long").alias("sy"),
+        F.sum(F.col("xi") * F.col("yi")).cast("long").alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("long").alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_terms"),
+        (
+            (n_d * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (n_d * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        ).alias("zipf_slope"),
     )
