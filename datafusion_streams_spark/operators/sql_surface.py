@@ -166,3 +166,33 @@ def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SPINE_SPARK)
+
+
+_SQL_LATERAL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+"""
+
+
+@query("sql_lateral_topk", oracle=_SQL_LATERAL, tags=("sql", "subquery", "topk", "join"))
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT —
+    the SQL-standard spelling of top-k-per-group (index-nested-loop
+    shape in a row engine). The text is byte-identical in both
+    engines; Catalyst decorrelates it into a partitioned window +
+    filter — exactly the window_topk_per_group plan — so the
+    "per-customer re-execution" the syntax implies never happens at
+    scale: one shuffle on the correlation key, rank, filter. The
+    physical plan (verified) even applies WindowGroupLimit BEFORE the
+    exchange: each map task keeps only its local top-2 per key, so
+    the shuffle carries at most 2 x |keys| rows per partition.
+    Customers with no orders drop out (inner lateral semantics),
+    identically in both engines.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL)
