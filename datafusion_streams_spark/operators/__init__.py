@@ -163,7 +163,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   timeseries_gap_fill, events_rfm_segmentation, files_schema_evolution,
 #   events_peak_concurrency, join_interval_overlap, sample_group_split,
 #   text_dataset_card, events_pattern_match, graph_pagerank_transitions,
-#   events_value_trend, text_zipf_fit, sql_lateral_topk
+#   events_value_trend, text_zipf_fit, sql_lateral_topk,
+#   streaming_sessionize_state
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

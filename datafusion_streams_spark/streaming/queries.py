@@ -518,3 +518,125 @@ def streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+def _sessionize_state_oracle() -> str:
+    from datafusion_streams_spark.operators.lifecycle import _GAP_US
+
+    return f"""
+WITH e AS (
+    SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+),
+lagged AS (
+    SELECT user_id, event_id, ts_us,
+        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+            AS prev_us
+    FROM e
+),
+flagged AS (
+    SELECT user_id, ts_us,
+        CASE WHEN prev_us IS NULL OR ts_us > prev_us + {_GAP_US}
+             THEN 1 ELSE 0 END AS is_start
+    FROM lagged
+),
+numbered AS (
+    SELECT user_id, ts_us,
+        SUM(is_start) OVER (
+            PARTITION BY user_id ORDER BY ts_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_seq
+    FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    MIN(ts_us) AS s_start_us,
+    MAX(ts_us) AS s_end_us
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+@query(
+    "streaming_sessionize_state",
+    oracle=_sessionize_state_oracle(),
+    tags=("streaming", "stateful", "session", "events"),
+)
+def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful sessionization via applyInPandasWithState — the
+    imperative twin of the built-in session_window aggregate
+    (streaming_session_window): per-user state machine carrying
+    (last_ts, session_seq, session_start, n_events) across
+    micro-batches, closing a session and emitting its final summary
+    when a 30-minute gap arrives, and snapshotting the open session
+    each batch. This is the extension-point shape for session logic
+    session_window CANNOT express (e.g. dynamic gaps, per-session
+    feature accumulation) — the reference has no stateful surface at
+    all, so this is pure Spark upside.
+
+    Correctness under micro-batching: rows are sorted (ts, event_id)
+    within each batch; across batches the file source delivers
+    time-ordered files (its documented modification-time order), so
+    per-user arrival is monotone and the state machine's output is
+    prefix-consistent. The final answer takes max_by(n_events) per
+    (user, session) — completed sessions emit once, open-session
+    snapshots are superseded monotonically, so the result equals the
+    batch gaps-and-islands oracle whatever the batch splits were.
+
+    Scale: state is four longs per ACTIVE user (closed sessions leave
+    state immediately via emission), shuffles once on user_id per
+    batch — the canonical keyed-state layout.
+    """
+    import pandas as pd
+
+    def sessionize(key, pdfs, state):
+        if state.exists:
+            last_us, seq, start_us, n = state.get
+        else:
+            last_us, seq, start_us, n = None, 0, None, 0
+        gap = 30 * 60 * 1_000_000
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for ts_us in pdf["ts_us"].astype("int64"):
+                ts_us = int(ts_us)
+                if last_us is None or ts_us > last_us + gap:
+                    if last_us is not None:
+                        out_rows.append((key[0], seq, n, start_us, last_us))
+                    seq += 1
+                    start_us, n = ts_us, 0
+                n += 1
+                last_us = ts_us
+        state.update((last_us, seq, start_us, n))
+        out_rows.append((key[0], seq, n, start_us, last_us))  # open-session snapshot
+        yield pd.DataFrame(
+            out_rows,
+            columns=["user_id", "session_seq", "n_events", "s_start_us", "s_end_us"],
+        )
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    updates = ev.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType="user_id long, session_seq long, n_events long, s_start_us long, s_end_us long",
+        stateStructType="last_us long, seq long, start_us long, n long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    name, _ = run_drain_to_memory(updates, output_mode="update", state_partitions=8)
+    emitted = spark.table(name)
+    final = F.max_by(
+        F.struct("n_events", "s_start_us", "s_end_us"), F.col("n_events")
+    ).alias("f")
+    return (
+        emitted.groupBy("user_id", "session_seq")
+        .agg(final)
+        .select(
+            "user_id",
+            "session_seq",
+            F.col("f.n_events").alias("n_events"),
+            F.col("f.s_start_us").alias("s_start_us"),
+            F.col("f.s_end_us").alias("s_end_us"),
+        )
+    )

@@ -272,3 +272,91 @@ def test_stateful_totals_batch_split_invariance(spark, tmp_path):
         return out
 
     assert run(1, "one") == run(4, "four")
+
+
+def test_sessionize_state_batch_split_invariance(spark, tmp_path):
+    """streaming_sessionize_state's contract: completed-session
+    summaries are independent of micro-batch boundaries, INCLUDING
+    sessions that span a batch split and sessions that close exactly
+    at one. Replay identical time-ordered rows as 1 file vs 3 files
+    (maxFilesPerTrigger=1) and require identical finals."""
+    import pandas as pd
+
+    gap = 30 * 60 * 1_000_000
+    base = 1_700_000_000_000_000
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        t = base + u * 17
+        for sess in range(3):
+            for i in range(4 + u):           # sessions of differing length
+                rows.append((eid, u, t))
+                eid += 1
+                t += 60_000_000              # 1 min within session
+            t += gap + u * 1_000_000         # close the session
+    # rows are time-ordered per user; keep global order by ts for the
+    # file-split so arrival stays monotone per key
+    rows.sort(key=lambda r: (r[2], r[0]))
+
+    def run(n_files: int, subdir: str) -> dict:
+        src = tmp_path / subdir
+        src.mkdir()
+        chunk = (len(rows) + n_files - 1) // n_files
+        for f in range(n_files):
+            spark.createDataFrame(
+                rows[f * chunk : (f + 1) * chunk],
+                "event_id long, user_id long, ts_us long",
+            ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{f}"))
+
+        def sessionize(key, pdfs, state):
+            if state.exists:
+                last_us, seq, start_us, n = state.get
+            else:
+                last_us, seq, start_us, n = None, 0, None, 0
+            out_rows = []
+            for pdf in pdfs:
+                pdf = pdf.sort_values(["ts_us", "event_id"])
+                for ts_us in pdf["ts_us"].astype("int64"):
+                    ts_us = int(ts_us)
+                    if last_us is None or ts_us > last_us + gap:
+                        if last_us is not None:
+                            out_rows.append((key[0], seq, n, start_us, last_us))
+                        seq += 1
+                        start_us, n = ts_us, 0
+                    n += 1
+                    last_us = ts_us
+            state.update((last_us, seq, start_us, n))
+            out_rows.append((key[0], seq, n, start_us, last_us))
+            yield pd.DataFrame(
+                out_rows,
+                columns=["user_id", "session_seq", "n_events", "s_start_us", "s_end_us"],
+            )
+
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, ts_us long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/b*/part-*.parquet")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                sessionize,
+                outputStructType="user_id long, session_seq long, n_events long, s_start_us long, s_end_us long",
+                stateStructType="last_us long, seq long, start_us long, n long",
+                outputMode="update",
+                timeoutConf="NoTimeout",
+            )
+        )
+        from datafusion_streams_spark.streaming.microbatch import run_drain_to_memory
+
+        name, _ = run_drain_to_memory(stream, output_mode="update")
+        out = {}
+        for r in spark.table(name).collect():
+            k = (r.user_id, r.session_seq)
+            prev = out.get(k)
+            if prev is None or r.n_events > prev[0]:
+                out[k] = (r.n_events, r.s_start_us, r.s_end_us)
+        return out
+
+    one, three = run(1, "one"), run(3, "three")
+    assert one == three
+    # 3 sessions per user, all closed
+    assert len(one) == 9
