@@ -201,3 +201,62 @@ def files_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("lang").cast("long").alias("n_with_lang"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+_COMPACTION_ORACLE = """
+SELECT
+    o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+    CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+    CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+_COMPACTION_TARGET_BYTES = 128 * 1024 * 1024
+
+
+@query("files_compaction", oracle=_COMPACTION_ORACLE, tags=("source", "sink", "files", "partitioning"))
+def files_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the #1 operational fix on a real data
+    lake: a fragmented table (here: orders deliberately shattered into
+    64 tiny part files, the shape a streaming sink or over-parallel
+    job leaves behind) is rewritten into ceil(bytes/128 MB) right-
+    sized files, then read back and aggregated; the hash match against
+    the never-written oracle proves compaction is lossless.
+
+    Why it matters at 100 TB: scan parallelism is per-file-split, but
+    a million 1 MB files costs a million task launches + a million
+    footer reads + NameNode/listing pressure — compaction trades one
+    bounded shuffle-free rewrite (coalesce, not repartition: map-side
+    file concatenation, no exchange) for every future scan's speedup.
+    The output file count is asserted in tests/test_sources_sinks.py;
+    sizing is driver-side file-listing metadata only.
+    """
+    import math
+    import os
+
+    out_small = tempfile.mkdtemp(prefix="dfs_small_")
+    out_compact = tempfile.mkdtemp(prefix="dfs_compact_")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    orders.repartition(64).write.mode("overwrite").parquet(out_small)
+
+    small = spark.read.parquet(out_small)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(out_small, f))
+        for f in os.listdir(out_small)
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total_bytes / _COMPACTION_TARGET_BYTES))
+    small.coalesce(n_out).write.mode("overwrite").parquet(out_compact)
+
+    back = spark.read.parquet(out_compact)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_total"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

@@ -1079,3 +1079,125 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l2") < F.lit(mean_l2) * 0.5) | (F.col("l2") > F.lit(mean_l2) * 2.0)
         ).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall audit (round 4)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 16
+
+_MRL_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (
+    SELECT vec_id, list_transform(v, x -> x / nrm) AS vn
+    FROM (SELECT vec_id, v, sqrt({_dot_sql('v', 'v')}) AS nrm FROM e)
+),
+t0 AS (SELECT vec_id, (v)[1:{_MRL_DIMS}] AS t FROM e),
+t AS (
+    SELECT vec_id, list_transform(t, x -> x / nrm) AS vt
+    FROM (SELECT vec_id, t, sqrt({_dot_sql('t', 't')}) AS nrm FROM t0)
+),
+qf AS (SELECT vec_id AS q_id, vn AS qn FROM n WHERE vec_id < 10),
+qt AS (SELECT vec_id AS q_id, vt AS qv FROM t WHERE vec_id < 10),
+fs AS (
+    SELECT q.q_id, c.vec_id AS neighbor_id,
+        row_number() OVER (
+            PARTITION BY q.q_id
+            ORDER BY {_dot_sql('q.qn', 'c.vn')} DESC, c.vec_id
+        ) AS rn
+    FROM n c JOIN qf q ON c.vec_id <> q.q_id
+),
+ts AS (
+    SELECT q.q_id, c.vec_id AS neighbor_id,
+        row_number() OVER (
+            PARTITION BY q.q_id
+            ORDER BY {_dot_sql('q.qv', 'c.vt')} DESC, c.vec_id
+        ) AS rn
+    FROM t c JOIN qt q ON c.vec_id <> q.q_id
+),
+ov AS (
+    SELECT f.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM (SELECT q_id, neighbor_id FROM fs WHERE rn <= {TOP_K}) f
+    JOIN (SELECT q_id, neighbor_id FROM ts WHERE rn <= {TOP_K}) s
+      ON f.q_id = s.q_id AND f.neighbor_id = s.neighbor_id
+    GROUP BY f.q_id
+)
+SELECT q.q_id,
+    CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+    CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / {TOP_K}.0 AS recall_at_5
+FROM (SELECT DISTINCT q_id FROM qf) q
+LEFT JOIN ov ON q.q_id = ov.q_id
+"""
+
+
+@query("embedding_mrl_recall", oracle=_MRL_ORACLE, tags=("similarity", "ann", "embedding", "analytic"))
+def embedding_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit: recall@5 of cosine top-k computed
+    on the first 16 of 64 dimensions (re-normalized) against the
+    full-dimension ranking — the measurement that decides whether an
+    MRL-style truncated index (4x cheaper storage and bandwidth) is
+    good enough to serve as the coarse stage of a two-phase retriever
+    (Kusupati et al. 2022).
+
+    Both rankings use the engine-shared strict left-to-right dot
+    folds, so scores are bit-identical and recall is a ratio of exact
+    integers. Scale: two broadcast-query brute-force passes (the
+    corpus never shuffles — same posture as ann_topk_bruteforce); at
+    real scale the full-dim pass is the thing being replaced, so the
+    audit runs over a deterministic hash sample of queries, same
+    contract.
+    """
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    e = e.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    from datafusion_streams_spark.functions import l2_norm
+
+    n = e.select(
+        "vec_id",
+        F.transform("v", lambda x: x / l2_norm(F.col("v"))).alias("vn"),
+    )
+    t0 = e.select("vec_id", F.slice("v", 1, _MRL_DIMS).alias("t"))
+    t = t0.select(
+        "vec_id",
+        F.transform("t", lambda x: x / l2_norm(F.col("t"))).alias("vt"),
+    )
+    qf = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("vn").alias("qn")
+    )
+    qt = t.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("vt").alias("qv")
+    )
+
+    def topk(corpus, qs, cvec, qvec):
+        w = Window.partitionBy("q_id").orderBy(F.desc("score"), "neighbor_id")
+        return (
+            corpus.crossJoin(F.broadcast(qs))
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select(
+                "q_id",
+                F.col("vec_id").alias("neighbor_id"),
+                dot(F.col(qvec), F.col(cvec)).alias("score"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("q_id", "neighbor_id")
+        )
+
+    full_top = topk(n, qf, "vn", "qn")
+    trunc_top = topk(t, qt, "vt", "qv")
+    ov = full_top.join(trunc_top, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return (
+        qf.select("q_id")
+        .join(ov, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)).cast("double") / TOP_K).alias(
+                "recall_at_5"
+            ),
+        )
+    )

@@ -147,3 +147,21 @@ def test_pydatasource_stream_row_cap_bounds_batches(spark):
     # batch obeys the cap and >= 4 triggers were needed
     assert all(n <= 300 for n in batch_sizes), batch_sizes
     assert len(batch_sizes) >= 4, batch_sizes
+
+
+def test_compaction_reduces_file_count(spark, tmp_path):
+    """files_compaction's operational claim: 64 shattered part files
+    come back as ceil(bytes/target) files (1 at fixture scale), with
+    zero row loss."""
+    import os
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS k")
+    df.repartition(64).write.parquet(src)
+    n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_small == 64
+    spark.read.parquet(src).coalesce(1).write.parquet(dst)
+    n_compact = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+    assert n_compact == 1
+    assert spark.read.parquet(dst).count() == 10_000
