@@ -164,7 +164,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   events_peak_concurrency, join_interval_overlap, sample_group_split,
 #   text_dataset_card, events_pattern_match, graph_pagerank_transitions,
 #   events_value_trend, text_zipf_fit, sql_lateral_topk,
-#   streaming_sessionize_state, embedding_mrl_recall, files_compaction
+#   streaming_sessionize_state, embedding_mrl_recall, files_compaction,
+#   multimodal_image_tiles, agg_correlation
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

@@ -267,3 +267,84 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return payloads.mapInPandas(_audio_windows, schema)
+
+
+# ---------------------------------------------------------------------------
+# image tiling plumbing (round 4)
+# ---------------------------------------------------------------------------
+
+_TILE = 224  # ViT-style crop window
+
+_TILES_ORACLE = f"""
+WITH img AS (
+    SELECT doc_id,
+        256 + (doc_id % 7) * 128 AS w,
+        256 + (doc_id % 5) * 96  AS h
+    FROM documents
+),
+grid AS (
+    SELECT doc_id, w, h,
+        UNNEST(generate_series(0, (w + {_TILE} - 1) // {_TILE} - 1)) AS tile_x
+    FROM img
+),
+tiles AS (
+    SELECT doc_id, w, h, tile_x,
+        UNNEST(generate_series(0, (h + {_TILE} - 1) // {_TILE} - 1)) AS tile_y
+    FROM grid
+)
+SELECT doc_id,
+    CAST(tile_x AS BIGINT) AS tile_x,
+    CAST(tile_y AS BIGINT) AS tile_y,
+    CAST(tile_x * {_TILE} AS BIGINT) AS x0,
+    CAST(tile_y * {_TILE} AS BIGINT) AS y0,
+    CAST(least((tile_x + 1) * {_TILE}, w) AS BIGINT) AS x1,
+    CAST(least((tile_y + 1) * {_TILE}, h) AS BIGINT) AS y1,
+    CAST(least((tile_x + 1) * {_TILE}, w) - tile_x * {_TILE} AS BIGINT) AS tile_w,
+    CAST(least((tile_y + 1) * {_TILE}, h) - tile_y * {_TILE} AS BIGINT) AS tile_h
+FROM tiles
+"""
+
+
+@query("multimodal_image_tiles", oracle=_TILES_ORACLE, tags=("multimodal", "lateral"))
+def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image tiling plan: explode each image's (width, height) metadata
+    into its 224x224 crop grid with edge-clamped rectangles — the
+    preprocessing fan-out in front of every patch-based vision encoder
+    (one input row becomes tiles_x * tiles_y crop tasks). Dimensions
+    here are deterministic fake metadata (no image codec in this
+    container — see decode_image); the real pipeline decodes + crops
+    inside the SAME mapInPandas stage multimodal_binary_meta runs, and
+    this operator is the grid-planning step that sizes that stage.
+
+    Scale: pure map-side generate+explode — no shuffle, no state; the
+    fan-out is bounded by image dims / tile size, so output rows per
+    input row are O(1) for any sane resolution ceiling. All rectangle
+    arithmetic is integer, trivially engine-identical.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    img = docs.select(
+        "doc_id",
+        (256 + (F.col("doc_id") % 7) * 128).alias("w"),
+        (256 + (F.col("doc_id") % 5) * 96).alias("h"),
+    )
+    nx = ((F.col("w") + _TILE - 1) / _TILE).cast("long") - 1
+    ny = ((F.col("h") + _TILE - 1) / _TILE).cast("long") - 1
+    tiles = img.select(
+        "doc_id", "w", "h", F.explode(F.sequence(F.lit(0), nx)).alias("tile_x")
+    ).select(
+        "doc_id", "w", "h", "tile_x",
+        F.explode(F.sequence(F.lit(0), ny)).alias("tile_y"),
+    )
+    x1 = F.least((F.col("tile_x") + 1) * _TILE, F.col("w"))
+    y1 = F.least((F.col("tile_y") + 1) * _TILE, F.col("h"))
+    return tiles.select(
+        "doc_id",
+        F.col("tile_x").cast("long").alias("tile_x"),
+        F.col("tile_y").cast("long").alias("tile_y"),
+        (F.col("tile_x") * _TILE).cast("long").alias("x0"),
+        (F.col("tile_y") * _TILE).cast("long").alias("y0"),
+        x1.cast("long").alias("x1"),
+        y1.cast("long").alias("y1"),
+        (x1 - F.col("tile_x") * _TILE).cast("long").alias("tile_w"),
+        (y1 - F.col("tile_y") * _TILE).cast("long").alias("tile_h"),
+    )

@@ -1430,3 +1430,72 @@ def agg_mode_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("mode_event"), F.col("n").alias("n_occurrences"))
     )
+
+
+_CORRELATION_ORACLE = """
+WITH p AS (
+    SELECT l_returnflag,
+        CAST(round(l_quantity, 0) AS BIGINT) AS x,
+        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+    FROM lineitem
+),
+s AS (
+    SELECT l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(x) AS BIGINT) AS sx,
+        CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+    FROM p GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        AS corr_qty_price
+FROM s
+"""
+
+
+@query("agg_correlation", oracle=_CORRELATION_ORACLE, tags=("agg", "analytic"))
+def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return
+    flag, from exact-integer sufficient statistics — the two-column
+    relationship profile (built-in corr() accumulates doubles in
+    partition order and is NOT reproducible across engines or runs;
+    this formulation is).
+
+    Parity: x is integer units, y integer cents (both exact in the
+    fixture); the five cross-sums accumulate as DECIMAL(38,0) —
+    order-free exact integers — each cast ONCE to double, after which
+    both engines run the identical correlation expression tree.
+    Scale: one shuffle on the group key with map-side partials, the
+    same distributed-moments shape as events_value_trend.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    x = F.round("l_quantity", 0).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    p = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    d38 = "decimal(38,0)"
+    s = p.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).cast("double").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (
+            (n_d * F.col("sxy") - sx_d * sy_d)
+            / (
+                F.sqrt(n_d * F.col("sxx") - sx_d * sx_d)
+                * F.sqrt(n_d * F.col("syy") - sy_d * sy_d)
+            )
+        ).alias("corr_qty_price"),
+    )
