@@ -876,3 +876,104 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.when(den == 0.0, F.lit(0.0)).otherwise(num / den * 864.0).alias("slope_per_day"),
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonality profile (hour-of-day x day-of-week)
+# ---------------------------------------------------------------------------
+
+_SEASONALITY_ORACLE = """
+WITH c AS (
+    SELECT
+        CAST(EXTRACT(dow FROM ts) AS BIGINT) AS day_of_week,
+        CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM c)
+SELECT day_of_week, hour_of_day, n_events,
+    CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM c, tot
+"""
+
+
+@query("events_seasonality", oracle=_SEASONALITY_ORACLE, tags=("events", "agg", "temporal"))
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week activity heat map with traffic share —
+    the seasonality profile capacity planning and anomaly baselining
+    start from. DOW follows the SQL convention 0=Sunday (Spark's
+    dayofweek is 1=Sunday, shifted here to match EXTRACT(dow)).
+
+    Scale: one aggregation onto a 7x24-bounded key space — map-side
+    partials reduce the event log to at most 168 rows per partition
+    before the exchange; shares divide two exact bigints.
+    """
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("day_of_week"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    total = Window.partitionBy()
+    return c.select(
+        "day_of_week",
+        "hour_of_day",
+        "n_events",
+        (
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(total).cast("double")
+        ).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV matrix (cohort week x account-age week revenue)
+# ---------------------------------------------------------------------------
+
+_COHORT_LTV_ORACLE = """
+WITH f AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY user_id
+),
+j AS (
+    SELECT e.user_id,
+        CAST(date_diff('day', DATE '2024-01-01', f.first_day) // 7 AS BIGINT)
+            AS cohort_week,
+        CAST(date_diff('day', f.first_day, CAST(e.ts AS DATE)) // 7 AS BIGINT)
+            AS age_week,
+        e.value
+    FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT cohort_week, age_week,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM j GROUP BY cohort_week, age_week
+"""
+
+
+@query("events_cohort_ltv", oracle=_COHORT_LTV_ORACLE, tags=("events", "cohort", "agg", "join"))
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: revenue by (signup-cohort week x
+    account-age week) — the matrix whose row-sums are LTV curves and
+    whose diagonal is calendar revenue; the standard payback-period
+    report. Weeks anchor at a fixed epoch so cohort keys are stable
+    across runs and engines.
+
+    Scale: the first-seen relation is one row per user — broadcast
+    against the event log (the same shape as events_retention); the
+    final rollup is weeks^2-bounded. Revenue is an exact decimal sum.
+    """
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    j = ev.join(F.broadcast(firsts), "user_id").select(
+        F.floor(F.datediff("first_day", F.lit("2024-01-01")) / 7)
+        .cast("long")
+        .alias("cohort_week"),
+        F.floor(F.datediff(F.to_date("ts"), F.col("first_day")) / 7)
+        .cast("long")
+        .alias("age_week"),
+        "value",
+    )
+    return j.groupBy("cohort_week", "age_week").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        dsum("value").alias("revenue"),
+    )

@@ -1499,3 +1499,38 @@ def agg_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr_qty_price"),
     )
+
+
+_STRING_CONCAT_ORACLE = """
+SELECT n_name,
+    string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
+    CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@query("agg_string_concat_ordered", oracle=_STRING_CONCAT_ORACLE, tags=("agg", "string"))
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered LISTAGG: supplier names per nation joined
+    '|'-delimited in sorted order. collect_list's arrival order is
+    partition-dependent — the array_sort makes the concatenation a
+    pure function of the SET, reproducible at any parallelism (the
+    same discipline every string-valued aggregate in this repo
+    follows; DuckDB mirrors it with string_agg ORDER BY).
+
+    Scale: one shuffle on the group key; the per-group string is
+    group-cardinality bounded — for unbounded groups, cap with
+    slice(array_sort(...), 1, k) and emit the count alongside (the
+    count column here shows the pattern).
+    """
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias("suppliers"),
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        )
+    )
