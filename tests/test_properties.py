@@ -360,3 +360,48 @@ def test_sessionize_state_batch_split_invariance(spark, tmp_path):
     assert one == three
     # 3 sessions per user, all closed
     assert len(one) == 9
+
+
+def test_peak_concurrency_partition_invariance(spark):
+    """The sweep-line's running sum must be a pure function of the
+    data: the window's (ts_us, delta DESC, user_id, session_seq) total
+    order makes the concurrency curve — and therefore each day's peak
+    — identical under any input partitioning."""
+    from datafusion_streams_spark.operators import REGISTRY
+
+    def run(nparts):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+        try:
+            return {
+                r.day: (r.peak_concurrency, r.n_sessions_started)
+                for r in REGISTRY["events_peak_concurrency"].fn(spark, SF_DIR_SMALL).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    a, b = run(1), run(32)
+    assert a == b and len(a) > 0
+
+
+def test_scd2_intervals_are_consistent(spark):
+    """Structural invariants of the SCD2 output: per user, versions are
+    1..n dense, intervals chain exactly (valid_to == next valid_from),
+    exactly one open (is_current) row per user, and consecutive states
+    differ."""
+    from collections import defaultdict
+
+    from datafusion_streams_spark.operators import REGISTRY
+
+    rows = REGISTRY["events_scd2_compress"].fn(spark, SF_DIR_SMALL).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert by_user
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r.is_current for r in rs) == 1 and rs[-1].is_current == 1
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.state != b.state
