@@ -94,6 +94,10 @@ HEADLINE = [
     "timeseries_gap_fill",
     "join_interval_overlap",
     "sample_group_split",
+    "streaming_sessionize_state",
+    "embedding_mrl_recall",
+    "agg_correlation",
+    "graph_pagerank_transitions",
 ]
 
 
