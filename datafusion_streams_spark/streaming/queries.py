@@ -640,3 +640,53 @@ def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f.s_end_us").alias("s_end_us"),
         )
     )
+
+
+_APPEND_WATERMARK_ORACLE = """
+WITH w AS (
+    SELECT date_trunc('hour', ts) AS ws, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+),
+m AS (SELECT MAX(ts) AS mx FROM events)
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start, event_type, n_events
+FROM w, m
+WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
+"""
+
+
+@query(
+    "streaming_append_watermark",
+    oracle=_APPEND_WATERMARK_ORACLE,
+    tags=("streaming", "window", "watermark"),
+)
+def streaming_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked tumbling window — the production
+    streaming-aggregation shape (complete mode re-emits all state per
+    trigger; append emits each window ONCE, when the watermark passes
+    its end, which is what bounds state at 100 TB/day throughput).
+    Under Trigger.AvailableNow the final no-data micro-batch advances
+    the watermark to max(event_time) - delay, so exactly the windows
+    with end <= max - 10min are emitted — a DETERMINISTIC function of
+    the data, mirrored by the oracle's WHERE clause. The last partial
+    hour stays unemitted in state by design; that withheld tail is the
+    observable difference between append and complete mode
+    (streaming_tumbling_hour), and the oracle pins it.
+
+    Scale: watermark eviction drops every closed window from the state
+    store at the trigger after emission — state holds only open
+    windows x group keys, independent of stream length.
+    """
+    ev = events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    out = agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "event_type",
+        "n_events",
+    )
+    name, _ = run_drain_to_memory(out, output_mode="append")
+    return spark.table(name)
