@@ -1534,3 +1534,93 @@ def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_suppliers"),
         )
     )
+
+
+_BASKET_TOP = 20
+
+_BASKET_ORACLE = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+pc AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part
+    FROM items GROUP BY l_partkey
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        CAST(COUNT(*) AS BIGINT) AS support_ab
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)
+SELECT part_a, part_b, support_ab,
+    CAST(support_ab AS DOUBLE) / CAST(pa.n_part AS DOUBLE) AS confidence_a_b,
+    CAST(support_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+        / (CAST(pa.n_part AS DOUBLE) * CAST(pb.n_part AS DOUBLE)) AS lift
+FROM pairs
+JOIN pc pa ON pairs.part_a = pa.l_partkey
+JOIN pc pb ON pairs.part_b = pb.l_partkey
+CROSS JOIN n
+ORDER BY support_ab DESC, part_a, part_b
+LIMIT {_BASKET_TOP}
+"""
+
+
+@query("join_market_basket", oracle=_BASKET_ORACLE, tags=("join", "agg", "topk", "analytic"))
+def join_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: top part pairs ordered
+    together, with support, confidence and lift — the association-rule
+    primitive (recommendations, bundling, also-bought).
+
+    Scale: the self-join is keyed on the ORDER — fan-out is
+    C(items_per_order, 2), a per-basket constant (~20 for retail
+    baskets), never corpus-quadratic; the pair aggregation shuffles on
+    the (part, part) key with map-side combine, and the per-part
+    counts broadcast back onto the pair relation. Ratios divide exact
+    bigints (bit-identical doubles), and the top-20 compiles to
+    per-partition heaps.
+    """
+    items = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().count()
+    pc = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_part")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support_ab"))
+    )
+    pa = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na"))
+    pb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb"))
+    scored = (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support_ab",
+            (F.col("support_ab").cast("double") / F.col("na").cast("double")).alias(
+                "confidence_a_b"
+            ),
+            (
+                F.col("support_ab").cast("double")
+                * F.lit(float(n_orders))
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("support_ab"), "part_a", "part_b").limit(_BASKET_TOP)
