@@ -1624,3 +1624,49 @@ def join_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("support_ab"), "part_a", "part_b").limit(_BASKET_TOP)
+
+
+_MAP_PACK_ORACLE = """
+WITH m AS (
+    SELECT p_partkey,
+        MAP(['brand', 'type'], [p_brand, p_type]) AS attrs,
+        MAP(['size'], [CAST(p_size AS VARCHAR)]) AS extra
+    FROM part
+)
+SELECT p_partkey,
+    (attrs['brand'])[1] AS brand_val,
+    (attrs['type'])[1] AS type_val,
+    array_to_string(map_keys(attrs), ',') AS keys_csv,
+    array_to_string(map_values(attrs), '|') AS vals_csv,
+    CAST(cardinality(attrs) AS BIGINT) AS n_entries,
+    (map_concat(attrs, extra)['size'])[1] AS size_val
+FROM m
+"""
+
+
+@query("scalar_map_pack", oracle=_MAP_PACK_ORACLE, tags=("scalar", "map"))
+def scalar_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type scalar battery — construction (map from key/value
+    arrays), extraction (element_at), introspection (map_keys /
+    map_values / size) and merge (map_concat) — the semi-structured
+    attribute-bag surface (SURVEY §2.3's scalar row lists map functions
+    alongside string/date/math/array/json; this completes the set).
+    Outputs are flattened to strings/longs so the hash compare sees
+    engine-portable scalars, not engine-specific map renderings.
+
+    Scale: pure per-row projection, whole-stage codegen, no shuffle.
+    """
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    attrs = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    extra = F.create_map(F.lit("size"), F.col("p_size").cast("string"))
+    return p.select(
+        "p_partkey",
+        F.element_at(attrs, "brand").alias("brand_val"),
+        F.element_at(attrs, "type").alias("type_val"),
+        F.array_join(F.map_keys(attrs), ",").alias("keys_csv"),
+        F.array_join(F.map_values(attrs), "|").alias("vals_csv"),
+        F.size(attrs).cast("long").alias("n_entries"),
+        F.element_at(F.map_concat(attrs, extra), "size").alias("size_val"),
+    )
