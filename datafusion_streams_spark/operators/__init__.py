@@ -167,7 +167,7 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   streaming_sessionize_state, embedding_mrl_recall, files_compaction,
 #   multimodal_image_tiles, agg_correlation, events_seasonality,
 #   events_cohort_ltv, agg_string_concat_ordered, streaming_append_watermark,
-#   join_market_basket, scalar_map_pack
+#   join_market_basket, scalar_map_pack, join_null_safe, text_readability
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

@@ -1670,3 +1670,56 @@ def scalar_map_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(attrs).cast("long").alias("n_entries"),
         F.element_at(F.map_concat(attrs, extra), "size").alias("size_val"),
     )
+
+
+_NULL_SAFE_ORACLE = """
+WITH k AS (
+    SELECT o_orderkey,
+        CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderstatus END AS k
+    FROM orders
+),
+a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_a FROM k GROUP BY k),
+b AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_b FROM k WHERE o_orderkey % 2 = 0 GROUP BY k)
+SELECT
+    COALESCE(CAST(a.k AS VARCHAR), '<NULL>') AS join_key,
+    a.n_a,
+    COALESCE(b.n_b, 0) AS n_b
+FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@query("join_null_safe", oracle=_NULL_SAFE_ORACLE, tags=("join", "outer", "scalar"))
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (IS NOT DISTINCT FROM / <=>): NULL keys
+    match each other instead of vanishing — the semantics CDC merges
+    and dimension lookups with optional keys actually need (a plain
+    equi-join silently drops every NULL-keyed row; this query's
+    synthesized 10%-NULL key makes that difference the tested
+    behavior, with the NULL group surfacing as an explicit row).
+
+    Scale: Spark plans <=> as an ordinary hash join on a coalesced
+    key — same single shuffle as the plain join; the NULL group is one
+    key and skews like any hot key (salt it if NULLs dominate).
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("k"),
+    )
+    a = k.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    b = (
+        k.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+        .withColumnRenamed("k", "kb")
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["kb"]), "left")
+        .select(
+            F.coalesce(F.col("k").cast("string"), F.lit("<NULL>")).alias("join_key"),
+            "n_a",
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
+    )

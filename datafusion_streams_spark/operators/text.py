@@ -1500,3 +1500,71 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n_d * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# readability score (round 4)
+# ---------------------------------------------------------------------------
+
+_READABILITY_ORACLE = r"""
+WITH m AS (
+    SELECT doc_id, lang,
+        CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_words,
+        CAST(GREATEST(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1) AS BIGINT)
+            AS n_sentences,
+        CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT)
+            AS n_syllables
+    FROM documents
+)
+SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+    round(206.835
+          - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+          6) AS flesch_score
+FROM m
+"""
+
+
+@query("text_readability", oracle=_READABILITY_ORACLE, tags=("text", "quality"))
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease proxy per document: words/sentence and
+    (vowel-group) syllables/word folded into the classic 206.835
+    formula — the readability axis of corpus quality filtering
+    (alongside text_quality_score's length/punct/stopword gates; very
+    low scores flag run-on machine text, very high flag fragmented
+    boilerplate).
+
+    Syllables use the standard vowel-group approximation (exact
+    syllabification needs a dictionary); sentence count is
+    terminator-split with a floor of 1 — both are integer counts, so
+    the only float work is the final formula over exact-integer
+    ratios, identical in both engines and rounded to 6 dp.
+
+    Scale: map-only projection over the text column — no shuffle.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_words = F.size(tokens("text")).cast("long")
+    n_sentences = F.greatest(
+        F.size(F.split(F.col("text"), r"[.!?]+")) - 1, F.lit(1)
+    ).cast("long")
+    n_syllables = F.greatest(
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0)),
+        F.lit(1),
+    ).cast("long")
+    m = docs.select(
+        "doc_id", "lang",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    return m.select(
+        "doc_id", "lang", "n_words", "n_sentences", "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+            - F.lit(84.6)
+            * (F.col("n_syllables").cast("double") / F.col("n_words").cast("double")),
+            6,
+        ).alias("flesch_score"),
+    )
