@@ -167,7 +167,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   streaming_sessionize_state, embedding_mrl_recall, files_compaction,
 #   multimodal_image_tiles, agg_correlation, events_seasonality,
 #   events_cohort_ltv, agg_string_concat_ordered, streaming_append_watermark,
-#   join_market_basket, scalar_map_pack, join_null_safe, text_readability
+#   join_market_basket, scalar_map_pack, join_null_safe, text_readability,
+#   streaming_foreachbatch_merge, set_ops_all
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

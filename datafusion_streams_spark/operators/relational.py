@@ -1723,3 +1723,59 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
         )
     )
+
+
+_SET_ALL_ORACLE = """
+WITH a AS (SELECT o_orderstatus AS s, o_orderpriority AS p FROM orders WHERE o_orderkey % 3 = 0),
+b AS (SELECT o_orderstatus AS s, o_orderpriority AS p FROM orders WHERE o_orderkey % 2 = 0),
+u AS (SELECT s, p FROM a UNION ALL SELECT s, p FROM b),
+i AS (SELECT s, p FROM a INTERSECT ALL SELECT s, p FROM b),
+e AS (SELECT s, p FROM a EXCEPT ALL SELECT s, p FROM b)
+SELECT s, p,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM u WHERE u.s = g.s AND u.p = g.p) AS n_union_all,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM i WHERE i.s = g.s AND i.p = g.p) AS n_intersect_all,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE e.s = g.s AND e.p = g.p) AS n_except_all
+FROM (SELECT DISTINCT s, p FROM u) g
+"""
+
+
+@query("set_ops_all", oracle=_SET_ALL_ORACLE, tags=("setop", "agg", "subquery"))
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (UNION ALL / INTERSECT ALL /
+    EXCEPT ALL) — the multiplicity-preserving variants, whose row
+    counts per group are the tested contract (set_union/intersect/
+    except cover the DISTINCT forms; ALL semantics differ exactly when
+    duplicates exist, which the overlapping orders slices guarantee).
+    INTERSECT ALL keeps min(multiplicity), EXCEPT ALL subtracts with a
+    floor of zero — both checked per (status, priority) group.
+
+    Scale: Spark plans intersectAll/exceptAll as aggregations over
+    tagged unions — one shuffle each on the full row key; the counting
+    projection here adds a tiny distinct-key rollup.
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    )
+    b = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    )
+    u = a.unionAll(b)
+    i = a.intersectAll(b)
+    e = a.exceptAll(b)
+
+    def counts(df, name):
+        return df.groupBy("s", "p").agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    g = u.select("s", "p").distinct()
+    return (
+        g.join(counts(u, "n_union_all"), ["s", "p"], "left")
+        .join(counts(i, "n_intersect_all"), ["s", "p"], "left")
+        .join(counts(e, "n_except_all"), ["s", "p"], "left")
+        .select(
+            "s", "p",
+            F.coalesce("n_union_all", F.lit(0)).cast("long").alias("n_union_all"),
+            F.coalesce("n_intersect_all", F.lit(0)).cast("long").alias("n_intersect_all"),
+            F.coalesce("n_except_all", F.lit(0)).cast("long").alias("n_except_all"),
+        )
+    )

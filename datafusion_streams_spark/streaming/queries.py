@@ -690,3 +690,94 @@ def streaming_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name, _ = run_drain_to_memory(out, output_mode="append")
     return spark.table(name)
+
+
+@query(
+    "streaming_foreachbatch_merge",
+    oracle=_CDC_UPSERT_ORACLE,
+    tags=("streaming", "stateful", "cdc", "sink"),
+)
+def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO via foreachBatch: each micro-batch is applied to a
+    keyed parquet table as an idempotent upsert (versioned directory
+    per batch — the poor man's transaction log; with a lakehouse
+    format this body becomes one MERGE statement). Where
+    streaming_cdc_upsert keeps the latest-state view in OPERATOR
+    state, this keeps it in a TABLE — the sink-side pattern that
+    survives stream restarts and serves readers mid-stream.
+
+    Arrival-order independence is by construction: the per-key merge
+    function (max_by on the (ts, event_id) total order + additive
+    change counts) is associative and commutative, so the final table
+    equals the batch oracle under ANY micro-batch split — same
+    argument as the stateful-totals monotone-prefix proof.
+
+    Scale: each batch touches |batch keys| rows of the state table via
+    one full-outer join (with a real MERGE + clustered table this
+    prunes to matching files); nothing is ever collected.
+    """
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="dfs_merge_")
+    state = {"dir": None}
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+
+    def apply_batch(bdf, batch_id):
+        sess = bdf.sparkSession
+        agg = bdf.groupBy("user_id").agg(
+            F.max_by("event_type", ordkey).alias("last_event_type"),
+            F.max("ts").alias("last_ts"),
+            F.max_by("value", ordkey).alias("last_value"),
+            F.max_by("event_id", ordkey).alias("last_event_id"),
+            F.count(F.lit(1)).cast("long").alias("n_changes"),
+        )
+        if state["dir"] is not None:
+            old = sess.read.parquet(state["dir"])
+            o, b = old.alias("o"), agg.alias("b")
+            j = o.join(b, "user_id", "full")
+            take_b = F.col("b.last_ts").isNotNull() & (
+                F.col("o.last_ts").isNull()
+                | (
+                    F.struct(F.col("b.last_ts"), F.col("b.last_event_id"))
+                    > F.struct(F.col("o.last_ts"), F.col("o.last_event_id"))
+                )
+            )
+            merged = j.select(
+                "user_id",
+                F.when(take_b, F.col("b.last_event_type"))
+                .otherwise(F.col("o.last_event_type"))
+                .alias("last_event_type"),
+                F.when(take_b, F.col("b.last_ts"))
+                .otherwise(F.col("o.last_ts"))
+                .alias("last_ts"),
+                F.when(take_b, F.col("b.last_value"))
+                .otherwise(F.col("o.last_value"))
+                .alias("last_value"),
+                F.when(take_b, F.col("b.last_event_id"))
+                .otherwise(F.col("o.last_event_id"))
+                .alias("last_event_id"),
+                (
+                    F.coalesce(F.col("o.n_changes"), F.lit(0))
+                    + F.coalesce(F.col("b.n_changes"), F.lit(0))
+                ).cast("long").alias("n_changes"),
+            )
+        else:
+            merged = agg
+        out = f"{base}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        state["dir"] = out
+
+    ev = events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dfs_merge_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = spark.read.parquet(state["dir"])
+    return final.select(
+        "user_id", "last_event_type", "last_ts", "last_value", "n_changes"
+    )
