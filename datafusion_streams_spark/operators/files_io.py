@@ -260,3 +260,72 @@ def files_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+_MALFORMED_ORACLE = """
+SELECT o_orderpriority AS grp,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders WHERE o_orderkey % 50 <> 0
+GROUP BY o_orderpriority
+UNION ALL
+SELECT '<CORRUPT>' AS grp,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(NULL AS DOUBLE) AS sum_total
+FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+
+@query("files_csv_malformed", oracle=_MALFORMED_ORACLE, tags=("source", "files", "csv"))
+def files_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant CSV ingestion: a feed where every 50th record is
+    garbage (wrong arity + untypeable key) read under PERMISSIVE mode
+    with columnNameOfCorruptRecord — good rows parse, bad rows land in
+    the corrupt-record column instead of failing the job, and the
+    per-priority aggregate plus an explicit '<CORRUPT>' bucket
+    hash-match the oracle's re-derivation of the same corruption rule.
+    This is the real-feed posture (FAILFAST is for tests; production
+    feeds always contain garbage) — the corrupt bucket count is the
+    data-quality metric the ingestion dashboard plots.
+
+    Scale: text write + permissive parse are both map-only; the
+    quarantined rows keep their raw text for replay/debugging.
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    line = F.when(
+        F.col("o_orderkey") % 50 == 0, F.lit("###corrupt###")
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderpriority"),
+            F.col("o_totalprice").cast("string"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="dfs_malformed_")
+    o.select(line.alias("value")).write.mode("overwrite").text(out)
+    # CSV column pruning must be OFF for corrupt-record detection to see
+    # under-length rows when a downstream aggregate prunes the parse to a
+    # column subset (documented Spark caveat on columnNameOfCorruptRecord);
+    # restore the conf afterwards — it is a scan-planning flag, not state.
+    spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+    try:
+        back = spark.read.schema(
+            "o_orderkey LONG, o_orderpriority STRING, o_totalprice DOUBLE, _corrupt_record STRING"
+        ).option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        ).csv(out)
+        grp = F.when(
+            F.col("_corrupt_record").isNotNull(), F.lit("<CORRUPT>")
+        ).otherwise(F.col("o_orderpriority"))
+        result = back.groupBy(grp.alias("grp")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+        # materialize while the conf is off (the plan executes lazily)
+        result = spark.createDataFrame(
+            result.collect(), schema=result.schema
+        )
+    finally:
+        spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "true")
+    return result

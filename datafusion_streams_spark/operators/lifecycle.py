@@ -977,3 +977,103 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         dsum("value").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart (finite-horizon, dyadic weights -> exact floats)
+# ---------------------------------------------------------------------------
+
+_EWMA_THRESHOLD_CENTS = 15000.0  # 150.00 in value units
+
+_EWMA_ORACLE = f"""
+WITH e AS (
+    SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        CAST(round(value * 100, 0) AS BIGINT) AS y_c
+    FROM events
+),
+l AS (
+    SELECT user_id, event_id, ts_us, y_c,
+        lag(y_c, 1) OVER w AS y1,
+        lag(y_c, 2) OVER w AS y2,
+        lag(y_c, 3) OVER w AS y3,
+        lag(y_c, 4) OVER w AS y4
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+p AS (
+    SELECT user_id, event_id, y_c,
+        (CASE WHEN y1 IS NULL THEN 0.0 ELSE 1.0   * y1 END
+       + CASE WHEN y2 IS NULL THEN 0.0 ELSE 0.5   * y2 END
+       + CASE WHEN y3 IS NULL THEN 0.0 ELSE 0.25  * y3 END
+       + CASE WHEN y4 IS NULL THEN 0.0 ELSE 0.125 * y4 END) AS num,
+        (CASE WHEN y1 IS NULL THEN 0.0 ELSE 1.0   END
+       + CASE WHEN y2 IS NULL THEN 0.0 ELSE 0.5   END
+       + CASE WHEN y3 IS NULL THEN 0.0 ELSE 0.25  END
+       + CASE WHEN y4 IS NULL THEN 0.0 ELSE 0.125 END) AS den
+    FROM l
+)
+SELECT user_id, event_id,
+    CAST(y_c AS DOUBLE) / 100.0 AS value,
+    CASE WHEN den = 0.0 THEN NULL ELSE num / den / 100.0 END AS ewma_pred,
+    CASE WHEN den = 0.0 THEN NULL
+         ELSE (CAST(y_c AS DOUBLE) - num / den) / 100.0 END AS residual,
+    CAST(CASE WHEN den > 0.0
+              AND abs(CAST(y_c AS DOUBLE) - num / den) > {_EWMA_THRESHOLD_CENTS}
+         THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM p
+"""
+
+
+@query("events_ewma_control", oracle=_EWMA_ORACLE, tags=("events", "window", "analytic", "anomaly"))
+def events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart: each event's value vs an exponentially
+    weighted prediction from the user's previous four values
+    (geometric weights 1, 1/2, 1/4, 1/8, renormalized over present
+    lags), flagging residuals beyond the control limit — the
+    continuation of events_anomaly_zscore into the smoothing family
+    (z-score asks 'unusual vs trailing variance'; EWMA asks 'broke the
+    trend').
+
+    Exact float parity WITHOUT rounding tricks: values are integer
+    cents and the weights are dyadic rationals, so every product and
+    partial sum lands on the 2^-3 grid — exactly representable — and
+    the single division of two exact doubles is correctly rounded
+    identically in both engines, as is the threshold compare. The
+    first event per user has no prediction (NULL, matched).
+
+    Scale: one user_id shuffle; four lags share one window sort.
+    """
+    ev = load_events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    y = F.round(F.col("value") * 100, 0).cast("long")
+    l = ev.select(
+        "user_id", "event_id", y.alias("y_c"),
+        F.lag(y, 1).over(w).alias("y1"),
+        F.lag(y, 2).over(w).alias("y2"),
+        F.lag(y, 3).over(w).alias("y3"),
+        F.lag(y, 4).over(w).alias("y4"),
+    )
+
+    def term(c, wt):
+        return F.when(F.col(c).isNull(), F.lit(0.0)).otherwise(F.lit(wt) * F.col(c))
+
+    def wsum(c, wt):
+        return F.when(F.col(c).isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+
+    num = term("y1", 1.0) + term("y2", 0.5) + term("y3", 0.25) + term("y4", 0.125)
+    den = wsum("y1", 1.0) + wsum("y2", 0.5) + wsum("y3", 0.25) + wsum("y4", 0.125)
+    p = l.select("user_id", "event_id", "y_c", num.alias("num"), den.alias("den"))
+    pred = F.when(F.col("den") == 0.0, F.lit(None)).otherwise(
+        F.col("num") / F.col("den")
+    )
+    resid = F.col("y_c").cast("double") - F.col("num") / F.col("den")
+    return p.select(
+        "user_id",
+        "event_id",
+        (F.col("y_c").cast("double") / 100.0).alias("value"),
+        (pred / 100.0).alias("ewma_pred"),
+        F.when(F.col("den") == 0.0, F.lit(None)).otherwise(resid / 100.0).alias("residual"),
+        F.when(
+            (F.col("den") > 0.0) & (F.abs(resid) > _EWMA_THRESHOLD_CENTS), 1
+        ).otherwise(0).cast("long").alias("is_outlier"),
+    )
