@@ -1779,3 +1779,90 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_except_all", F.lit(0)).cast("long").alias("n_except_all"),
         )
     )
+
+
+_MOMENTS_ORACLE = """
+WITH p AS (
+    SELECT l_returnflag,
+        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+    FROM lineitem
+),
+s AS (
+    SELECT l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS s2,
+        CAST(SUM(CAST(y AS DECIMAL(38,0)) * y * y) AS DOUBLE) AS s3,
+        CAST(SUM(CAST(CAST(y AS DECIMAL(38,0)) * y AS DECIMAL(38,0))
+                 * CAST(CAST(y AS DECIMAL(38,0)) * y AS DECIMAL(38,0)))
+             AS DOUBLE) AS s4
+    FROM p GROUP BY l_returnflag
+),
+m AS (
+    SELECT l_returnflag, n, s1, s2, s3, s4,
+        s1 / CAST(n AS DOUBLE) AS m1
+    FROM s
+),
+c AS (
+    SELECT l_returnflag, n, m1,
+        s2 / CAST(n AS DOUBLE) - m1 * m1 AS mu2,
+        s3 / CAST(n AS DOUBLE) - 3.0 * m1 * (s2 / CAST(n AS DOUBLE))
+            + 2.0 * m1 * m1 * m1 AS mu3,
+        s4 / CAST(n AS DOUBLE) - 4.0 * m1 * (s3 / CAST(n AS DOUBLE))
+            + 6.0 * m1 * m1 * (s2 / CAST(n AS DOUBLE))
+            - 3.0 * m1 * m1 * m1 * m1 AS mu4
+    FROM m
+)
+SELECT l_returnflag, n,
+    round(m1 / 100.0, 6) AS mean_price,
+    round(sqrt(mu2) / 100.0, 6) AS stddev_pop_price,
+    round(mu3 / (sqrt(mu2) * sqrt(mu2) * sqrt(mu2)), 6) AS skewness,
+    round(mu4 / (mu2 * mu2) - 3.0, 6) AS excess_kurtosis
+FROM c
+"""
+
+
+@query("agg_skew_kurtosis", oracle=_MOMENTS_ORACLE, tags=("agg", "analytic"))
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per return flag from
+    exact raw power sums — the distribution-shape profile (is price
+    right-tailed? heavy-tailed?) that built-in skewness()/kurtosis()
+    compute with order-dependent float accumulation; here S1..S4 are
+    DECIMAL(38,0)-exact integer sums (cents^4 at 100 TB row counts
+    still fits 38 digits), so both engines derive central moments from
+    identical doubles. The final transcendental-free expressions are
+    rounded to 6 dp only to absorb the one sqrt's last-ulp.
+
+    Scale: one shuffle with map-side partial power sums — the
+    classic distributed-moments sketch (constant state per group).
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    p = li.select("l_returnflag", y.alias("y"))
+    d38 = "decimal(38,0)"
+    y2 = (F.col("y").cast(d38) * F.col("y")).cast(d38)
+    s = p.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y").cast(d38)).cast("double").alias("s1"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).cast("double").alias("s2"),
+        F.sum(F.col("y").cast(d38) * F.col("y") * F.col("y")).cast("double").alias("s3"),
+        F.sum(y2 * y2).cast("double").alias("s4"),
+    )
+    n_d = F.col("n").cast("double")
+    m1 = F.col("s1") / n_d
+    mu2 = F.col("s2") / n_d - m1 * m1
+    mu3 = F.col("s3") / n_d - F.lit(3.0) * m1 * (F.col("s2") / n_d) + F.lit(2.0) * m1 * m1 * m1
+    mu4 = (
+        F.col("s4") / n_d
+        - F.lit(4.0) * m1 * (F.col("s3") / n_d)
+        + F.lit(6.0) * m1 * m1 * (F.col("s2") / n_d)
+        - F.lit(3.0) * m1 * m1 * m1 * m1
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(m1 / 100.0, 6).alias("mean_price"),
+        F.round(F.sqrt(mu2) / 100.0, 6).alias("stddev_pop_price"),
+        F.round(mu3 / (F.sqrt(mu2) * F.sqrt(mu2) * F.sqrt(mu2)), 6).alias("skewness"),
+        F.round(mu4 / (mu2 * mu2) - F.lit(3.0), 6).alias("excess_kurtosis"),
+    )

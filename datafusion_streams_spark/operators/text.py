@@ -1568,3 +1568,85 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# code-vs-prose detection (round 4)
+# ---------------------------------------------------------------------------
+
+_CODE_DETECT_ORACLE = r"""
+WITH m AS (
+    SELECT doc_id, lang,
+        CAST(length(text) AS BIGINT) AS n_chars_t,
+        CAST(length(text)
+             - length(regexp_replace(text, '[{}()\[\];=<>|&+*/\\_-]', '', 'g'))
+             AS BIGINT) AS n_symbols,
+        CAST(len(regexp_extract_all(
+            text,
+            '\b(def|class|return|import|function|var|const|int|void|public|if|else|for|while)\b'
+        )) AS BIGINT) AS n_keywords,
+        CAST(len(regexp_extract_all(text, '(^|\n)(    |\t)')) AS BIGINT)
+            AS n_indented
+    FROM documents
+)
+SELECT doc_id, lang, n_symbols, n_keywords, n_indented,
+    CAST(n_symbols AS DOUBLE) / CAST(GREATEST(n_chars_t, 1) AS DOUBLE)
+        AS symbol_ratio,
+    CAST(CASE WHEN CAST(n_symbols AS DOUBLE)
+                   / CAST(GREATEST(n_chars_t, 1) AS DOUBLE) > 0.03
+              AND n_keywords >= 3
+         THEN 1 ELSE 0 END AS BIGINT) AS looks_like_code
+FROM m
+"""
+
+
+@query("text_code_detect", oracle=_CODE_DETECT_ORACLE, tags=("text", "quality", "langid"))
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristic: structural-symbol density, programming
+    keyword hits, and indented-line starts, combined into a
+    looks_like_code flag — the router that decides whether a document
+    goes down the code-corpus pipeline (different dedup granularity,
+    different quality rules) or the prose pipeline. All three signals
+    are exact integer counts from the same regex semantics (RE2-style
+    classes both engines share); the ratio divides exact ints and the
+    flag's threshold compare therefore takes the same branch.
+
+    Scale: map-only regex projection — no shuffle; at 100 TB this is
+    the cheapest router in the curation DAG.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_chars_t = F.length("text").cast("long")
+    n_symbols = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[{}()\[\];=<>|&+*/\\_-]", ""))
+    ).cast("long")
+    n_keywords = F.size(
+        F.regexp_extract_all(
+            "text",
+            F.lit(
+                r"\b(def|class|return|import|function|var|const|int|void|public|if|else|for|while)\b"
+            ),
+            0,
+        )
+    ).cast("long")
+    n_indented = F.size(
+        F.regexp_extract_all("text", F.lit("(^|\n)(    |\t)"), 0)
+    ).cast("long")
+    m = docs.select(
+        "doc_id", "lang",
+        n_chars_t.alias("n_chars_t"),
+        n_symbols.alias("n_symbols"),
+        n_keywords.alias("n_keywords"),
+        n_indented.alias("n_indented"),
+    )
+    ratio = F.col("n_symbols").cast("double") / F.greatest(
+        F.col("n_chars_t"), F.lit(1)
+    ).cast("double")
+    return m.select(
+        "doc_id", "lang", "n_symbols", "n_keywords", "n_indented",
+        ratio.alias("symbol_ratio"),
+        F.when((ratio > 0.03) & (F.col("n_keywords") >= 3), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("looks_like_code"),
+    )
