@@ -169,7 +169,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   events_cohort_ltv, agg_string_concat_ordered, streaming_append_watermark,
 #   join_market_basket, scalar_map_pack, join_null_safe, text_readability,
 #   streaming_foreachbatch_merge, set_ops_all, events_ewma_control,
-#   files_csv_malformed, text_code_detect, agg_skew_kurtosis
+#   files_csv_malformed, text_code_detect, agg_skew_kurtosis,
+#   text_line_dedup, streaming_stream_left_join
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

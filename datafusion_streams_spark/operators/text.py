@@ -1650,3 +1650,86 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("looks_like_code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate dedup (round 4)
+# ---------------------------------------------------------------------------
+
+_LINE_DEDUP_MIN_CHARS = 15
+_LINE_DEDUP_SHARED = 3
+
+_LINE_DEDUP_ORACLE = rf"""
+WITH lines AS (
+    SELECT doc_id, trim(l) AS line
+    FROM (
+        SELECT doc_id, UNNEST(regexp_split_to_array(text, '\n|\. ')) AS l
+        FROM documents
+    )
+    WHERE length(trim(l)) >= {_LINE_DEDUP_MIN_CHARS}
+),
+freq AS (
+    SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with
+    FROM lines GROUP BY line
+),
+per_doc AS (
+    SELECT l.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(CASE WHEN f.n_docs_with >= {_LINE_DEDUP_SHARED} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_boilerplate
+    FROM lines l JOIN freq f ON l.line = f.line
+    GROUP BY l.doc_id
+)
+SELECT doc_id, n_lines, n_boilerplate,
+    CAST(n_boilerplate AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        AS boilerplate_fraction
+FROM per_doc
+"""
+
+
+@query("text_line_dedup", oracle=_LINE_DEDUP_ORACLE, tags=("text", "dedup", "quality"))
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-granularity boilerplate detection (the CCNet preprocessing
+    step): split documents into line/sentence units, count how many
+    DISTINCT documents share each unit, and report each document's
+    boilerplate fraction (units appearing in >= 3 documents — nav
+    bars, cookie banners, license footers). Complements text_seq_dedup
+    (token windows, order-sensitive) and text_dup_span_stats (4-gram
+    spans) at the granularity real web-corpus cleaning actually
+    removes first.
+
+    Scale: one shuffle keyed on the line text (map-side distinct
+    within doc first keeps hot lines from exploding the exchange —
+    COUNT(DISTINCT doc_id) over the line key); the per-doc rollup
+    reuses the doc_id key. Fraction divides exact bigints.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lines = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", r"\n|\. ")).alias("l"),
+        )
+        .select("doc_id", F.trim("l").alias("line"))
+        .filter(F.length("line") >= _LINE_DEDUP_MIN_CHARS)
+    )
+    freq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs_with")
+    )
+    per_doc = (
+        lines.join(freq, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.when(F.col("n_docs_with") >= _LINE_DEDUP_SHARED, 1).otherwise(0)
+            ).cast("long").alias("n_boilerplate"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_lines",
+        "n_boilerplate",
+        (
+            F.col("n_boilerplate").cast("double") / F.col("n_lines").cast("double")
+        ).alias("boilerplate_fraction"),
+    )

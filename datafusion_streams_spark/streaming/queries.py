@@ -781,3 +781,82 @@ def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "user_id", "last_event_type", "last_ts", "last_value", "n_changes"
     )
+
+
+_STREAM_LEFT_JOIN_ORACLE = """
+WITH v AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+    SELECT LEAST((SELECT MAX(ts) FROM v), (SELECT MAX(ts) FROM p))
+           - INTERVAL 1 SECOND AS w
+)
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+FROM v JOIN p
+  ON v.user_id = p.user_id AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT v.user_id, v.event_id AS view_id, CAST(NULL AS BIGINT) AS purchase_id
+FROM v, wm
+WHERE v.ts + INTERVAL 1 HOUR <= wm.w
+  AND NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = v.user_id
+        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+  )
+"""
+
+
+@query(
+    "streaming_stream_left_join",
+    oracle=_STREAM_LEFT_JOIN_ORACLE,
+    tags=("streaming", "join", "outer", "watermark"),
+)
+def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the hardest built-in
+    streaming operator: matched (view, purchase) pairs emit as they
+    arrive, and an unmatched view emits NULL-extended only once the
+    join watermark proves no future purchase can still match it. The
+    emission rule is deterministic and the oracle pins it exactly:
+    null rows are the unmatched views whose whole match window
+    [v_ts, v_ts + 1h] falls at or below the final global watermark
+    (min of the two sides' max event times, minus the 1 s delay) —
+    verified empirically to the row against Spark's state eviction.
+    Views newer than that stay buffered at drain (the withheld tail is
+    part of the contract, exactly like streaming_append_watermark).
+
+    Scale: watermark + interval condition bound both state stores to
+    one hour of rows per user; without them a stream-stream outer join
+    buffers both streams forever. State shuffles once on user_id.
+    """
+
+    def side(alias_type: str, prefix: str) -> DataFrame:
+        ev = (
+            events_stream(spark, sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == alias_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+        return ev.withWatermark(f"{prefix}_ts", "1 second")
+
+    views = side("view", "v")
+    purchases = side("purchase", "p")
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user_id = p_user_id AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+        "left_outer",
+    ).select(
+        F.col("v_user_id").alias("user_id"),
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+    )
+    name, _ = run_drain_to_memory(joined, output_mode="append", state_partitions=8)
+    return spark.table(name)
