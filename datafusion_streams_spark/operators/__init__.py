@@ -170,7 +170,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   join_market_basket, scalar_map_pack, join_null_safe, text_readability,
 #   streaming_foreachbatch_merge, set_ops_all, events_ewma_control,
 #   files_csv_malformed, text_code_detect, agg_skew_kurtosis,
-#   text_line_dedup, streaming_stream_left_join
+#   text_line_dedup, streaming_stream_left_join, join_asof_forward,
+#   events_new_vs_returning
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

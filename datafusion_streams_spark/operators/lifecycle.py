@@ -1077,3 +1077,53 @@ def events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("den") > 0.0) & (F.abs(resid) > _EWMA_THRESHOLD_CENTS), 1
         ).otherwise(0).cast("long").alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# new vs returning daily split
+# ---------------------------------------------------------------------------
+
+_NEW_VS_RETURNING_ORACLE = """
+WITH f AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY user_id
+),
+j AS (
+    SELECT strftime(CAST(e.ts AS DATE), '%Y-%m-%d') AS day,
+        CASE WHEN CAST(e.ts AS DATE) = f.first_day
+             THEN 'new' ELSE 'returning' END AS user_kind,
+        e.user_id
+    FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT day, user_kind,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM j GROUP BY day, user_kind
+"""
+
+
+@query("events_new_vs_returning", oracle=_NEW_VS_RETURNING_ORACLE, tags=("events", "cohort", "agg"))
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: each day's events and actives
+    partitioned by whether the user is on their first active day —
+    the growth-accounting companion to events_cumulative_uniques (its
+    n_new_users column is this query's 'new' slice, a consistency the
+    oracle pins across both).
+
+    Scale: first-seen is the usual one-row-per-user reduction,
+    broadcast against the event log; the rollup key space is
+    2 x days.
+    """
+    ev = load_events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    j = ev.join(F.broadcast(firsts), "user_id").select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        F.when(F.to_date("ts") == F.col("first_day"), "new")
+        .otherwise("returning")
+        .alias("user_kind"),
+        "user_id",
+    )
+    return j.groupBy("day", "user_kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

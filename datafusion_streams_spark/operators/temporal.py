@@ -185,3 +185,68 @@ def rollup_multiresolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_events"),
         F.sum("v").cast("double").alias("total_value"),
     )
+
+
+_ASOF_FWD_ORACLE = """
+WITH clicks AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, ts AS purchase_ts, MAX(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, p.purchase_ts, p.purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.purchase_ts
+"""
+
+
+@query("join_asof_forward", oracle=_ASOF_FWD_ORACLE, tags=("temporal", "asof", "join"))
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD AS-OF join: each click matched to the user's NEXT
+    purchase at or after it — the look-ahead direction (time-to-next-
+    conversion, next-quote-after-trade) completing join_asof's
+    backward carry. Same scale argument: union + tag + ONE user_id
+    shuffle + linear carry, here scanning time DESCENDING so
+    last(ignoreNulls) carries the nearest FUTURE purchase backward to
+    each click; at equal timestamps the purchase sorts first in scan
+    order (kind 0 before 1), making it visible to the same-instant
+    click — exactly DuckDB's ASOF <= tie rule, hash-verified.
+    """
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp_ntz").alias("purchase_ts"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            F.col("ts").alias("purchase_ts"),
+            "purchase_value",
+        )
+    )
+    tagged = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "kind",
+        F.last("purchase_ts", ignorenulls=True).over(w).alias("purchase_ts"),
+        F.last("purchase_value", ignorenulls=True).over(w).alias("purchase_value"),
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "event_id", "user_id", "purchase_ts", "purchase_value"
+    )
