@@ -632,3 +632,119 @@ def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+_CURATION_V4_ORACLE = r"""
+WITH cd AS (
+    SELECT doc_id,
+        CASE WHEN CAST(length(text)
+                       - length(regexp_replace(text, '[{}()\[\];=<>|&+*/\\_-]', '', 'g'))
+                       AS DOUBLE)
+                  / CAST(GREATEST(length(text), 1) AS DOUBLE) > 0.03
+              AND len(regexp_extract_all(
+                    text,
+                    '\b(def|class|return|import|function|var|const|int|void|public|if|else|for|while)\b'
+                  )) >= 3
+             THEN 1 ELSE 0 END AS looks_like_code
+    FROM documents
+),
+rd AS (
+    SELECT doc_id,
+        round(206.835
+        - 1.015 * (CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE)
+                   / CAST(GREATEST(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1) AS DOUBLE))
+        - 84.6 * (CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS DOUBLE)
+                  / CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DOUBLE)),
+            6) AS flesch
+    FROM documents
+),
+lines AS (
+    SELECT doc_id, trim(l) AS line
+    FROM (SELECT doc_id, UNNEST(regexp_split_to_array(text, '\n|\. ')) AS l
+          FROM documents)
+    WHERE length(trim(l)) >= 15
+),
+freq AS (
+    SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d
+    FROM lines GROUP BY line
+),
+bp AS (
+    SELECT l.doc_id,
+        CAST(SUM(CASE WHEN f.d >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS boilerplate_fraction
+    FROM lines l JOIN freq f ON l.line = f.line
+    GROUP BY l.doc_id
+),
+kept AS (
+    SELECT d.doc_id, d.lang, d.n_chars,
+        CASE WHEN substr(md5(md5(d.text)), 1, 2) < 'cd' THEN 'train'
+             WHEN substr(md5(md5(d.text)), 1, 2) < 'e6' THEN 'val'
+             ELSE 'test' END AS split
+    FROM documents d
+    JOIN cd ON d.doc_id = cd.doc_id
+    JOIN rd ON d.doc_id = rd.doc_id
+    LEFT JOIN bp ON d.doc_id = bp.doc_id
+    WHERE cd.looks_like_code = 0
+      AND rd.flesch >= 0.0
+      AND COALESCE(bp.boilerplate_fraction, 0.0) <= 0.5
+)
+SELECT split, lang,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+    CAST(MIN(doc_id) AS BIGINT) AS min_doc
+FROM kept GROUP BY split, lang
+"""
+
+
+@query("pipeline_curation_v4", oracle=_CURATION_V4_ORACLE, tags=("pipeline", "text", "quality", "sampling"))
+def pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 governance recipe in one Catalyst DAG: code-vs-prose
+    routing (code docs leave the prose pipeline) -> readability floor
+    (flesch >= 0 drops degenerate run-on text) -> line-level
+    boilerplate ceiling (<= 50% shared lines; docs with no qualifying
+    lines pass) -> leakage-safe group split -> per-(split, lang)
+    shard report. Every stage is an independently-oracle-verified
+    round-4 operator (text_code_detect, text_readability,
+    text_line_dedup, sample_group_split) composed WITHOUT
+    materialization; the oracle replays the identical stages nested as
+    CTEs, so the composition itself is hash-checked. On this fixture
+    the code and boilerplate gates pass everything (no synthetic code
+    docs, no cross-doc lines) — they are load-bearing on real web
+    corpora and their SQL is exercised end-to-end regardless.
+
+    Scale: three doc_id-keyed gate relations semi/left-joined (ids
+    only on the wire), the line-frequency shuffle from text_line_dedup
+    dominates, and the report is keyspace-sized.
+    """
+    from datafusion_streams_spark.operators.pipeline import sample_group_split  # noqa: F401
+    from datafusion_streams_spark.operators.text import (
+        text_code_detect,
+        text_line_dedup,
+        text_readability,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prose = text_code_detect(spark, sf_dir).filter(
+        F.col("looks_like_code") == 0
+    ).select("doc_id")
+    readable = text_readability(spark, sf_dir).filter(
+        F.col("flesch_score") >= 0.0
+    ).select("doc_id")
+    bp = text_line_dedup(spark, sf_dir).select("doc_id", "boilerplate_fraction")
+    gk = F.md5("text")
+    bucket = F.substring(F.md5(gk), 1, 2)
+    split = (
+        F.when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    kept = (
+        docs.select("doc_id", "lang", "n_chars", split.alias("split"))
+        .join(prose, "doc_id", "left_semi")
+        .join(readable, "doc_id", "left_semi")
+        .join(bp, "doc_id", "left")
+        .filter(F.coalesce("boilerplate_fraction", F.lit(0.0)) <= 0.5)
+    )
+    return kept.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    )
