@@ -1127,3 +1127,76 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# conversion latency distribution
+# ---------------------------------------------------------------------------
+
+_TIME_TO_CONVERT_ORACLE = """
+WITH v AS (
+    SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+    FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT user_id, epoch_ns(ts) // 1000 AS ts_us
+    FROM events WHERE event_type = 'purchase'
+),
+nxt AS (
+    SELECT v.user_id, v.event_id, MIN(p.ts_us) - v.ts_us AS gap_us
+    FROM v JOIN p ON v.user_id = p.user_id AND p.ts_us >= v.ts_us
+    GROUP BY v.user_id, v.event_id, v.ts_us
+)
+SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_converted_views,
+    quantile_cont(gap_us / 1000000.0, 0.5) AS p50_seconds,
+    quantile_cont(gap_us / 1000000.0, 0.9) AS p90_seconds,
+    CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+    CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM nxt
+"""
+
+
+@query("events_time_to_convert", oracle=_TIME_TO_CONVERT_ORACLE, tags=("events", "funnel", "agg", "temporal"))
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for every view that is
+    eventually followed by a purchase from the same user, the gap to
+    the NEXT purchase, summarized as exact interpolated percentiles —
+    the 'how long does intent take to convert' curve funnel reports
+    plot next to events_funnel's conversion counts.
+
+    Parity: gaps are exact integer microseconds (MIN over a
+    bigint-keyed join), converted to seconds by one exact division
+    before the quantile; both engines implement the same
+    linear-interpolation quantile over identical doubles
+    (agg_percentiles' established contract).
+
+    Scale: the view-purchase candidate join is user-keyed and
+    time-filtered (same bounded-state shape as the streaming interval
+    join); one final scalar aggregate. At extreme scale the MIN-per-
+    view folds into the forward AS-OF carry (join_asof_forward) —
+    zero extra shuffles.
+    """
+    ev = load_events_us(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts_us"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts_us").alias("p_ts_us")
+    )
+    nxt = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts_us") >= F.col("ts_us")),
+        )
+        .groupBy("user_id", "event_id", "ts_us")
+        .agg((F.min("p_ts_us") - F.first("ts_us")).alias("gap_us"))
+    )
+    return nxt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted_views"),
+        F.percentile(F.col("gap_us") / 1000000.0, F.lit(0.5)).alias("p50_seconds"),
+        F.percentile(F.col("gap_us") / 1000000.0, F.lit(0.9)).alias("p90_seconds"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
