@@ -329,3 +329,61 @@ def files_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "true")
     return result
+
+
+_JSON_NESTED_ORACLE = """
+SELECT o_orderpriority AS priority,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+    CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+"""
+
+
+@query("files_json_nested", oracle=_JSON_NESTED_ORACLE, tags=("source", "sink", "files", "json"))
+def files_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED JSON ingestion: orders serialized as documents with a
+    nested struct (meta.status/meta.priority) and an array field
+    (amounts), written as JSON lines, read back with an explicit
+    nested schema, filtered on a NESTED field, and flattened into the
+    verification aggregate — the semi-structured event-log shape APIs
+    actually emit (files_json_roundtrip covers the flat case; real
+    feeds are nested).
+
+    The nested-field filter (meta.status = 'O') must prune through the
+    struct accessor, and array element access (amounts[0]) must
+    round-trip the double exactly — both hash-proven against the
+    oracle computed from the original flat table. Map-only both ways.
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("meta"),
+            F.array(F.col("o_totalprice")).alias("amounts"),
+        )
+    )
+    out = tempfile.mkdtemp(prefix="dfs_json_nested_")
+    o.select(doc.alias("value")).write.mode("overwrite").text(out)
+    back = spark.read.schema(
+        "o_orderkey LONG, meta STRUCT<status: STRING, priority: STRING>, amounts ARRAY<DOUBLE>"
+    ).json(out)
+    return (
+        back.filter(F.col("meta.status") == "O")
+        .select(
+            F.col("meta.priority").alias("priority"),
+            F.element_at("amounts", 1).alias("amount"),
+            "o_orderkey",
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("amount").alias("sum_total"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+        )
+    )

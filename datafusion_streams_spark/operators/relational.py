@@ -1866,3 +1866,45 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mu3 / (F.sqrt(mu2) * F.sqrt(mu2) * F.sqrt(mu2)), 6).alias("skewness"),
         F.round(mu4 / (mu2 * mu2) - F.lit(3.0), 6).alias("excess_kurtosis"),
     )
+
+
+_GROUPING_ID_ORACLE = """
+SELECT
+    COALESCE(o_orderstatus, '<ALL>') AS status,
+    COALESCE(o_orderpriority, '<ALL>') AS priority,
+    CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("agg_grouping_id", oracle=_GROUPING_ID_ORACLE, tags=("agg", "rollup", "cube"))
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping_id: the bitmask that tells subtotal rows
+    apart from data rows whose key genuinely is NULL — without it a
+    cube over nullable keys is ambiguous (the consumer cannot tell
+    'all statuses' from 'status unknown'). COALESCE to '<ALL>' plus
+    the gid column is the standard disambiguated subtotal report.
+
+    Scale: same single-shuffle expansion as agg_cube (each input row
+    contributes to 4 grouping sets map-side); gid is computed from the
+    grouping bit vector — no extra pass.
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<ALL>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<ALL>")).alias("priority"),
+            "gid",
+            "n_orders",
+            "sum_total",
+        )
+    )

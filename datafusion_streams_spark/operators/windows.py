@@ -822,3 +822,50 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_seconds"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bounded ROWS frame: centered moving average (round 4)
+# ---------------------------------------------------------------------------
+
+_MOVING_AVG_ORACLE = """
+SELECT o_custkey, o_orderkey,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        / CAST(COUNT(*) OVER w AS DOUBLE) AS moving_avg_5,
+    CAST(COUNT(*) OVER w AS BIGINT) AS frame_n
+FROM orders
+WINDOW w AS (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+)
+"""
+
+
+@query("window_moving_avg", oracle=_MOVING_AVG_ORACLE, tags=("window", "analytic"))
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 5-row moving average per customer — the bounded
+    two-sided ROWS frame (N PRECEDING AND M FOLLOWING) completing the
+    frame-shape battery: running total (unbounded-to-current), RANGE
+    interval frame, and now a symmetric sliding smoother, with the
+    edge rows averaging their truncated frames (frame_n exposes the
+    actual width).
+
+    Parity: decimal-exact frame sum, one double division by the exact
+    frame count. Scale: one shuffle on o_custkey; the two-sided frame
+    is a single sliding pass per partition (no re-scan per row).
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 2)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(dec("o_totalprice")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("moving_avg_5"),
+        F.count(F.lit(1)).over(w).cast("long").alias("frame_n"),
+    )
