@@ -172,7 +172,9 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   files_csv_malformed, text_code_detect, agg_skew_kurtosis,
 #   text_line_dedup, streaming_stream_left_join, join_asof_forward,
 #   events_new_vs_returning, pipeline_curation_v4, events_time_to_convert,
-#   agg_grouping_id, window_moving_avg, files_json_nested
+#   agg_grouping_id, window_moving_avg, files_json_nested, agg_min_max_by,
+#   events_inter_arrival, join_point_in_time, text_feature_hashing,
+#   events_error_rate
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

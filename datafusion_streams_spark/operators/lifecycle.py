@@ -1200,3 +1200,194 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").cast("long").alias("min_gap_us"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival statistics
+# ---------------------------------------------------------------------------
+
+_INTER_ARRIVAL_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+),
+g AS (
+    SELECT user_id,
+        ts_us - lag(ts_us) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+        ) AS gap_us
+    FROM e
+)
+SELECT user_id,
+    CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+    quantile_cont(gap_us / 1000000.0, 0.5) AS p50_gap_seconds,
+    quantile_cont(gap_us / 1000000.0, 0.9) AS p90_gap_seconds,
+    CAST(MIN(gap_us) AS BIGINT) AS min_gap_us
+FROM g
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@query("events_inter_arrival", oracle=_INTER_ARRIVAL_ORACLE, tags=("events", "window", "agg", "anomaly"))
+def events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival time distribution (median / p90 gap,
+    minimum gap): the cadence fingerprint — machine traffic shows
+    impossibly small or implausibly regular gaps, human traffic a
+    heavy right tail; min_gap_us is the rate-limit audit column.
+
+    Parity: gaps are exact integer microseconds from the lag; one
+    exact division to seconds feeds the shared linear-interpolation
+    quantile. Scale: lag and the aggregation share one user_id
+    exchange.
+    """
+    ev = load_events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = ev.select(
+        "user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.percentile(F.col("gap_us") / 1000000.0, F.lit(0.5)).alias("p50_gap_seconds"),
+        F.percentile(F.col("gap_us") / 1000000.0, F.lit(0.9)).alias("p90_gap_seconds"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time join against the SCD2 dimension
+# ---------------------------------------------------------------------------
+
+_POINT_IN_TIME_ORACLE = f"""
+WITH e AS (
+    SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+    FROM events
+),
+lagged AS (
+    SELECT user_id, event_type, ts_us, event_id,
+        lag(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts_us, event_id
+        ) AS prev_type
+    FROM e
+),
+ch AS (
+    SELECT user_id, event_type, ts_us, event_id
+    FROM lagged
+    WHERE prev_type IS NULL OR prev_type <> event_type
+),
+dim AS (
+    SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+        lead(ts_us) OVER w AS valid_to_us,
+        CAST(row_number() OVER w AS BIGINT) AS version
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+purchases AS (
+    SELECT event_id, user_id, ts_us FROM e WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, d.state AS state_at_purchase, d.version
+FROM purchases p JOIN dim d
+  ON p.user_id = d.user_id
+ AND d.valid_from_us <= p.ts_us
+ AND (d.valid_to_us IS NULL OR p.ts_us < d.valid_to_us)
+"""
+
+
+@query("join_point_in_time", oracle=_POINT_IN_TIME_ORACLE, tags=("join", "temporal", "cdc", "events"))
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each purchase event joined to
+    the SCD2 version (events_scd2_compress's output) that was valid AT
+    the purchase instant — the time-travel join every feature store
+    must get right (training-serving skew is exactly this join done
+    wrong). Interval semantics [valid_from, valid_to): an event at a
+    version boundary belongs to the NEW version, matching the
+    dimension's own chaining invariant.
+
+    Scale: both sides are user-keyed; the interval predicate rides the
+    user_id equi-join (state bounded by versions per user — the same
+    banded-join shape as join_range_bands, no broadcast needed since
+    the dimension co-partitions with the facts).
+    """
+    ev = load_events_us(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", "ts_us", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dim = changes.select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("event_type").alias("state"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    return (
+        purchases.join(
+            dim,
+            (F.col("user_id") == F.col("d_user_id"))
+            & (F.col("valid_from_us") <= F.col("ts_us"))
+            & (F.col("valid_to_us").isNull() | (F.col("ts_us") < F.col("valid_to_us"))),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("state").alias("state_at_purchase"),
+            "version",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# daily error-rate shares
+# ---------------------------------------------------------------------------
+
+_ERROR_RATE_ORACLE = """
+WITH d AS (
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_errors,
+        CAST(COUNT(DISTINCT CASE WHEN event_type = 'error'
+                                 THEN user_id END) AS BIGINT)
+            AS n_users_with_errors
+    FROM events GROUP BY 1
+)
+SELECT day, n_events, n_errors, n_users_with_errors,
+    CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS error_rate
+FROM d
+"""
+
+
+@query("events_error_rate", oracle=_ERROR_RATE_ORACLE, tags=("events", "agg", "anomaly"))
+def events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-rate report: error share of all events plus the
+    distinct-user blast radius — the first chart on every service
+    health dashboard, and the conditional-aggregation idiom
+    (COUNT(DISTINCT CASE ...)) stated once as an oracle-checked
+    contract.
+
+    Scale: one day-keyed aggregation; the conditional distinct is the
+    only expensive term (exact per-day user sets) — at extreme scale
+    it swaps for approx_count_distinct with the same query shape.
+    Rates divide exact bigints.
+    """
+    ev = load_events(spark, sf_dir)
+    d = ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "error", F.col("user_id"))
+        ).cast("long").alias("n_users_with_errors"),
+    )
+    return d.select(
+        "day", "n_events", "n_errors", "n_users_with_errors",
+        (
+            F.col("n_errors").cast("double") / F.col("n_events").cast("double")
+        ).alias("error_rate"),
+    )

@@ -1908,3 +1908,53 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_total",
         )
     )
+
+
+# Tie-safe arg-extrema key: exact integer cents scaled past the orderkey
+# range (orderkey < 10^8 at any fixture SF), tiebreak folded in so the
+# winner is unique: max prefers the SMALLEST orderkey among price ties,
+# min likewise.
+_MIN_MAX_BY_ORACLE = """
+WITH k AS (
+    SELECT o_custkey, o_orderkey, o_orderpriority,
+        CAST(round(o_totalprice * 100, 0) AS BIGINT) * 100000000 AS cents_hi
+    FROM orders
+)
+SELECT o_custkey,
+    CAST(arg_max(o_orderkey, cents_hi + (99999999 - o_orderkey)) AS BIGINT)
+        AS biggest_order,
+    CAST(arg_min(o_orderkey, cents_hi + o_orderkey) AS BIGINT)
+        AS smallest_order,
+    arg_max(o_orderpriority, cents_hi + (99999999 - o_orderkey))
+        AS biggest_priority,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM k
+GROUP BY o_custkey
+"""
+
+
+@query("agg_min_max_by", oracle=_MIN_MAX_BY_ORACLE, tags=("agg", "analytic"))
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (arg-extrema) battery: per customer, the order
+    key and priority of their most- and least-expensive orders — the
+    'attribute of the winner' aggregate that otherwise costs a window
+    + filter pass. Ties on o_totalprice are broken deterministically
+    by folding the orderkey INTO a single exact-integer comparison key
+    (cents scaled past the orderkey range) so the winner is unique by
+    construction in both engines (bare max_by leaves tie winners
+    undefined — the same hazard agg_mode_tiebreak documents for
+    mode()).
+
+    Scale: single shuffle with map-side partial arg-extrema (constant
+    state per group) — strictly cheaper than the window formulation.
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents_hi = F.round(F.col("o_totalprice") * 100, 0).cast("long") * 100000000
+    ordkey = cents_hi + (F.lit(99999999) - F.col("o_orderkey"))
+    ordkey_min = cents_hi + F.col("o_orderkey")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordkey).cast("long").alias("biggest_order"),
+        F.min_by("o_orderkey", ordkey_min).cast("long").alias("smallest_order"),
+        F.max_by("o_orderpriority", ordkey).alias("biggest_priority"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )

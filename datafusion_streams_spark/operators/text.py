@@ -1733,3 +1733,72 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_boilerplate").cast("double") / F.col("n_lines").cast("double")
         ).alias("boilerplate_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# feature hashing (hashing-trick vectorizer plumbing, round 4)
+# ---------------------------------------------------------------------------
+
+_FEATURE_HASH_DIM = 64
+
+_FEATURE_HASH_ORACLE = rf"""
+WITH tk AS (
+    SELECT doc_id, t
+    FROM (
+        SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\s+')) AS t
+        FROM documents
+    )
+    WHERE length(t) > 0
+),
+h AS (
+    SELECT doc_id,
+        CAST(
+            (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) AS BIGINT
+        ) % {_FEATURE_HASH_DIM} AS bucket
+    FROM tk
+)
+SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_tokens_hashed,
+    CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+    CAST(MAX(cnt) AS BIGINT) AS max_bucket_count
+FROM (
+    SELECT doc_id, bucket, COUNT(*) AS cnt FROM h GROUP BY doc_id, bucket
+)
+GROUP BY doc_id
+"""
+
+
+@query("text_feature_hashing", oracle=_FEATURE_HASH_ORACLE, tags=("text", "embedding", "agg"))
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer plumbing: every token routed to one of
+    64 buckets by its md5 (no vocabulary to build, broadcast, or keep
+    consistent across a 1000-executor job — the whole point of feature
+    hashing), with per-document sparsity stats (nonzero buckets,
+    heaviest bucket). The bucket assignment is the identical md5-hex
+    arithmetic in both engines, so the sparse vectors — summarized
+    here by exact counts — are bit-identical.
+
+    Scale: tokenize + hash are map-only; the (doc, bucket) rollup is
+    one shuffle bounded by docs x 64. The full sparse vector (bucket
+    -> count map) drops out of the same plan via map_from_entries
+    when a consumer wants it; the stats columns keep the oracle
+    portable.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tk = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+        .filter(F.length("t") > 0)
+    )
+    hexv = "0123456789abcdef"
+    n1 = F.instr(F.lit(hexv), F.substring(F.md5("t"), 1, 1)) - 1
+    n2 = F.instr(F.lit(hexv), F.substring(F.md5("t"), 2, 1)) - 1
+    h = tk.select(
+        "doc_id", ((n1 * 16 + n2).cast("long") % _FEATURE_HASH_DIM).alias("bucket")
+    )
+    per_bucket = h.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_bucket.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens_hashed"),
+        F.count(F.lit(1)).cast("long").alias("n_nonzero"),
+        F.max("cnt").cast("long").alias("max_bucket_count"),
+    )
