@@ -155,8 +155,15 @@ ROTATED_IN_R4: tuple[str, ...] = (
     "text_seq_dedup",
 )
 
-# Never driver-checked yet — MUST lead ROTATED_IN_R5 (the r4 window was
-# tag-saturated at 50 slots; all are green in the local oracle sweep):
+# Never driver-checked yet — 53 queries, more than one 50-slot window:
+# fill ROTATED_IN_R5 entirely from this list (streaming/stateful and
+# composition queries first — streaming_sessionize_state,
+# streaming_append_watermark, streaming_stream_left_join,
+# streaming_foreachbatch_merge, pipeline_curation_v4, the five r4
+# lifecycle keystones), roll the remainder into r6, and skip keystones
+# in r5 — every family already has a driver-green representative from
+# r1-r4, so never-checked coverage outranks re-verification for one
+# round. All are green in the local oracle sweep:
 #   text_source_contrast, pipeline_curation_v3, join_bucketed,
 #   agg_mode_tiebreak, embedding_norm_audit, events_scd2_compress,
 #   events_markov_transitions, events_cumulative_uniques,
