@@ -181,7 +181,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   events_new_vs_returning, pipeline_curation_v4, events_time_to_convert,
 #   agg_grouping_id, window_moving_avg, files_json_nested, agg_min_max_by,
 #   events_inter_arrival, join_point_in_time, text_feature_hashing,
-#   events_error_rate
+#   events_error_rate, sample_temperature_rebalance,
+#   pipeline_shard_shuffle, text_perplexity_buckets
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

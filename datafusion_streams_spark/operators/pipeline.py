@@ -748,3 +748,142 @@ def pipeline_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.min("doc_id").cast("long").alias("min_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature rebalancing (round 4): alpha=0.5 language flattening
+# ---------------------------------------------------------------------------
+
+TEMP_K = 10.0  # kept_i ~= TEMP_K * sqrt(n_i): the alpha=0.5 temperature knob
+_U48 = float(1 << 48)
+
+_TEMP_REBALANCE_ORACLE = f"""
+WITH counts AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+rates AS (
+    SELECT lang, n_docs,
+        least(CAST(1.0 AS DOUBLE), round({TEMP_K} / sqrt(CAST(n_docs AS DOUBLE)), 6)) AS rate
+    FROM counts
+),
+keyed AS (
+    SELECT d.lang, r.n_docs, r.rate,
+        (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+            / {_U48:.1f} AS u
+    FROM documents d JOIN rates r USING (lang)
+),
+agg AS (
+    SELECT lang, MAX(n_docs) AS n_docs, MAX(rate) AS rate,
+        CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS kept
+    FROM keyed GROUP BY lang
+)
+SELECT lang, n_docs, rate, kept,
+    round(CAST(kept AS DOUBLE) / CAST(SUM(kept) OVER () AS DOUBLE), 6) AS kept_share
+FROM agg
+"""
+
+
+@query(
+    "sample_temperature_rebalance",
+    oracle=_TEMP_REBALANCE_ORACLE,
+    tags=("sampling", "pipeline", "mixture"),
+)
+def sample_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the multilingual-LM
+    alpha=0.5 recipe, Conneau & Lample 2019): downsample each language
+    at rate min(1, K/sqrt(n)) so kept counts flatten from n_i to
+    ~K*sqrt(n_i) — high-resource languages shrink, low-resource ones
+    survive intact. Membership is a pure function of doc_id (48-bit
+    md5 prefix as uniform u), so the mix is reproducible across runs,
+    engines, and cluster sizes, and restartable at 100 TB.
+
+    Float parity: u is an exact double (integer / 2^48); sqrt is
+    IEEE-correctly-rounded in both engines and the rate is rounded to
+    6 dp before the compare; counts stay integral until two final
+    rounded divisions.
+
+    Scale: one keyspace-sized count aggregate, broadcast back over the
+    corpus (map-side filter — the corpus never shuffles), one
+    keyspace-sized report aggregate. The share window runs over
+    |langs| rows.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    rate = F.least(
+        F.lit(1.0), F.round(F.lit(TEMP_K) / F.sqrt(F.col("n_docs").cast("double")), 6)
+    )
+    rates = counts.select("lang", "n_docs", rate.alias("rate"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast("long")
+        + 1
+    ) / F.lit(_U48)
+    keyed = docs.select("lang", u.alias("u")).join(F.broadcast(rates), "lang")
+    agg = keyed.groupBy("lang").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("rate").alias("rate"),
+        F.sum(F.when(F.col("u") < F.col("rate"), 1).otherwise(0)).cast("long").alias("kept"),
+    )
+    from pyspark.sql import Window
+
+    share = F.round(
+        F.col("kept").cast("double")
+        / F.sum("kept").over(Window.partitionBy()).cast("double"),
+        6,
+    )
+    return agg.select("lang", "n_docs", "rate", "kept", share.alias("kept_share"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic shard shuffle (round 4): training-order randomization
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+
+_SHARD_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id,
+        md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % {N_SHARDS}
+            AS shard
+    FROM documents
+)
+SELECT doc_id, shuffle_key, CAST(shard AS BIGINT) AS shard,
+    CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT)
+        AS pos
+FROM keyed
+"""
+
+
+@query("pipeline_shard_shuffle", oracle=_SHARD_SHUFFLE_ORACLE, tags=("pipeline", "sampling", "window"))
+def pipeline_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    shard (24-bit md5 prefix mod N_SHARDS) and a position within the
+    shard (rank of its full digest) — the "write shuffled training
+    shards" step of a data pipeline, with the shuffle order a pure
+    function of the keys instead of rand(), so any two runs (or a
+    restarted run) produce byte-identical shards.
+
+    Scale: exactly one hash-partitioned exchange on shard; each
+    shard's rank sorts locally in its own task (no global sort), which
+    is the same execution shape as writing N pre-shuffled output
+    files at 100 TB. pos is dense and gap-free per shard, so
+    downstream loaders can range-read.
+    """
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.md5(F.col("doc_id").cast("string"))
+    keyed = docs.select(
+        "doc_id",
+        h.alias("shuffle_key"),
+        F.pmod(F.conv(F.substring(h, 1, 6), 16, 10).cast("long"), F.lit(N_SHARDS))
+        .cast("long")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shuffle_key",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

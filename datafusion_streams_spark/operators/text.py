@@ -1802,3 +1802,72 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_nonzero"),
         F.max("cnt").cast("long").alias("max_bucket_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (round 4)
+# ---------------------------------------------------------------------------
+
+PPL_BUCKETS = 3  # CCNet's head / middle / tail split
+
+_PPL_BUCKET_ORACLE = f"""
+WITH lp AS ({_UNIGRAM_LP_ORACLE}),
+scored AS (
+    SELECT d.lang, lp.doc_id, lp.avg_neg_logprob,
+        CAST(ntile({PPL_BUCKETS}) OVER (
+            PARTITION BY d.lang ORDER BY lp.avg_neg_logprob, lp.doc_id
+        ) AS BIGINT) AS bucket
+    FROM lp JOIN documents d ON lp.doc_id = d.doc_id
+)
+SELECT lang, bucket,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    round(CAST(SUM(CAST(round(avg_neg_logprob * 1000000, 0) AS BIGINT)) AS DOUBLE)
+          / 1000000 / COUNT(*), 6) AS mean_nll,
+    MIN(avg_neg_logprob) AS min_nll,
+    MAX(avg_neg_logprob) AS max_nll
+FROM scored GROUP BY lang, bucket
+"""
+
+
+@query("text_perplexity_buckets", oracle=_PPL_BUCKET_ORACLE, tags=("text", "quality", "lm", "window"))
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020): within
+    each language, rank documents by their unigram-LM average negative
+    log-probability and cut the ranking into three equal-size buckets
+    — bucket 1 ("head") is the most in-distribution text, bucket 3
+    ("tail") the most off-distribution; CCNet trains on head+middle.
+    Composes the oracle-verified text_unigram_logprob signal, so the
+    composition itself is hash-checked end-to-end.
+
+    Float parity: the per-doc nll is already round-6; the bucket mean
+    sums exact scaled integers (round-to-nearest before the cast, per
+    the unigram-logprob discipline) with one final rounded division.
+    ntile is ANSI (first n%b buckets take the extra row) and the
+    ordering is total (nll, doc_id), so bucket assignment is
+    deterministic in both engines.
+
+    Scale: rides the unigram pipeline's two shuffles, then one ntile
+    exchange partitioned by lang and a keyspace-sized report. At
+    100 TB the per-lang global rank would switch to approx quantile
+    cutoffs (the registered agg_approx_percentile pattern) — the
+    3-way split only needs two cut points per language.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    lp = text_unigram_logprob(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy("avg_neg_logprob", "doc_id")
+    scored = lp.join(docs, "doc_id").select(
+        "lang",
+        "avg_neg_logprob",
+        F.ntile(PPL_BUCKETS).over(w).cast("long").alias("bucket"),
+    )
+    return scored.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum(F.round(F.col("avg_neg_logprob") * 1000000, 0).cast("long")).cast("double")
+            / 1000000
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_nll"),
+        F.min("avg_neg_logprob").alias("min_nll"),
+        F.max("avg_neg_logprob").alias("max_nll"),
+    )
