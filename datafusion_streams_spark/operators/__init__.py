@@ -182,7 +182,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   agg_grouping_id, window_moving_avg, files_json_nested, agg_min_max_by,
 #   events_inter_arrival, join_point_in_time, text_feature_hashing,
 #   events_error_rate, sample_temperature_rebalance,
-#   pipeline_shard_shuffle, text_perplexity_buckets
+#   pipeline_shard_shuffle, text_perplexity_buckets, join_asof_nearest,
+#   dedup_novelty_curve, embedding_dim_stats
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

@@ -802,3 +802,59 @@ def dedup_rewrite_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_dup"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# novelty curve (round 4): incremental-crawl dedup value measurement
+# ---------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+first_seen AS (
+    SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+),
+per_doc AS (
+    SELECT sh.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel
+    FROM sh JOIN first_seen f ON sh.shingle = f.shingle
+    GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_novel,
+    round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+FROM per_doc
+"""
+
+
+@query("dedup_novelty_curve", oracle=_NOVELTY_ORACLE, tags=("dedup", "agg", "provenance"))
+def dedup_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a document's distinct
+    3-word shingles that no earlier document (lower doc_id = earlier
+    ingest) contains. The incremental-crawl decision signal: a feed
+    whose novelty curve collapses toward 0 is re-crawling known
+    content and can be throttled; near-1 means genuinely new text.
+
+    Scale: shingle first-seen is ONE uniform-keyed aggregation
+    (min(doc_id) per shingle — map-side combinable), joined back on
+    the same shingle key (co-partitioned, no extra exchange shape),
+    then a doc_id-keyed report aggregation. No pairwise comparisons
+    anywhere — cost is linear in total shingle occurrences, unlike
+    any pair-join formulation.
+    """
+    sh = _doc_shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = sh.join(first_seen, "shingle").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias("novelty"),
+    )

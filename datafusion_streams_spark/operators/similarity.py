@@ -1201,3 +1201,82 @@ def embedding_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding health audit (round 4)
+# ---------------------------------------------------------------------------
+
+_DIM_STATS_ORACLE = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+el AS (
+    SELECT CAST(unnest(range(1, len(v) + 1)) AS BIGINT) AS dim, unnest(v) AS val
+    FROM v
+),
+agg AS (
+    SELECT dim,
+        CAST(COUNT(*) AS BIGINT) AS n_vals,
+        CAST(SUM(CAST(round(val * 1000000, 0) AS BIGINT)) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(round(val * val * 1000000000000, 0) AS BIGINT)) AS DOUBLE) AS s2,
+        MIN(val) AS min_val,
+        MAX(val) AS max_val
+    FROM el GROUP BY dim
+)
+SELECT dim, n_vals,
+    round(s1 / 1000000 / n_vals, 6) AS mean_val,
+    round(sqrt(greatest(
+        round(round(s2 / 1000000000000 / n_vals, 6)
+              - round(s1 / 1000000 / n_vals, 6) * round(s1 / 1000000 / n_vals, 6), 6),
+        0)), 6) AS std_val,
+    min_val, max_val
+FROM agg
+"""
+
+
+@query("embedding_dim_stats", oracle=_DIM_STATS_ORACLE, tags=("similarity", "quality", "agg"))
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health audit: mean, std, min, max for
+    every coordinate of the embedding space — the table that catches
+    dead dimensions (std ~ 0), mis-scaled encoders (outlier ranges),
+    and mean drift between corpus snapshots before an ANN index is
+    built on bad vectors.
+
+    Float parity: per-element values scale to exact integers
+    (round-to-nearest at 1e6 / 1e12 before the cast, per the repo's
+    integer-scaling discipline — val and val*val are exact doubles),
+    sums stay integral, then a fixed sequence of rounded double ops;
+    sqrt is IEEE-correctly-rounded in both engines. At 100 TB the
+    long sums become decimal sums (same operator shape).
+
+    Scale: map-only posexplode then ONE aggregation keyed by dim —
+    64 groups, perfectly combinable map-side; no joins, no windows,
+    nothing driver-sized but the 64-row report.
+    """
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        as_double_array("embedding").alias("v")
+    )
+    el = e.select(F.posexplode("v").alias("pos", "val")).select(
+        (F.col("pos") + 1).cast("long").alias("dim"), "val"
+    )
+    agg = el.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vals"),
+        F.sum(F.round(F.col("val") * 1000000, 0).cast("long")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("val") * F.col("val") * 1000000000000, 0).cast("long"))
+        .cast("double")
+        .alias("s2"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+    mean = F.round(F.col("s1") / 1000000 / F.col("n_vals"), 6)
+    ex2 = F.round(F.col("s2") / 1000000000000 / F.col("n_vals"), 6)
+    return agg.select(
+        "dim",
+        "n_vals",
+        mean.alias("mean_val"),
+        F.round(F.sqrt(F.greatest(F.round(ex2 - mean * mean, 6), F.lit(0.0))), 6).alias("std_val"),
+        "min_val",
+        "max_val",
+    )

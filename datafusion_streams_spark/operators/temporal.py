@@ -250,3 +250,115 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("kind") == 1).select(
         "event_id", "user_id", "purchase_ts", "purchase_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# NEAREST AS-OF join: backward + forward candidates, closer one wins
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAREST_ORACLE = """
+WITH clicks AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, ts AS purchase_ts, MAX(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+),
+back AS (
+    SELECT c.event_id, c.user_id, c.ts,
+           p.purchase_ts AS b_ts, p.purchase_value AS b_val
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+),
+fwd AS (
+    SELECT c.event_id, p.purchase_ts AS f_ts, p.purchase_value AS f_val
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.purchase_ts
+)
+SELECT b.event_id, b.user_id,
+    CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+              OR epoch_us(b.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(b.ts))
+         THEN b.b_ts ELSE f.f_ts END AS purchase_ts,
+    CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+              OR epoch_us(b.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(b.ts))
+         THEN b.b_val ELSE f.f_val END AS purchase_value,
+    CASE WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN NULL
+         WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+              OR epoch_us(b.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(b.ts))
+         THEN 'back' ELSE 'fwd' END AS matched_dir
+FROM back b JOIN fwd f ON b.event_id = f.event_id
+"""
+
+
+@query("join_asof_nearest", oracle=_ASOF_NEAREST_ORACLE, tags=("temporal", "asof", "join"))
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST AS-OF join (pandas merge_asof direction='nearest'):
+    each click matched to the temporally closest same-user purchase in
+    EITHER direction; ties prefer the backward (at-or-before) match.
+    Completes the asof family: join_asof (backward), join_asof_forward
+    (forward), this (nearest).
+
+    Scale: both directional carries ride ONE tagged union and ONE
+    user_id hash exchange — the ascending and descending windows share
+    the same partitioning, so Catalyst inserts one shuffle and two
+    in-partition sorts (no second exchange). The nearest pick is a
+    map-side CASE over epoch-microsecond deltas (exact integers, no
+    float parity risk).
+    """
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp_ntz").alias("p_ts"),
+        F.lit(None).cast("double").alias("p_val"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_val"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            F.col("ts").alias("p_ts"),
+            "p_val",
+        )
+    )
+    tagged = purchases.unionByName(clicks)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "kind",
+        F.last("p_ts", ignorenulls=True).over(wb).alias("b_ts"),
+        F.last("p_val", ignorenulls=True).over(wb).alias("b_val"),
+        F.last("p_ts", ignorenulls=True).over(wf).alias("f_ts"),
+        F.last("p_val", ignorenulls=True).over(wf).alias("f_val"),
+    ).filter(F.col("kind") == 1)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    back_wins = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | ((us("ts") - us("b_ts")) <= (us("f_ts") - us("ts")))
+    )
+    return carried.select(
+        "event_id",
+        "user_id",
+        F.when(back_wins, F.col("b_ts")).otherwise(F.col("f_ts")).alias("purchase_ts"),
+        F.when(back_wins, F.col("b_val")).otherwise(F.col("f_val")).alias("purchase_value"),
+        F.when(F.col("b_ts").isNull() & F.col("f_ts").isNull(), F.lit(None).cast("string"))
+        .when(back_wins, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("matched_dir"),
+    )
