@@ -1271,10 +1271,15 @@ def text_source_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     cst = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
     ns = cst.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     ct = cst.groupBy("term").agg(F.sum("c_st").alias("c_t"))
-    n_total = int(ns.agg(F.sum("n_s")).collect()[0][0])
+    # Scalar corpus total stays IN the DAG (broadcast 1-row cross join)
+    # instead of a driver collect: the collect was a separate job that
+    # recomputed the whole tokenize+count lineage — in-DAG, Catalyst
+    # reuses the (source, term) shuffle across all three branches.
+    total = ns.agg(F.sum("n_s").alias("n_tot"))
     scored = (
         cst.join(F.broadcast(ns), "source")
         .join(ct, "term")
+        .crossJoin(F.broadcast(total))
         .select(
             "source",
             "term",
@@ -1286,7 +1291,7 @@ def text_source_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.log(
                     (F.col("c_t") - F.col("c_st") + F.lit(0.5))
                     / (
-                        (F.lit(n_total) - F.col("n_s"))
+                        (F.col("n_tot") - F.col("n_s"))
                         - (F.col("c_t") - F.col("c_st"))
                         + F.lit(0.5)
                     )
