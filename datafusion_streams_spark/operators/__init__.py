@@ -183,7 +183,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   events_inter_arrival, join_point_in_time, text_feature_hashing,
 #   events_error_rate, sample_temperature_rebalance,
 #   pipeline_shard_shuffle, text_perplexity_buckets, join_asof_nearest,
-#   dedup_novelty_curve, embedding_dim_stats
+#   dedup_novelty_curve, embedding_dim_stats, layout_zorder_audit,
+#   agg_weighted_median
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

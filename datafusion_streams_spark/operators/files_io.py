@@ -387,3 +387,82 @@ def files_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderkey").cast("long").alias("min_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit (round 4): multi-dimensional data skipping
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 8 bits per dimension -> 16-bit z-value, 256 coarse buckets
+
+
+def _z_terms_sql(x: str, y: str) -> str:
+    """Bit-interleave SQL, generated identically for Spark and DuckDB
+    (both support >> << & on BIGINT): x occupies even bits, y odd."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH dims AS (
+    SELECT user_id % 256 AS ux,
+        datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 256 AS dy
+    FROM events
+),
+z AS (
+    SELECT ux, dy, CAST({_z_terms_sql('ux', 'dy')} AS BIGINT) AS zval FROM dims
+)
+SELECT CAST(zval >> {_Z_BITS} AS BIGINT) AS zbucket,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(MIN(ux) AS BIGINT) AS min_user, CAST(MAX(ux) AS BIGINT) AS max_user,
+    CAST(MIN(dy) AS BIGINT) AS min_day, CAST(MAX(dy) AS BIGINT) AS max_day,
+    CAST(MAX(ux) - MIN(ux) AS BIGINT) AS user_span,
+    CAST(MAX(dy) - MIN(dy) AS BIGINT) AS day_span
+FROM z GROUP BY zbucket
+"""
+
+
+@query("layout_zorder_audit", oracle=_ZORDER_ORACLE, tags=("files", "layout", "agg"))
+def layout_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout audit: interleave the bits of two
+    scan dimensions (user bucket x day) into one clustering key and
+    report, per coarse z-bucket, the min/max envelope of BOTH
+    dimensions. This is the decision table for a Delta/Iceberg-style
+    OPTIMIZE ZORDER rewrite: tight user_span AND day_span per bucket
+    means a file sorted by zval serves point lookups on EITHER
+    dimension from few row groups (parquet min/max skipping), where a
+    single-column sort only prunes one. The interleave is pure integer
+    bit arithmetic generated from one template for both engines — no
+    UDF, stays in codegen, map-only; the audit aggregation shuffles
+    256 groups.
+
+    At 100 TB the same zval expression feeds
+    ``df.repartitionByRange(N, "zval").sortWithinPartitions("zval")
+    .write...`` — the audit here proves the envelope math that makes
+    that rewrite worth the IO.
+    """
+    from datafusion_streams_spark.catalog import load_events
+
+    ev = load_events(spark, sf_dir)
+    dims = ev.select(
+        (F.col("user_id") % 256).alias("ux"),
+        (F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")) % 256)
+        .cast("long")
+        .alias("dy"),
+    )
+    z = dims.select("ux", "dy", F.expr(_z_terms_sql("ux", "dy")).cast("long").alias("zval"))
+    return (
+        z.groupBy(F.shiftright("zval", _Z_BITS).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("ux").cast("long").alias("min_user"),
+            F.max("ux").cast("long").alias("max_user"),
+            F.min("dy").cast("long").alias("min_day"),
+            F.max("dy").cast("long").alias("max_day"),
+            (F.max("ux") - F.min("ux")).cast("long").alias("user_span"),
+            (F.max("dy") - F.min("dy")).cast("long").alias("day_span"),
+        )
+    )

@@ -1958,3 +1958,88 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_orderpriority", ordkey).alias("biggest_priority"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact weighted median (round 4)
+# ---------------------------------------------------------------------------
+
+_WEIGHTED_MEDIAN_ORACLE = """
+WITH base AS (
+    SELECT l_returnflag, l_linestatus, l_extendedprice,
+        CAST(l_quantity AS DECIMAL(18,2)) AS w,
+        l_orderkey, l_linenumber
+    FROM lineitem
+),
+cum AS (
+    SELECT l_returnflag, l_linestatus, l_extendedprice,
+        SUM(w) OVER (
+            PARTITION BY l_returnflag, l_linestatus
+            ORDER BY l_extendedprice, l_orderkey, l_linenumber
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cw,
+        SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS tw
+    FROM base
+)
+SELECT l_returnflag, l_linestatus,
+    MIN(l_extendedprice) AS weighted_median,
+    CAST(MAX(tw) AS DOUBLE) AS total_weight
+FROM cum
+WHERE 2 * cw >= tw
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("agg_weighted_median", oracle=_WEIGHTED_MEDIAN_ORACLE, tags=("agg", "window", "percentile"))
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted (lower) median: the smallest price whose
+    cumulative quantity weight reaches half the group's total — the
+    quantity-weighted "typical unit price" per (returnflag,
+    linestatus). No built-in computes this; percentile_approx ignores
+    weights and an explode-by-weight rewrite multiplies the row count
+    by the weight sum.
+
+    Exactness: weights go through DECIMAL(18,2); the running and total
+    sums stay decimal, and the half-total comparison (2*cw >= tw) is
+    exact integer-scaled arithmetic — no float epsilon at the
+    boundary. The cumulative order is total (price, orderkey,
+    linenumber), so ROWS == RANGE and both engines agree at ties.
+
+    Scale: ONE shuffle on the group key serves both windows (same
+    partitioning; the running and total sums are two frame specs over
+    one sort), then the boundary filter and a 4-row report. Group
+    count is tiny here, but the plan is identical for a
+    high-cardinality group key — state per group is O(1).
+    """
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_extendedprice",
+        dec("l_quantity").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag", "l_linestatus")
+    cum = base.select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_extendedprice",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.max("tw").cast("double").alias("total_weight"),
+        )
+    )
