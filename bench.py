@@ -98,6 +98,10 @@ HEADLINE = [
     "embedding_mrl_recall",
     "agg_correlation",
     "graph_pagerank_transitions",
+    "sample_temperature_rebalance",
+    "pipeline_shard_shuffle",
+    "layout_zorder_audit",
+    "dedup_novelty_curve",
 ]
 
 

@@ -405,3 +405,34 @@ def test_scd2_intervals_are_consistent(spark):
         for a, b in zip(rs, rs[1:]):
             assert a.valid_to_us == b.valid_from_us
             assert a.state != b.state
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """The data-skipping claim, proved: zbucket = zval >> 8 fixes the
+    top 4 interleaved bits of EACH dimension, so within any bucket
+    both the user and day envelopes span at most 2^4 - 1 = 15 — a
+    file sorted by zval therefore serves point lookups on either
+    dimension from a bounded slice of row groups."""
+    from datafusion_streams_spark.operators import REGISTRY
+
+    rows = REGISTRY["layout_zorder_audit"].fn(spark, SF_DIR_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.user_span <= 15, r
+        assert 0 <= r.day_span <= 15, r
+
+
+def test_temperature_rebalance_flattens_mixture(spark):
+    """Rebalanced kept-counts must be flatter than the raw mixture:
+    the max/min language ratio shrinks (alpha=0.5 compresses n_i to
+    ~K*sqrt(n_i)), no language is dropped, and every rate is a valid
+    probability."""
+    from datafusion_streams_spark.operators import REGISTRY
+
+    rows = REGISTRY["sample_temperature_rebalance"].fn(spark, SF_DIR_SMALL).collect()
+    assert len(rows) >= 2
+    raw = [r.n_docs for r in rows]
+    kept = [r.kept for r in rows]
+    assert all(0 < r.rate <= 1.0 for r in rows)
+    assert all(k >= 1 for k in kept), "a language was dropped"
+    assert max(kept) / min(kept) < max(raw) / min(raw)
