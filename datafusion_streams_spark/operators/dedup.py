@@ -261,6 +261,23 @@ SELECT a_id, b_id, jaccard FROM mh_pairs
 """
 
 
+def _minhash_signatures(withsh: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh15): the 16-permutation MinHash signature from
+    the cached per-doc shingle arrays — one explode, one md5 per
+    shingle, Kirsch-Mitzenmacher derived family, min-aggregated with
+    map-side partial mins. Shared by the LSH bucketing stage and the
+    sketch-accuracy audit."""
+    sh = withsh.select("doc_id", F.explode("sh").alias("shingle"))
+    h1, h2 = minhash_halves(F.col("shingle"))
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2")).select(
+        "doc_id",
+        *[minhash_expr(F.col("h1"), F.col("h2"), s).alias(f"h{s}") for s in range(N_MINHASH)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(N_MINHASH)]
+    )
+
+
 def minhash_candidates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(candidate pairs, per-doc shingle arrays) — the MinHash-LSH
     bucketing stage, before exact verification.
@@ -293,15 +310,7 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     # array<string> — compact); the exploded relation for hashing and
     # the per-doc arrays for verification both derive from it.
     withsh = _doc_shingle_arrays(spark, sf_dir)
-    sh = withsh.select("doc_id", F.explode("sh").alias("shingle"))
-    h1, h2 = minhash_halves(F.col("shingle"))
-    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2")).select(
-        "doc_id",
-        *[minhash_expr(F.col("h1"), F.col("h2"), s).alias(f"h{s}") for s in range(N_MINHASH)],
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{s}").alias(f"mh{s}") for s in range(N_MINHASH)]
-    )
+    sig = _minhash_signatures(withsh)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -857,4 +866,90 @@ def dedup_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         "n_novel",
         F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias("novelty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash sketch-accuracy audit (round 4)
+# ---------------------------------------------------------------------------
+
+_EST_TERMS_SQL = " + ".join(
+    f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END" for s in range(N_MINHASH)
+)
+
+_MINHASH_ERROR_ORACLE = f"""
+WITH {minhash_ctes()},
+est AS (
+    SELECT c.a_id, c.b_id,
+        ({_EST_TERMS_SQL}) / 16 AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON c.a_id = sa.doc_id
+    JOIN sig sb ON c.b_id = sb.doc_id
+)
+SELECT e.a_id, e.b_id, e.est_jaccard, p.jaccard,
+    round(abs(e.est_jaccard - p.jaccard), 6) AS abs_err
+FROM est e JOIN pairs p ON e.a_id = p.a_id AND e.b_id = p.b_id
+"""
+
+
+@query("dedup_minhash_estimate_error", oracle=_MINHASH_ERROR_ORACLE, tags=("dedup", "lsh", "quality"))
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the
+    MinHash ESTIMATE of Jaccard (fraction of the 16 signature
+    components that agree) next to the EXACT Jaccard, with the
+    absolute error. This is the calibration table for choosing
+    signature width and band shape — if the estimate's error at the
+    dedup threshold is wide, bands misfire and either misses or
+    wasted verifications follow. The expectation E[est] = J is the
+    Broder (1997) resemblance theorem; this query measures the
+    realized deviation at k=16 on live data.
+
+    Float parity: component agreement is integer; est = matches/16 is
+    an exact dyadic double; exact Jaccard divides the same integers
+    in both engines; abs/sub are exact IEEE, one final 6-dp round.
+
+    Scale: rides the shared shingle cache + ONE signature shuffle
+    (exchange-reused across the est and band branches in the same
+    DAG); the joins touch candidate pairs only — never all pairs.
+    """
+    withsh = _doc_shingle_arrays(spark, sf_dir)
+    sig = _minhash_signatures(withsh)
+    cand, _ = minhash_candidates(spark, sf_dir)
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh{s}") == F.col(f"sb.mh{s}"), 1).otherwise(0)
+        for s in range(N_MINHASH)
+    )
+    est = (
+        cand.join(sa, F.col("a_id") == F.col("sa.doc_id"))
+        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
+        .select("a_id", "b_id", (matches / F.lit(16)).alias("est_jaccard"))
+    )
+    szs = withsh.select("doc_id", F.col("sh").alias("arr"))
+    a_arr = szs.select(F.col("doc_id").alias("a_id"), F.col("arr").alias("a_sh"))
+    b_arr = szs.select(F.col("doc_id").alias("b_id"), F.col("arr").alias("b_sh"))
+    exact = (
+        est.join(a_arr, "a_id")
+        .join(b_arr, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "est_jaccard",
+            (
+                F.size(F.array_intersect("a_sh", "b_sh"))
+                / (
+                    F.size("a_sh")
+                    + F.size("b_sh")
+                    - F.size(F.array_intersect("a_sh", "b_sh"))
+                )
+            ).alias("jaccard"),
+        )
+    )
+    return exact.select(
+        "a_id",
+        "b_id",
+        "est_jaccard",
+        "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
     )

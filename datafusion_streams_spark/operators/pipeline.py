@@ -887,3 +887,79 @@ def pipeline_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (round 4): dataset-version governance
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH v1 AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0
+),
+v2 AS (
+    SELECT doc_id,
+        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END) AS h
+    FROM documents WHERE doc_id % 13 <> 0
+),
+d AS (
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        CASE WHEN v1.doc_id IS NULL THEN 'added'
+             WHEN v2.doc_id IS NULL THEN 'removed'
+             WHEN v1.h <> v2.h THEN 'changed'
+             ELSE 'unchanged' END AS change_status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT change_status,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+    CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM d GROUP BY change_status
+"""
+
+
+@query("pipeline_snapshot_diff", oracle=_SNAPSHOT_DIFF_ORACLE, tags=("pipeline", "dedup", "outer", "provenance"))
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff: classify every document across two dataset
+    snapshots as added / removed / changed / unchanged by content
+    hash — the audit that gates a training-data release ("what moved
+    since v1?") and feeds incremental reprocessing (only 'added' +
+    'changed' re-enter the pipeline). Snapshots are derived
+    deterministically from the fixture (v1 misses doc_id%11==0, v2
+    drops %13==0 and edits %7==0) so the diff logic itself is
+    hash-checked; on real data v1/v2 are two table paths.
+
+    Scale: hashes reduce each side to (doc_id, 16 bytes) before the
+    FULL OUTER join — the join carries fingerprints, never text; one
+    doc_id-keyed exchange per side, then a 4-group report. At 100 TB
+    this is the standard snapshot-reconciliation shape (storage-level
+    change data feeds replace the join when available).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v1 = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    edited = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+    ).otherwise(F.col("text"))
+    v2 = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id", F.md5(edited).alias("h")
+    )
+    j = v1.alias("v1").join(
+        v2.alias("v2"), F.col("v1.doc_id") == F.col("v2.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("v1.doc_id").isNull(), "added")
+        .when(F.col("v2.doc_id").isNull(), "removed")
+        .when(F.col("v1.h") != F.col("v2.h"), "changed")
+        .otherwise("unchanged")
+    )
+    d = j.select(
+        F.coalesce(F.col("v1.doc_id"), F.col("v2.doc_id")).alias("doc_id"),
+        status.alias("change_status"),
+    )
+    return d.groupBy("change_status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
