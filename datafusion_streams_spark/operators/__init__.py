@@ -184,7 +184,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   events_error_rate, sample_temperature_rebalance,
 #   pipeline_shard_shuffle, text_perplexity_buckets, join_asof_nearest,
 #   dedup_novelty_curve, embedding_dim_stats, layout_zorder_audit,
-#   agg_weighted_median, dedup_minhash_estimate_error, pipeline_snapshot_diff
+#   agg_weighted_median, dedup_minhash_estimate_error, pipeline_snapshot_diff,
+#   streaming_stream_full_join
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

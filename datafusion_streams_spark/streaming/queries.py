@@ -860,3 +860,95 @@ def streaming_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name, _ = run_drain_to_memory(joined, output_mode="append", state_partitions=8)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# stream-stream FULL OUTER interval join (round 4)
+# ---------------------------------------------------------------------------
+
+_STREAM_FULL_JOIN_ORACLE = """
+WITH v AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+    SELECT LEAST((SELECT MAX(ts) FROM v), (SELECT MAX(ts) FROM p))
+           - INTERVAL 1 SECOND AS w
+)
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+FROM v JOIN p
+  ON v.user_id = p.user_id AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT v.user_id, v.event_id AS view_id, CAST(NULL AS BIGINT) AS purchase_id
+FROM v, wm
+WHERE v.ts + INTERVAL 1 HOUR <= wm.w
+  AND NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = v.user_id
+        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+  )
+UNION ALL
+SELECT p.user_id, CAST(NULL AS BIGINT) AS view_id, p.event_id AS purchase_id
+FROM p, wm
+WHERE p.ts <= wm.w
+  AND NOT EXISTS (
+      SELECT 1 FROM v
+      WHERE v.user_id = p.user_id
+        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+  )
+"""
+
+
+@query(
+    "streaming_stream_full_join",
+    oracle=_STREAM_FULL_JOIN_ORACLE,
+    tags=("streaming", "join", "outer", "watermark", "stateful"),
+)
+def streaming_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: matched (view, purchase)
+    pairs emit on arrival; an unmatched VIEW null-extends once its
+    whole match window [v_ts, v_ts + 1h] clears the final global
+    watermark (same eviction rule as the left-outer query, pinned by
+    the oracle); an unmatched PURCHASE null-extends once the watermark
+    passes its own timestamp — its match window [p_ts - 1h, p_ts]
+    only admits views at or before p_ts, so watermark > p_ts proves no
+    future view can pair with it. Rows newer than the final watermark
+    stay buffered at drain on both sides — the withheld tail is part
+    of the contract.
+
+    Scale: the interval condition + 1 s watermark bound BOTH state
+    stores (one hour of views, one instant of purchases per user);
+    state shuffles once on user_id, and eviction is incremental per
+    micro-batch — no unbounded outer-join buffer.
+    """
+
+    def side(alias_type: str, prefix: str) -> DataFrame:
+        ev = (
+            events_stream(spark, sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(F.col("event_type") == alias_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+        return ev.withWatermark(f"{prefix}_ts", "1 second")
+
+    views = side("view", "v")
+    purchases = side("purchase", "p")
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user_id = p_user_id AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("v_user_id"), F.col("p_user_id")).alias("user_id"),
+        F.col("v_id").alias("view_id"),
+        F.col("p_id").alias("purchase_id"),
+    )
+    name, _ = run_drain_to_memory(joined, output_mode="append", state_partitions=8)
+    return spark.table(name)
