@@ -102,6 +102,11 @@ HEADLINE = [
     "pipeline_shard_shuffle",
     "layout_zorder_audit",
     "dedup_novelty_curve",
+    # runtime data-reduction operators
+    "join_bloom_prefilter",
+    "join_dpp_prune",
+    "agg_heavy_hitters",
+    "streaming_dedup_watermark",
 ]
 
 

@@ -95,6 +95,7 @@ def _populate() -> None:
         files_io,
         udtf_surface,
         lifecycle,
+        runtime_filters,
     )
     from datafusion_streams_spark.streaming import queries as streaming_queries  # noqa: F401
 
@@ -185,7 +186,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   pipeline_shard_shuffle, text_perplexity_buckets, join_asof_nearest,
 #   dedup_novelty_curve, embedding_dim_stats, layout_zorder_audit,
 #   agg_weighted_median, dedup_minhash_estimate_error, pipeline_snapshot_diff,
-#   streaming_stream_full_join
+#   streaming_stream_full_join, join_bloom_prefilter, join_dpp_prune,
+#   agg_heavy_hitters, streaming_dedup_watermark
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

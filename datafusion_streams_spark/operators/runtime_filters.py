@@ -1,0 +1,285 @@
+"""Runtime data-reduction operators: Bloom-filter semi-join
+prefiltering, dynamic partition pruning, and exact distributed heavy
+hitters with candidate pruning.
+
+The reference inherits DataFusion's physical scan machinery wholesale
+(SURVEY.md §2.3, §4.2); these queries pin the three Spark-side levers
+that decide whether a 100 TB fact scan ships 100 TB into a shuffle or
+a fraction of it:
+
+  - a *runtime* row filter derived from the dimension side (Bloom),
+  - *partition-level* pruning derived from the dimension side (DPP),
+  - *candidate-level* pruning for high-cardinality aggregates (the
+    per-partition support bound behind every heavy-hitter sketch).
+
+All three are pure optimizations: each query's result is provably
+identical to the plain declarative form, which is exactly what the
+DuckDB oracle re-computes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_streams_spark.functions import dsum
+from datafusion_streams_spark.operators import query
+
+# ---------------------------------------------------------------------------
+# join_bloom_prefilter — Bloom-filter runtime semi-join reduction
+# ---------------------------------------------------------------------------
+
+# Bloom geometry: static m keeps the filter replayable and the plan
+# deterministic; at 20x more keys than the sf1 dim subset the occupied
+# fraction stays ~0.2 => fpr ~ 0.2^3 < 1%. The filter is a pure
+# prefilter — false positives are removed by the real join below, so
+# the result is EXACTLY the plain join at any fpr, and m only tunes
+# how much fact data survives to the shuffle/join stage.
+_BLOOM_BITS = 1 << 17
+_BLOOM_SEEDS = (1, 2, 3)
+
+
+def _bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """One-row DataFrame holding the Bloom filter as a word-index ->
+    64-bit-mask map. Two tiny aggregations (|keys| x k rows), nothing
+    collected to the driver; the single row broadcasts to the fact
+    side via a 1-row nested-loop join."""
+    positions = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(s)), F.lit(_BLOOM_BITS))
+                    for s in _BLOOM_SEEDS
+                ]
+            )
+        ).alias("pos")
+    )
+    words = positions.selectExpr(
+        "CAST(pos DIV 64 AS BIGINT) AS word",
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS bit",
+    ).groupBy("word").agg(F.bit_or("bit").alias("mask"))
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "mask"))).alias("bloom")
+    )
+
+
+def _bloom_probe(key_name: str) -> F.Column:
+    """Predicate: all k hash positions set in the broadcast `bloom` map
+    column. Pure JVM expressions — no UDF in the 100 TB hot path."""
+    out = None
+    for s in _BLOOM_SEEDS:
+        pos = f"pmod(xxhash64({key_name}, {s}), {_BLOOM_BITS})"
+        hit = F.expr(
+            f"(shiftright(coalesce(element_at(bloom, CAST({pos} DIV 64 AS BIGINT)), "
+            f"CAST(0 AS BIGINT)), CAST({pos} % 64 AS INT)) & 1) = 1"
+        )
+        out = hit if out is None else (out & hit)
+    return out
+
+
+_BLOOM_JOIN_ORACLE = """
+SELECT
+    n.n_name,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_7', 'NATION_19')
+GROUP BY n.n_name
+"""
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle=_BLOOM_JOIN_ORACLE,
+    tags=("join", "scale", "filter", "broadcast"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime semi-join reduction, built from relational
+    primitives (Spark's internal BloomFilterAggregate is not in the
+    public function registry).
+
+    A selective dimension subset (customers in 2 of 25 nations) is
+    folded into a constant-size bit set — explode k hash positions,
+    ``bit_or`` into 64-bit words, ``map_from_entries`` into ONE row —
+    which broadcasts to the fact scan and drops ~92% of orders before
+    the join. The real broadcast join then removes Bloom false
+    positives, so the result is bit-identical to the plain join the
+    oracle computes; the filter only decides how many fact rows reach
+    the join. At 100 TB this is the difference between shuffling the
+    full fact table and shuffling the matching ~8%: filter size is
+    O(m) regardless of fact size, probes are k hash + shift
+    expressions inside codegen, and the same shape is what Spark's
+    own runtime row-filtering injects when statistics justify it.
+
+    Mirrors the semi-join reduction the reference would inherit from
+    DataFusion's dynamic filter pushdown (SURVEY.md §4.2).
+    """
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_name").isin("NATION_7", "NATION_19")
+    )
+    customer = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    bloom = _bloom_build(customer, "c_custkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    prefiltered = orders.join(F.broadcast(bloom)).filter(_bloom_probe("o_custkey"))
+    joined = prefiltered.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_dpp_prune — dynamic partition pruning against a hive layout
+# ---------------------------------------------------------------------------
+
+_DPP_ORACLE = """
+SELECT
+    strftime(o_orderdate, '%Y-%m') AS o_month,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') >= '1996-01'
+  AND strftime(o_orderdate, '%Y-%m') <= '1996-03'
+GROUP BY 1
+"""
+
+
+@query(
+    "join_dpp_prune",
+    oracle=_DPP_ORACLE,
+    tags=("join", "scale", "files", "partitioning", "broadcast"),
+)
+def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the partition filter arrives at the
+    fact scan *at runtime* from the joined dimension's predicate, not
+    from a literal in the query.
+
+    Orders are laid out hive-partitioned by month (the 100 TB fact
+    layout); a derived month dimension carries the quarter attribute,
+    and only the DIMENSION is filtered (quarter = 1996-Q1). Catalyst's
+    DPP inserts a dynamicpruning#N subquery on the fact's partition
+    column — reusing the broadcast of the dimension — so only the 3
+    matching month directories are read, without the query author ever
+    writing a month literal against the fact table. The plan assert in
+    tests/test_plans.py pins the dynamicpruning expression; the oracle
+    recomputes the result from the unpartitioned original.
+
+    Static-literal pruning is files_partitioned_pruning; this is the
+    join-driven form that matters for star schemas, where the selective
+    predicate naturally lives on the dimension.
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="dfs_dpp_")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.select("o_orderkey", "o_totalprice", "o_month").write.mode(
+        "overwrite"
+    ).partitionBy("o_month").parquet(out)
+
+    months = (
+        orders.select("o_month")
+        .distinct()
+        .withColumn(
+            "quarter",
+            F.concat(
+                F.substring("o_month", 1, 4),
+                F.lit("-Q"),
+                F.ceil(F.substring("o_month", 6, 2).cast("int") / 3).cast("string"),
+            ),
+        )
+    )
+    fact = spark.read.parquet(out)
+    dim = months.filter(F.col("quarter") == "1996-Q1")
+    joined = fact.join(F.broadcast(dim), "o_month")
+    return joined.groupBy("o_month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_heavy_hitters — exact heavy hitters via per-partition support bound
+# ---------------------------------------------------------------------------
+
+_HH_SUPPORT = 0.0005  # report keys holding >= 0.05% of all events
+
+_HH_ORACLE = f"""
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       round(n_events * 1.0 / total, 6) AS share
+FROM (
+    SELECT user_id, COUNT(*) AS n_events,
+           (SELECT COUNT(*) FROM events) AS total
+    FROM events GROUP BY user_id
+)
+WHERE n_events >= CAST(ceil({_HH_SUPPORT} * total) AS BIGINT)
+"""
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle=_HH_ORACLE,
+    tags=("agg", "scale", "topk", "approx"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (support >= 0.05%) in two phases, shuffling
+    only candidate keys — the distributed form of the Misra-Gries /
+    space-saving bound.
+
+    Phase 1 (map-only): each Arrow batch counts its own keys in pandas
+    and emits only keys reaching local support s. If a key holds >= s·N
+    globally it must hold >= s·n_b in at least one batch (else summing
+    the per-batch bounds gives < s·N), so the union of local emissions
+    is a SUPERSET of the true heavy hitters under ANY partitioning —
+    the property test in tests/test_properties.py re-checks this
+    against adversarial repartitionings. Phase 2: a broadcast semi-join
+    restricts the stream to candidates and one exact groupBy recounts
+    them, so false candidates fall away and the final answer is
+    partition-invariant and equal to the oracle's full GROUP BY.
+
+    At 100 TB with ~billions of distinct keys, the full GROUP BY
+    shuffles every distinct key; this shape shuffles O(P/s) candidate
+    rows (bounded by partitions / support, independent of key
+    cardinality) plus one broadcast of the candidate set. The final
+    recount is exact — no sketch error bars to explain downstream.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    # single-file fixture arrives as one input partition; a real table
+    # is pre-split — model that so phase 1 actually runs in parallel
+    ev32 = ev.repartition(32)
+
+    def local_candidates(batches):
+        for pdf in batches:
+            counts = pdf["user_id"].value_counts()
+            keep = counts[counts >= _HH_SUPPORT * len(pdf)]
+            yield pd.DataFrame({"user_id": keep.index.astype("int64")})
+
+    candidates = ev32.mapInPandas(local_candidates, "user_id long").distinct()
+
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    recount = (
+        ev.join(F.broadcast(candidates), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+    )
+    return recount.filter(
+        F.col("n_events") >= F.ceil(F.lit(_HH_SUPPORT) * F.col("total")).cast("long")
+    ).select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("n_events") * F.lit(1.0) / F.col("total"), 6).alias("share"),
+    )

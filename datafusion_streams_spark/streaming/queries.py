@@ -952,3 +952,47 @@ def streaming_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name, _ = run_drain_to_memory(joined, output_mode="append", state_partitions=8)
     return spark.table(name)
+
+
+_DEDUP_WM_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@query(
+    "streaming_dedup_watermark",
+    oracle=_DEDUP_WM_ORACLE,
+    tags=("streaming", "dedup", "stateful", "watermark"),
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded streaming dedup: dropDuplicatesWithinWatermark on
+    (event_type, user_id), the API whose state is EVICTABLE — unlike
+    plain dropDuplicates (streaming_dedup_keys), entries older than the
+    watermark delay are dropped from the state store, which is what
+    makes infinite-stream dedup feasible at 100 TB/day.
+
+    Determinism contract: the query is oracle-checkable because the
+    configured delay (365 days) exceeds the fixture's entire event-time
+    span, so no key ever spans the eviction horizon and the output is
+    exactly one emission per distinct key under any micro-batch split —
+    equal to the batch COUNT(DISTINCT). With a SHORTER delay the output
+    becomes arrival-order-dependent for keys whose duplicates straddle
+    the horizon; that eviction behavior is pinned separately in
+    tests/test_stateful.py. Downstream count per event_type rides the
+    same drain.
+    """
+    ev = events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    dd = (
+        ev.select("event_type", "user_id", "ts")
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["event_type", "user_id"])
+    )
+    name, _ = run_drain_to_memory(dd, output_mode="append", state_partitions=8)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -157,3 +157,43 @@ def test_round3_plan_shapes(spark):
     plan = formatted_plan(REGISTRY["ann_pq_adc"].fn(spark, SF_DIR))
     n_exchanges = plan.count("hashpartitioning(") + plan.count("rangepartitioning(")
     assert n_exchanges <= 2, f"ADC scan must stay map-only:\n{plan}"
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark):
+    """join_dpp_prune's fact scan must carry a dynamicpruning subquery
+    on the partition column — the dimension's quarter filter arriving
+    at the fact scan without any month literal in the query."""
+    df = REGISTRY["join_dpp_prune"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), "expected DPP on the partitioned fact scan"
+
+
+def test_bloom_prefilter_reduces_fact_before_join(spark):
+    """The Bloom prefilter must (a) never drop a true match — the
+    oracle equality already proves that — and (b) actually reduce the
+    fact stream: customers in 2 of 25 nations hold ~8% of orders, so
+    with fpr << 1 the survivors must be well under a quarter of the
+    table."""
+    from datafusion_streams_spark.operators.runtime_filters import (
+        _bloom_build,
+        _bloom_probe,
+    )
+    from pyspark.sql import functions as F
+
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet").filter(
+        F.col("n_name").isin("NATION_7", "NATION_19")
+    )
+    customer = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    bloom = _bloom_build(customer, "c_custkey")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select("o_custkey")
+    total = orders.count()
+    survived = orders.join(F.broadcast(bloom)).filter(_bloom_probe("o_custkey")).count()
+    true_matches = orders.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).count()
+    assert survived >= true_matches, "Bloom filters must never produce false negatives"
+    assert survived <= total * 0.25, f"prefilter too weak: {survived}/{total} survived"

@@ -436,3 +436,25 @@ def test_temperature_rebalance_flattens_mixture(spark):
     assert all(0 < r.rate <= 1.0 for r in rows)
     assert all(k >= 1 for k in kept), "a language was dropped"
     assert max(kept) / min(kept) < max(raw) / min(raw)
+
+
+def test_heavy_hitters_candidate_superset_any_partitioning(spark):
+    """agg_heavy_hitters' phase-1 guarantee: under ANY partitioning the
+    locally-emitted candidates form a superset of the true heavy
+    hitters, so the exact recount gives a partition-invariant final
+    answer. Re-run the full query under adversarial partition counts
+    and require identical results."""
+    from datafusion_streams_spark.operators import REGISTRY
+    from tests.conftest import SF_DIR
+
+    base = REGISTRY["agg_heavy_hitters"].fn(spark, SF_DIR).toPandas()
+    base = base.sort_values("user_id").reset_index(drop=True)
+    for parts in (1, 7):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            alt = REGISTRY["agg_heavy_hitters"].fn(spark, SF_DIR).toPandas()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        alt = alt.sort_values("user_id").reset_index(drop=True)
+        assert base.equals(alt), f"heavy hitters changed under shuffle.partitions={parts}"
