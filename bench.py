@@ -107,6 +107,9 @@ HEADLINE = [
     "join_dpp_prune",
     "agg_heavy_hitters",
     "streaming_dedup_watermark",
+    "window_gaps_islands",
+    "events_audience_overlap",
+    "text_collocations_pmi",
 ]
 
 

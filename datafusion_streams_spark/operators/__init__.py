@@ -187,7 +187,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   dedup_novelty_curve, embedding_dim_stats, layout_zorder_audit,
 #   agg_weighted_median, dedup_minhash_estimate_error, pipeline_snapshot_diff,
 #   streaming_stream_full_join, join_bloom_prefilter, join_dpp_prune,
-#   agg_heavy_hitters, streaming_dedup_watermark
+#   agg_heavy_hitters, streaming_dedup_watermark, window_gaps_islands,
+#   window_equidepth_buckets, events_audience_overlap, text_collocations_pmi
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

@@ -1391,3 +1391,77 @@ def events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_errors").cast("double") / F.col("n_events").cast("double")
         ).alias("error_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audience overlap: Jaccard between event-type user populations
+# ---------------------------------------------------------------------------
+
+_AUDIENCE_OVERLAP_ORACLE = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type),
+inter AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+    FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+)
+SELECT i.type_a, i.type_b,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       round(i.n_both * 1.0 / (sa.n + sb.n - i.n_both), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+"""
+
+
+@query(
+    "events_audience_overlap",
+    oracle=_AUDIENCE_OVERLAP_ORACLE,
+    tags=("events", "join", "agg", "cohort"),
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: exact Jaccard similarity between the
+    user populations of every event-type pair — which behaviors share
+    an audience (the segment-overlap report behind campaign targeting
+    and the cross-source twin of dedup_source_overlap, keyed on users
+    instead of shingles).
+
+    Scale: the per-user self-join fans out C(types_per_user, 2) <=
+    C(|event types|, 2) rows per user — bounded by the SQUARE OF THE
+    VOCABULARY (5 types -> <= 10 pair rows/user), never by user count;
+    one shuffle on user_id for the pair expansion, one on the 25-cell
+    pair key for the count, and the size join broadcasts a |types|-row
+    table. Jaccard divides three exactly-counted integers, so the
+    doubles are bit-identical across engines.
+    """
+    ev = load_events(spark, sf_dir)
+    du = ev.select("event_type", "user_id").distinct()
+    sizes = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_both") * F.lit(1.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1876,3 +1876,103 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("avg_neg_logprob").alias("min_nll"),
         F.max("avg_neg_logprob").alias("max_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# collocations: PMI-scored bigram phrase mining
+# ---------------------------------------------------------------------------
+
+_COLLOCATION_MIN_COUNT = 30
+
+_COLLOCATIONS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk FROM documents
+),
+uni AS (SELECT unnest(tk) AS w FROM toks),
+uni_c AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+n_uni AS (SELECT COUNT(*) AS t FROM uni),
+idx AS (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i FROM toks),
+bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2 FROM idx),
+bi_c AS (SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY w1, w2),
+n_bi AS (SELECT COUNT(*) AS t FROM bi)
+SELECT
+    bc.w1, bc.w2,
+    CAST(bc.c AS BIGINT) AS n_ab,
+    CAST(ca.c AS BIGINT) AS n_a,
+    CAST(cb.c AS BIGINT) AS n_b,
+    round(ln((bc.c * 1.0 / nb.t) /
+             ((ca.c * 1.0 / nu.t) * (cb.c * 1.0 / nu.t))), 6) AS pmi
+FROM bi_c bc
+CROSS JOIN n_bi nb
+CROSS JOIN n_uni nu
+JOIN uni_c ca ON ca.w = bc.w1
+JOIN uni_c cb ON cb.w = bc.w2
+WHERE bc.c >= {_COLLOCATION_MIN_COUNT}
+"""
+
+
+@query(
+    "text_collocations_pmi",
+    oracle=_COLLOCATIONS_ORACLE,
+    tags=("text", "ngram", "agg", "quality"),
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: bigrams scored by pointwise mutual
+    information, PMI = ln(p(ab) / (p(a)·p(b))) — the phrase detector
+    behind tokenizer vocabulary construction (word2vec-style phrase
+    merging) and boilerplate discovery: high-PMI pairs co-occur far
+    above chance.
+
+    The bigram relation is built with a higher-order slice+transform
+    (codegen, no UDF) and never materializes per-document strings
+    beyond the token arrays; counts shuffle once on token (vocabulary-
+    bounded, NOT corpus-bounded) and once on bigram (vocab²-bounded,
+    pruned by the min-count filter pushed below the joins). The two
+    corpus totals ride 1-row broadcasts. Unigram-count joins key on
+    token — at 100 TB the count tables are sketch-sized relative to
+    the corpus and AQE picks broadcast when they fit.
+
+    Parity: counts are exact integers; the PMI double divides/multiplies
+    them in an identical tree in both engines, with the final ln
+    rounded to 6 (transcendental discipline).
+    """
+    docs = load_documents(spark, sf_dir).withColumn("tk", tokens("text"))
+    uni = docs.select(F.explode("tk").alias("w"))
+    uni_c = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    t_uni = uni.agg(F.count(F.lit(1)).alias("t_uni"))
+    bi = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, size(tk) - 1),"
+                " (w, i) -> struct(w AS w1, tk[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi_c = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    t_bi = bi.agg(F.count(F.lit(1)).alias("t_bi"))
+    ca = uni_c.select(F.col("w").alias("w1"), F.col("c").alias("n_a"))
+    cb = uni_c.select(F.col("w").alias("w2"), F.col("c").alias("n_b"))
+    scored = (
+        bi_c.filter(F.col("n_ab") >= _COLLOCATION_MIN_COUNT)
+        .join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(t_bi))
+        .crossJoin(F.broadcast(t_uni))
+    )
+    return scored.select(
+        "w1",
+        "w2",
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.log(
+                (F.col("n_ab") * F.lit(1.0) / F.col("t_bi"))
+                / (
+                    (F.col("n_a") * F.lit(1.0) / F.col("t_uni"))
+                    * (F.col("n_b") * F.lit(1.0) / F.col("t_uni"))
+                )
+            ),
+            6,
+        ).alias("pmi"),
+    )

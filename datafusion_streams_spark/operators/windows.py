@@ -869,3 +869,124 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moving_avg_5"),
         F.count(F.lit(1)).over(w).cast("long").alias("frame_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gaps & islands: consecutive same-state runs per user
+# ---------------------------------------------------------------------------
+
+_ISLANDS_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+          AS grp
+    FROM events
+),
+islands AS (
+    SELECT user_id, event_type, grp, COUNT(*) AS island_len
+    FROM ordered GROUP BY user_id, event_type, grp
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MAX(island_len) AS BIGINT) AS max_len,
+       round(SUM(island_len) * 1.0 / COUNT(*), 6) AS avg_len
+FROM islands
+GROUP BY event_type
+"""
+
+
+@query(
+    "window_gaps_islands",
+    oracle=_ISLANDS_ORACLE,
+    tags=("window", "events", "analytic", "session"),
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive identical states
+    per user, found with the classic two-row_number difference (run id
+    = overall rank minus per-state rank — constant within a run,
+    distinct across runs). This is the ORDER-defined twin of time-gap
+    sessionization (events_sessionize): runs break on state change,
+    not on elapsed time — the shape behind uptime stretches, streak
+    analytics, and consecutive-failure alerting.
+
+    Determinism: both row_numbers carry the (ts, event_id) total
+    tiebreak, so run boundaries are reproducible under any
+    partitioning. Scale: both windows and the two aggregates share ONE
+    hash partitioning on user_id — Catalyst plans a single exchange,
+    then per-partition sorts; island rows never exceed event rows and
+    the final per-type rollup is a 5-row result.
+    """
+    ev = load_events(spark, sf_dir)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    islands = (
+        ev.select(
+            "user_id",
+            "event_type",
+            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("island_len"))
+    )
+    return islands.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.max("island_len").cast("long").alias("max_len"),
+        F.round(
+            F.sum("island_len") * F.lit(1.0) / F.count(F.lit(1)), 6
+        ).alias("avg_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# equi-depth buckets: exact decile profile of order totals
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM (
+    SELECT o_totalprice,
+           CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+    FROM orders
+)
+GROUP BY bucket
+"""
+
+
+@query(
+    "window_equidepth_buckets",
+    oracle=_EQUIDEPTH_ORACLE,
+    tags=("window", "agg", "distribution", "percentile"),
+)
+def window_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (equal-count) decile profile of order totals:
+    ntile(10) over a totally-ordered window, then per-bucket count /
+    bounds / exact decimal sum. The boundaries are EXACT order
+    statistics — the histogram equi-width binning (agg_histogram)
+    cannot see, and the form a query optimizer's value-distribution
+    statistics actually store.
+
+    The (o_totalprice, o_orderkey) tiebreak makes bucket assignment of
+    equal totals deterministic in both engines. Scale: an un-partitioned
+    ntile is a global sort — the exact form is the oracle-checkable
+    baseline; at 100 TB the same profile comes from
+    approx_percentile(p, [0.1..0.9]) boundaries (agg_approx_percentile,
+    rows-only) or a range-partitioned two-pass assignment, trading the
+    single-point sort for bounded error or one extra exchange.
+    """
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+    )
