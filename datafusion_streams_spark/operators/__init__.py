@@ -188,6 +188,7 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   agg_weighted_median, dedup_minhash_estimate_error, pipeline_snapshot_diff,
 #   streaming_stream_full_join, join_bloom_prefilter, join_dpp_prune,
 #   agg_heavy_hitters, streaming_dedup_watermark, window_gaps_islands,
+#   agg_hll_mergeable (rows-only), agg_approx_top_k (rows-only),
 #   window_equidepth_buckets, events_audience_overlap, text_collocations_pmi
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this

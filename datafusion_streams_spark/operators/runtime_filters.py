@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datafusion_streams_spark.catalog import load_events
 from datafusion_streams_spark.functions import dsum
 from datafusion_streams_spark.operators import query
 
@@ -282,4 +283,93 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("n_events").cast("long").alias("n_events"),
         F.round(F.col("n_events") * F.lit(1.0) / F.col("total"), 6).alias("share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mergeable sketches: HLL distinct-count rollup, approx top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_hll_mergeable",
+    oracle=None,  # Spark's DataSketches HLL estimates have no DuckDB
+    # twin; accuracy (est within 5% of exact) and partition-invariance
+    # are pinned in tests/test_properties.py instead
+    tags=("agg", "approx", "scale", "distinct"),
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches of the user set,
+    unioned per event type WITHOUT revisiting the raw events — the
+    100 TB pattern where each partition/day persists a fixed-size
+    sketch and any coarser distinct-count rollup is a register-wise
+    max over sketches, not a re-scan.
+
+    The two-level shape mirrors production sketch stores: level 1
+    builds hll_sketch_agg per (event_type, day) — partial aggregation
+    applies, the shuffle carries one ~2^12-register sketch per group —
+    and level 2 merges with hll_union_agg per event_type. Register-max
+    union is commutative, associative and idempotent, so the estimate
+    is invariant to partitioning, merge order, and even duplicated
+    sketch delivery (at-least-once pipelines). The exact distinct and
+    absolute error ride alongside to make the tradeoff visible.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sketch"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch, false))").alias("est_users"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    exact = ev.select("event_type", "user_id").distinct().groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        F.col("est_users").cast("long").alias("est_users"),
+        "exact_users",
+        (F.col("est_users").cast("long") - F.col("exact_users"))
+        .cast("long")
+        .alias("abs_err"),
+    )
+
+
+@query(
+    "agg_approx_top_k",
+    oracle=None,  # sketch output; exactness under full tracking is
+    # pinned in tests/test_properties.py
+    tags=("agg", "approx", "topk", "scale"),
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in frequency-sketch top-k (approx_top_k): the bounded-
+    memory path for "most frequent keys" when the key space is too
+    large for an exact groupBy — the sketch tracks maxItemsTracked
+    counters per partition and merges them, so memory is O(tracked),
+    not O(distinct).
+
+    Here maxItemsTracked (8192) exceeds the fixture's user cardinality,
+    which makes the sketch provably exact (every key gets a counter —
+    the property test asserts equality with the exact groupBy top-k);
+    at 100 TB cardinalities the same query returns estimates whose
+    error concentrates on the tail, never the head — the reason the
+    shape is safe for heavy-hitter reporting. Exact two-phase
+    recounting (agg_heavy_hitters) is the companion when error bars
+    are unacceptable.
+    """
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.agg(F.expr("approx_top_k(user_id, 10, 8192)").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").cast("long").alias("user_id"),
+            F.col("e.count").cast("long").alias("n_events"),
+        )
     )

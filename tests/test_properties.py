@@ -458,3 +458,47 @@ def test_heavy_hitters_candidate_superset_any_partitioning(spark):
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         alt = alt.sort_values("user_id").reset_index(drop=True)
         assert base.equals(alt), f"heavy hitters changed under shuffle.partitions={parts}"
+
+
+def test_hll_mergeable_accuracy_and_partition_invariance(spark):
+    """agg_hll_mergeable: lgConfigK=12 keeps relative error ~1.6%
+    (assert 5%), and the register-max union makes the estimate
+    invariant under repartitioning of the raw events."""
+    from datafusion_streams_spark.operators import REGISTRY
+    from tests.conftest import SF_DIR
+
+    pdf = REGISTRY["agg_hll_mergeable"].fn(spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    assert (abs(pdf.est_users - pdf.exact_users) <= 0.05 * pdf.exact_users).all(), pdf
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try:
+        alt = REGISTRY["agg_hll_mergeable"].fn(spark, SF_DIR).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    a = pdf.sort_values("event_type").reset_index(drop=True)
+    b = alt.sort_values("event_type").reset_index(drop=True)
+    assert a.equals(b), "HLL union must be partition-invariant"
+
+
+def test_approx_top_k_exact_under_full_tracking(spark):
+    """With maxItemsTracked >= distinct keys, approx_top_k degrades to
+    the exact top-k: same items, same counts as the groupBy answer."""
+    from datafusion_streams_spark.operators import REGISTRY
+    from tests.conftest import SF_DIR
+
+    got = REGISTRY["agg_approx_top_k"].fn(spark, SF_DIR).toPandas()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = (
+        ev.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").limit(10)
+    ).toPandas()
+    got_map = dict(zip(got.user_id, got.n_events))
+    exact_map = dict(zip(exact.user_id, exact["count"]))
+    # ties at the k-th count may legitimately differ in membership;
+    # counts for every returned item must be exact
+    ex_all = dict(
+        (r.user_id, r["count"]) for _, r in ev.groupBy("user_id").count().toPandas().iterrows()
+    )
+    for uid, c in got_map.items():
+        assert ex_all[uid] == c, f"count for {uid} not exact: {c} vs {ex_all[uid]}"
+    assert min(got_map.values()) >= min(exact_map.values())
