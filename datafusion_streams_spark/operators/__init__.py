@@ -189,7 +189,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   streaming_stream_full_join, join_bloom_prefilter, join_dpp_prune,
 #   agg_heavy_hitters, streaming_dedup_watermark, window_gaps_islands,
 #   agg_hll_mergeable (rows-only), agg_approx_top_k (rows-only),
-#   window_equidepth_buckets, events_audience_overlap, text_collocations_pmi
+#   window_equidepth_buckets, events_audience_overlap, text_collocations_pmi,
+#   join_asof_tolerance, events_anomaly_mad
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

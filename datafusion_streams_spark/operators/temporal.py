@@ -362,3 +362,90 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("fwd"))
         .alias("matched_dir"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AS-OF with tolerance: staleness-bounded backward match
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_ORACLE = """
+WITH clicks AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, ts AS purchase_ts, MAX(value) AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+    CASE WHEN c.ts - p.purchase_ts <= INTERVAL 1 HOUR THEN p.purchase_ts END
+        AS purchase_ts,
+    CASE WHEN c.ts - p.purchase_ts <= INTERVAL 1 HOUR THEN p.purchase_value END
+        AS purchase_value
+FROM clicks c
+ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+"""
+
+
+@query("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE, tags=("temporal", "asof", "join"))
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a staleness tolerance (pandas merge_asof's
+    ``tolerance=``): each click matches its latest preceding purchase
+    ONLY if that purchase is at most 1 hour old — the feature-store
+    freshness contract ("use the last reading unless it has gone
+    stale").
+
+    Same single-shuffle union + carry-forward plan as join_asof — the
+    tolerance adds a pure post-projection: because the carried match is
+    the LATEST purchase <= ts, if IT is out of tolerance then no
+    in-tolerance match exists (monotonicity), so a CASE on the carried
+    age is exactly merge_asof's tolerance semantics, with no second
+    probe. The age compare is exact integer microseconds.
+
+    Completes the as-of family: backward (join_asof), forward
+    (join_asof_forward), nearest (join_asof_nearest), tolerance (here).
+    """
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp_ntz").alias("purchase_ts"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.lit(0).alias("kind"),
+            F.col("ts").alias("purchase_ts"),
+            "purchase_value",
+        )
+    )
+    tagged = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "kind",
+        "ts",
+        F.last("purchase_ts", ignorenulls=True).over(w).alias("purchase_ts"),
+        F.last("purchase_value", ignorenulls=True).over(w).alias("purchase_value"),
+    )
+    in_tol = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+    ) <= 3600 * 1000 * 1000
+    return carried.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        F.when(in_tol, F.col("purchase_ts")).alias("purchase_ts"),
+        F.when(in_tol, F.col("purchase_value")).alias("purchase_value"),
+    )

@@ -990,3 +990,78 @@ def window_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# robust outliers: median / MAD control limits
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d
+    FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+    SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT
+    d.event_type,
+    any_value(d.med) AS med,
+    any_value(ma.mad) AS mad,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(COUNT(CASE WHEN d.d > 4.4478 * ma.mad THEN 1 END) AS BIGINT) AS n_outliers,
+    round(COUNT(CASE WHEN d.d > 4.4478 * ma.mad THEN 1 END) * 1.0 / COUNT(*), 6)
+        AS outlier_rate
+FROM dev d JOIN mad ma ON d.event_type = ma.event_type
+GROUP BY d.event_type
+"""
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=_MAD_ORACLE,
+    tags=("events", "anomaly", "agg", "percentile"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: median / median-absolute-deviation
+    control limits (|x - med| > 3σ with σ ≈ 1.4826·MAD) — the
+    z-score's (events_anomaly_zscore) heavy-tail-safe sibling: a single
+    extreme value shifts a mean and inflates a stddev, but moves
+    neither the median nor the MAD.
+
+    Two exact interpolated-percentile passes (both engines share the
+    linear-interpolation quantile definition proved by
+    agg_percentiles), each shuffling on the 5-value event_type key,
+    with the per-type medians broadcast back. The 4.4478 threshold
+    multiplies exactly-determined doubles identically in both engines.
+    Scale: swap percentile for approx_percentile at 100 TB — the
+    control limits tolerate sketch error by design (they are 3σ bands,
+    not exact order statistics).
+    """
+    ev = load_events(spark, sf_dir)
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("d", F.lit(0.5)).alias("mad"))
+    scored = dev.join(F.broadcast(mad), "event_type")
+    return scored.groupBy("event_type").agg(
+        F.any_value("med").alias("med"),
+        F.any_value("mad").alias("mad"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count(F.when(F.col("d") > F.lit(4.4478) * F.col("mad"), 1))
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(
+            F.count(F.when(F.col("d") > F.lit(4.4478) * F.col("mad"), 1))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("outlier_rate"),
+    )
