@@ -190,7 +190,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   agg_heavy_hitters, streaming_dedup_watermark, window_gaps_islands,
 #   agg_hll_mergeable (rows-only), agg_approx_top_k (rows-only),
 #   window_equidepth_buckets, events_audience_overlap, text_collocations_pmi,
-#   join_asof_tolerance, events_anomaly_mad
+#   join_asof_tolerance, events_anomaly_mad, files_pysink_manifest,
+#   streaming_pysink_manifest
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

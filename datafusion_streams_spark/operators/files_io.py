@@ -466,3 +466,91 @@ def layout_zorder_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("dy") - F.min("dy")).cast("long").alias("day_span"),
         )
     )
+
+
+@query(
+    "files_pysink_manifest",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("source", "sink", "files", "datasource"),
+)
+def files_pysink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through a PLUGGABLE PYTHON SINK (Spark 4 DataSource
+    writer API, `sources/pysink.py`): per-task parquet part writes ->
+    WriterCommitMessage -> driver-side atomic _MANIFEST.json commit;
+    the read-back goes through the manifest only, so uncommitted task
+    output is invisible (two-phase commit in ~30 lines of user code —
+    the writer-side twin of ref_kafka_datasource_pipeline's pluggable
+    source, and the registered-custom-plan architecture of the
+    reference itself, `/root/reference/src/kafka/execution.rs:31`).
+
+    The verification aggregate hash-matches the same oracle as the
+    csv/json/orc round trips, proving the user-level writer preserved
+    keys, dates, doubles and quoted strings exactly.
+    """
+    from datafusion_streams_spark.sources.pysink import (
+        manifest_files,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    out = tempfile.mkdtemp(prefix="dfs_pysink_")
+    _orders_subset(spark, sf_dir).write.format("manifest_sink").option(
+        "path", out
+    ).mode("append").save()
+    back = spark.read.parquet(*manifest_files(out))
+    return _verify_agg(back)
+
+
+_PYSINK_STREAM_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@query(
+    "streaming_pysink_manifest",
+    oracle=_PYSINK_STREAM_ORACLE,
+    tags=("streaming", "sink", "datasource"),
+)
+def streaming_pysink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming half of the pluggable Python sink: a real
+    micro-batch drain writes each batch's partitions as part files and
+    commits one _MANIFEST-<batchId>.json per batch — batch-id-keyed
+    manifests make replays overwrite their own entry, which is the
+    idempotence contract a foreachBatch MERGE sink provides
+    (streaming_foreachbatch_merge) expressed at the DataSource level.
+
+    The read-back aggregates only manifest-listed files and must
+    hash-match the batch oracle over the full fixture: no duplicated,
+    no lost, no uncommitted rows — whatever the micro-batch split was.
+    """
+    import tempfile as _tf
+
+    from datafusion_streams_spark.sources.kafka import events_stream
+    from datafusion_streams_spark.sources.pysink import (
+        manifest_files,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    out = _tf.mkdtemp(prefix="dfs_pysink_s_")
+    ckpt = _tf.mkdtemp(prefix="dfs_pysink_ckpt_")
+    ev = events_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+    q = (
+        ev.writeStream.format("manifest_sink")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = spark.read.parquet(*manifest_files(out))
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
+    )

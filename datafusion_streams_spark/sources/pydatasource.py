@@ -156,7 +156,17 @@ class KafkaEmuDataSource(DataSource):
 
 
 def register_kafka_emu(spark) -> None:
-    """Idempotent registration of the pluggable source."""
+    """Idempotent registration of the pluggable source.
+
+    Registered for pickle-BY-VALUE (see pysink.register_manifest_sink):
+    executor Python workers cannot re-import this package unless the
+    driver's working directory happens to be the repo root — by-value
+    serialization ships the reader code with the task instead."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     try:
         spark.dataSource.register(KafkaEmuDataSource)
     except Exception:

@@ -165,3 +165,34 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     n_compact = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
     assert n_compact == 1
     assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_pysink_manifest_atomicity_on_failure(spark):
+    """A failed write job must leave NO manifest — readers going through
+    manifest_files() observe nothing (two-phase commit contract). The
+    part files of failed/aborted tasks are garbage, not data."""
+    import os
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datafusion_streams_spark.sources.pysink import (
+        manifest_files,
+        register_manifest_sink,
+    )
+
+    register_manifest_sink(spark)
+    out = tempfile.mkdtemp(prefix="dfs_pysink_fail_")
+
+    @F.udf("long")
+    def boom(v):
+        if v == 7:
+            raise ValueError("injected task failure")
+        return v
+
+    df = spark.range(0, 16, 1, 4).select(boom(F.col("id")).alias("id"))
+    with pytest.raises(Exception):
+        df.write.format("manifest_sink").option("path", out).mode("append").save()
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    assert manifest_files(out) == []
