@@ -30,6 +30,18 @@ from pyspark.sql.types import (
 
 from datafusion_streams_spark.operators import query
 
+# The mapInPandas batch loops below are MODULE-LEVEL functions, which
+# cloudpickle serializes by reference — executor Python workers would
+# then need this package importable, which only holds when the driver
+# happens to run from the repo root. By-value registration ships the
+# code with the task instead (same rationale as the pluggable
+# source/sink registration in sources/pydatasource.py / pysink.py).
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
 META_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
