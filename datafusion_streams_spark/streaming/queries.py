@@ -996,3 +996,61 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+_CSV_STREAM_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM events
+GROUP BY event_type
+"""
+
+
+@query(
+    "streaming_csv_source",
+    oracle=_CSV_STREAM_ORACLE,
+    tags=("streaming", "source", "csv"),
+)
+def streaming_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV file-stream source: a landing directory of CSV drops
+    consumed as a micro-batch stream with an EXPLICIT schema (file
+    streams cannot infer) and header skipping per file — the classic
+    "vendor FTP feed" ingestion. Completes the streaming x format
+    matrix next to the parquet file stream (every other streaming
+    query) and the pluggable Python source.
+
+    The streamed aggregate must hash-match the batch oracle computed
+    from the original parquet: text round-trip of the integer columns
+    is lossless, no file is skipped or double-read (maxFilesPerTrigger
+    forces multiple genuine micro-batches), and the header line is
+    dropped exactly once per file.
+    """
+    import tempfile as _tf
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    land = _tf.mkdtemp(prefix="dfs_csv_land_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    ev.repartition(4).write.mode("overwrite").option("header", "true").csv(land)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "2")
+        .csv(land)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+    )
+    name, _ = run_drain_to_memory(agg, output_mode="complete", state_partitions=8)
+    return spark.table(name)
