@@ -1465,3 +1465,175 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hysteresis alerting: two-threshold state machine per user
+# ---------------------------------------------------------------------------
+
+_HYST_HIGH = 180.0
+_HYST_LOW = 40.0
+
+_HYSTERESIS_ORACLE = f"""
+WITH crossings AS (
+    SELECT user_id, event_id, ts, value,
+        CASE WHEN value >= {_HYST_HIGH} THEN 'on'
+             WHEN value <= {_HYST_LOW} THEN 'off' END AS crossing
+    FROM events
+),
+carried AS (
+    SELECT user_id, event_id, value,
+        coalesce(last_value(crossing IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ), 'off') AS state
+    FROM crossings
+),
+flagged AS (
+    SELECT user_id, state,
+        CASE WHEN state = 'on' AND coalesce(lag(state) OVER (
+            PARTITION BY user_id ORDER BY event_id
+        ), 'off') = 'off' THEN 1 ELSE 0 END AS fired
+    FROM carried
+)
+SELECT user_id,
+       CAST(SUM(fired) AS BIGINT) AS n_alerts,
+       CAST(COUNT(CASE WHEN state = 'on' THEN 1 END) AS BIGINT) AS n_events_in_alert,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM flagged
+GROUP BY user_id
+HAVING SUM(fired) > 0
+"""
+
+
+@query(
+    "events_hysteresis_alerts",
+    oracle=_HYSTERESIS_ORACLE,
+    tags=("events", "anomaly", "window", "stateful"),
+)
+def events_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold (hysteresis) alerting: a per-user state machine
+    that trips ON when value crosses the high watermark and clears only
+    below the low watermark — the debounce pattern that stops a metric
+    oscillating around a single threshold from paging every sample.
+
+    Sequential state expressed relationally: classify each event as an
+    'on'/'off' CROSSING or a no-op, carry the latest crossing forward
+    with last_value(IGNORE NULLS) over the (ts, event_id)-ordered user
+    window, and count off->on edges with lag. One exchange on user_id
+    serves the carry, the edge detection and the final rollup — the
+    same single-pass shape a stateful streaming implementation
+    (streaming_sessionize_state) maintains incrementally.
+
+    The lag ordering uses event_id alone, which the carry order (ts,
+    event_id) makes consistent in both engines — lag over a
+    differently-keyed reorder of equal rows is where engines silently
+    disagree.
+    """
+    ev = load_events(spark, sf_dir)
+    crossing = F.when(F.col("value") >= _HYST_HIGH, F.lit("on")).when(
+        F.col("value") <= _HYST_LOW, F.lit("off")
+    )
+    w_carry = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.select(
+        "user_id",
+        "event_id",
+        F.coalesce(
+            F.last(crossing, ignorenulls=True).over(w_carry), F.lit("off")
+        ).alias("state"),
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("event_id")
+    flagged = carried.select(
+        "user_id",
+        "state",
+        F.when(
+            (F.col("state") == "on")
+            & (F.coalesce(F.lag("state").over(w_lag), F.lit("off")) == "off"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("fired"),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.sum("fired").cast("long").alias("n_alerts"),
+            F.count(F.when(F.col("state") == "on", 1)).cast("long").alias("n_events_in_alert"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .filter(F.col("n_alerts") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resampling: open/high/low/close bars per hour
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH ordered AS (
+    SELECT event_type,
+        strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bar_hour,
+        value,
+        row_number() OVER (
+            PARTITION BY event_type, date_trunc('hour', ts)
+            ORDER BY ts, event_id
+        ) AS rn_open,
+        row_number() OVER (
+            PARTITION BY event_type, date_trunc('hour', ts)
+            ORDER BY ts DESC, event_id DESC
+        ) AS rn_close
+    FROM events
+)
+SELECT event_type, bar_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       MIN(CASE WHEN rn_open = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MIN(CASE WHEN rn_close = 1 THEN value END) AS close
+FROM ordered
+GROUP BY event_type, bar_hour
+"""
+
+
+@query(
+    "timeseries_ohlc_bars",
+    oracle=_OHLC_ORACLE,
+    tags=("temporal", "window", "agg", "analytic"),
+)
+def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling: per (series, hour) bars with open/high/low/
+    close — the canonical time-series downsampling (finance candles,
+    metrics rollups). Open/close are ORDER-DEFINED (first/last tick by
+    time), so they ride tie-safe row_number windows ordered by
+    (ts, event_id) while high/low/count are plain aggregates; one
+    exchange on the (series, hour) bar key serves both windows and the
+    rollup.
+
+    The hour key is emitted as a formatted string (engine-portable
+    like the lifecycle day keys); open/close doubles pass through
+    untouched — no arithmetic, so no float-parity surface at all.
+    """
+    ev = load_events(spark, sf_dir)
+    bar = F.date_trunc("hour", F.col("ts"))
+    w_open = Window.partitionBy("event_type", bar).orderBy("ts", "event_id")
+    w_close = Window.partitionBy("event_type", bar).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ordered = ev.select(
+        "event_type",
+        F.date_format(bar, "yyyy-MM-dd HH:00:00").alias("bar_hour"),
+        "value",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return ordered.groupBy("event_type", "bar_hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        F.min(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.min(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+    )
