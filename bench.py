@@ -110,6 +110,8 @@ HEADLINE = [
     "window_gaps_islands",
     "events_audience_overlap",
     "text_collocations_pmi",
+    "files_pysink_manifest",
+    "timeseries_ohlc_bars",
 ]
 
 
