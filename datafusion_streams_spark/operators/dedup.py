@@ -953,3 +953,86 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jaccard",
         F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom prescreen: incremental-ingest "have we seen this?" gate
+# ---------------------------------------------------------------------------
+
+_BLOOM_PRESCREEN_ORACLE = """
+WITH fp AS (
+    SELECT doc_id, md5(substr(text, 1, 128)) AS f FROM documents
+),
+corpus AS (SELECT f FROM fp WHERE doc_id % 2 = 0),
+inc AS (
+    SELECT doc_id,
+        CASE WHEN f IN (SELECT f FROM corpus) THEN 'seen' ELSE 'novel' END AS status
+    FROM fp WHERE doc_id % 2 = 1
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS sample_doc_id
+FROM inc
+GROUP BY status
+"""
+
+
+@query(
+    "dedup_bloom_prescreen",
+    oracle=_BLOOM_PRESCREEN_ORACLE,
+    tags=("dedup", "scale", "filter", "provenance"),
+)
+def dedup_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup gate: an incoming batch (odd doc_ids)
+    is screened against the existing corpus (even doc_ids) with a
+    Bloom filter over content fingerprints BEFORE any join — the
+    crawler's "seen this URL/hash?" screen. Bloom misses are certainly
+    novel and skip the join entirely; only Bloom hits (true dups +
+    false positives) proceed to the exact fingerprint semi-join, so
+    the expensive verify touches ~|dups| + fpr·|incoming| rows instead
+    of the whole batch.
+
+    The classification is EXACT — false positives are removed by the
+    verify join, false negatives cannot occur — so the oracle is the
+    plain IN/NOT IN split, and the Bloom only shapes how much data
+    reaches the join (same contract as join_bloom_prefilter). At
+    100 TB the corpus side is a fingerprint store; its Bloom is built
+    once per ingest cycle (or maintained incrementally: inserting into
+    a bit-OR-mergeable filter is itself a bit_or aggregation) and
+    broadcast at O(m) regardless of corpus size.
+
+    Fingerprints are the 128-char preview md5 (the multimodal_dedup_
+    bytes identity), under which the fixture's planted near-dups
+    genuinely collide across the corpus/incoming split.
+    """
+    from datafusion_streams_spark.operators.runtime_filters import (
+        _bloom_build,
+        _bloom_probe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = docs.select(
+        "doc_id", F.md5(F.substring("text", 1, 128)).alias("f")
+    )
+    corpus = fp.filter(F.col("doc_id") % 2 == 0).select("f")
+    inc = fp.filter(F.col("doc_id") % 2 == 1)
+
+    bloom = _bloom_build(corpus, "f")
+    probed = inc.join(F.broadcast(bloom)).withColumn("maybe_seen", _bloom_probe("f"))
+    # bloom misses: certainly novel, never joined. bloom hits: exact verify.
+    hits = probed.filter(F.col("maybe_seen"))
+    verified_seen = hits.join(corpus.distinct(), "f", "left_semi").select("doc_id")
+    status = inc.join(
+        verified_seen.withColumnRenamed("doc_id", "seen_id"),
+        F.col("doc_id") == F.col("seen_id"),
+        "left_outer",
+    ).select(
+        "doc_id",
+        F.when(F.col("seen_id").isNotNull(), F.lit("seen"))
+        .otherwise(F.lit("novel"))
+        .alias("status"),
+    )
+    return status.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("sample_doc_id"),
+    )

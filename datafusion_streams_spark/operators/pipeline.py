@@ -963,3 +963,115 @@ def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_doc"),
         F.max("doc_id").cast("long").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: uncertainty quantification without resampling passes
+# ---------------------------------------------------------------------------
+
+N_BOOTSTRAP = 32
+
+# Poisson(1) inverse CDF on a 1/10000 grid (cumulative probabilities
+# 0.3679, 0.7358, 0.9197, 0.9810, 0.9963, 0.9994) — identical integer
+# thresholds in both engines, so the weights are reproducible anywhere.
+_POISSON_CASE_SQL = """CASE
+    WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1 WHEN u < 9197 THEN 2
+    WHEN u < 9810 THEN 3 WHEN u < 9963 THEN 4 WHEN u < 9994 THEN 5
+    ELSE 6 END"""
+
+_BOOTSTRAP_ORACLE = f"""
+WITH reps AS (
+    SELECT d.source, d.n_chars, r.r,
+        CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '-' ||
+            CAST(r.r AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 AS u
+    FROM documents d, (SELECT unnest(generate_series(0, {N_BOOTSTRAP - 1})) AS r) r
+),
+weighted AS (
+    SELECT source, n_chars, r, {_POISSON_CASE_SQL} AS w FROM reps
+),
+rep_means AS (
+    SELECT source, r, SUM(w * n_chars) * 1.0 / SUM(w) AS mean_r
+    FROM weighted GROUP BY source, r
+),
+full_mean AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(n_chars) * 1.0 / COUNT(*) AS mean_chars
+    FROM documents GROUP BY source
+)
+SELECT f.source, f.n_docs, f.mean_chars,
+       quantile_cont(m.mean_r, 0.025) AS boot_lo,
+       quantile_cont(m.mean_r, 0.975) AS boot_hi
+FROM rep_means m JOIN full_mean f ON m.source = f.source
+GROUP BY f.source, f.n_docs, f.mean_chars
+"""
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle=_BOOTSTRAP_ORACLE,
+    tags=("sampling", "agg", "scale", "evaluation"),
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence intervals for per-source mean
+    document length — the resampling scheme for data too large to
+    permute: instead of drawing n-out-of-n samples (which needs global
+    coordination), each record gets an independent Poisson(1) weight
+    per replicate, and R replicate estimates are computed in ONE pass
+    over the data. The replicate spread (2.5%/97.5% quantiles) is the
+    CI a quality dashboard should print next to every corpus mean.
+
+    Determinism: the weights are a pure function of (doc_id, replicate)
+    — a 10000-grid md5 draw through the Poisson(1) inverse CDF with
+    integer thresholds identical in both engines (the repo's md5-only
+    hashing discipline), so the "random" resampling is byte-reproducible
+    across runs, engines, and cluster sizes. Scale: the R-way fan-out
+    (explode over 32 replicate ids) is bounded replication, weighted
+    sums are exact integers (map-side combinable), and the quantiles
+    run over R values per source, never over the corpus.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    reps = docs.select(
+        "source",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BOOTSTRAP - 1))).alias("r"),
+        "doc_id",
+    ).withColumn(
+        "u",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("-"),
+                            F.col("r").cast("string"),
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10000),
+        ),
+    )
+    weighted = reps.withColumn("w", F.expr(_POISSON_CASE_SQL))
+    rep_means = weighted.groupBy("source", "r").agg(
+        (F.sum(F.col("w") * F.col("n_chars")) * F.lit(1.0) / F.sum("w")).alias("mean_r")
+    )
+    full_mean = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("n_chars") * F.lit(1.0) / F.count(F.lit(1))).alias("mean_chars"),
+    )
+    return (
+        rep_means.groupBy("source")
+        .agg(
+            F.percentile("mean_r", F.lit(0.025)).alias("boot_lo"),
+            F.percentile("mean_r", F.lit(0.975)).alias("boot_hi"),
+        )
+        .join(F.broadcast(full_mean), "source")
+        .select("source", "n_docs", "mean_chars", "boot_lo", "boot_hi")
+    )
