@@ -196,3 +196,70 @@ def test_pysink_manifest_atomicity_on_failure(spark):
         df.write.format("manifest_sink").option("path", out).mode("append").save()
     assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
     assert manifest_files(out) == []
+
+
+def test_avro_py_spec_byte_vectors():
+    """Pin the clean-room Avro binary encoding to the spec's published
+    examples: zigzag varint longs (1 -> 0x02, -64 -> 0x7f, 64 -> 0x80
+    0x01), container magic, and the null-codec metadata keys."""
+    import io
+    import os
+    import tempfile
+
+    from datafusion_streams_spark.sources.avro_py import (
+        MAGIC,
+        _read_long,
+        _write_long,
+        write_avro_file,
+    )
+
+    def enc(n: int) -> bytes:
+        b = io.BytesIO()
+        _write_long(b, n)
+        return b.getvalue()
+
+    assert enc(0) == b"\x00"
+    assert enc(-1) == b"\x01"
+    assert enc(1) == b"\x02"
+    assert enc(-2) == b"\x03"
+    assert enc(2) == b"\x04"
+    assert enc(-64) == b"\x7f"
+    assert enc(64) == b"\x80\x01"
+    for n in (0, 1, -1, 63, -64, 64, 2**40, -(2**40), 2**62):
+        assert _read_long(io.BufferedReader(io.BytesIO(enc(n)))) == n
+
+    td = tempfile.mkdtemp()
+    p = os.path.join(td, "v.avro")
+    write_avro_file(p, [("k", "long")], [{"k": 1}])
+    raw = open(p, "rb").read()
+    assert raw[:4] == MAGIC == b"Obj\x01"
+    assert b"avro.schema" in raw and b"avro.codec" in raw and b"null" in raw
+
+
+def test_avro_py_reader_rejects_non_null_codec(tmp_path):
+    """Codec guard: a deflate-coded file must raise a clear error, not
+    decode garbage."""
+    import io
+
+    import pytest
+
+    from datafusion_streams_spark.sources.avro_py import (
+        MAGIC,
+        SYNC,
+        _write_long,
+        read_avro_header,
+    )
+
+    buf = io.BytesIO()
+    buf.write(MAGIC)
+    _write_long(buf, 2)
+    for k, v in ((b"avro.schema", b'{"type":"record","name":"r","fields":[]}'),
+                 (b"avro.codec", b"deflate")):
+        _write_long(buf, len(k)); buf.write(k)
+        _write_long(buf, len(v)); buf.write(v)
+    _write_long(buf, 0)
+    buf.write(SYNC)
+    p = tmp_path / "bad.avro"
+    p.write_bytes(buf.getvalue())
+    with pytest.raises(ValueError, match="codec"):
+        read_avro_header(str(p))
