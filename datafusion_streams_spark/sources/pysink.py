@@ -37,8 +37,8 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -49,23 +49,25 @@ class PartFileCommit(WriterCommitMessage):
         self.rows = rows
 
 
-def _write_part(path_dir: str, rows: list) -> PartFileCommit:
-    """Write one partition's rows as a parquet part file (executor-side
-    pyarrow, no Spark write path involved). Empty partitions commit an
-    empty message instead of a zero-column file."""
+def _write_part(path_dir: str, batches) -> PartFileCommit:
+    """Write one partition's Arrow RecordBatches as a parquet part file
+    (executor-side pyarrow, zero row-wise conversion: Spark hands the
+    task columnar batches and they go straight to the parquet encoder).
+    Empty partitions commit an empty message instead of a zero-column
+    file."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if not rows:
+    batches = [b for b in batches if b.num_rows >= 0]
+    if not batches or sum(b.num_rows for b in batches) == 0:
         return PartFileCommit("", 0)
+    table = pa.Table.from_batches(batches)
     part = f"part-{uuid.uuid4().hex}.parquet"
-    path = os.path.join(path_dir, part)
-    cols = {field: [r[field] for r in rows] for field in rows[0].__fields__}
-    pq.write_table(pa.table(cols), path)
-    return PartFileCommit(part, len(rows))
+    pq.write_table(table, os.path.join(path_dir, part))
+    return PartFileCommit(part, table.num_rows)
 
 
-class ManifestBatchWriter(DataSourceWriter):
+class ManifestBatchWriter(DataSourceArrowWriter):
     def __init__(self, options):
         self.path = options["path"]
 
@@ -91,7 +93,7 @@ class ManifestBatchWriter(DataSourceWriter):
                     pass
 
 
-class ManifestStreamWriter(DataSourceStreamWriter):
+class ManifestStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options):
         self.path = options["path"]
 
