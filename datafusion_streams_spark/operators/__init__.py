@@ -193,7 +193,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   join_asof_tolerance, events_anomaly_mad, files_pysink_manifest,
 #   streaming_pysink_manifest, multimodal_dedup_bytes, text_lang_confusion,
 #   streaming_csv_source, events_hysteresis_alerts, timeseries_ohlc_bars,
-#   dedup_bloom_prescreen, sample_poisson_bootstrap, files_avro_roundtrip
+#   dedup_bloom_prescreen, sample_poisson_bootstrap, files_avro_roundtrip,
+#   streaming_avro_source
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

@@ -37,6 +37,7 @@ from datetime import date, timedelta
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -262,6 +263,47 @@ class AvroPyReader(DataSourceReader):
         yield from read_avro_file(split.path)
 
 
+class AvroPyStreamReader(DataSourceStreamReader):
+    """Micro-batch stream over a landing directory of container files.
+
+    Offsets are positions in the SORTED file listing — each trigger
+    plans at most ``maxFilesPerTrigger`` newly-arrived files (the
+    planner-side bound, mirroring the reference's row-capped
+    micro-batch planning, `/root/reference/src/kafka/execution.rs:87`),
+    one input partition per file. Files are immutable once listed, so
+    replaying an offset range after restart is deterministic — the
+    property exactly-once delivery rides on."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.max_files = int(options.get("maxFilesPerTrigger", "2"))
+        self._planned = 0  # driver-held cursor, advanced per trigger
+        # (same pattern as KafkaEmuStreamReader: latestOffset moves the
+        # cursor itself — the engine does not feed the previous end back
+        # into this call, and commit() is bookkeeping-only)
+
+    def _listing(self) -> list[str]:
+        return sorted(f for f in os.listdir(self.path) if f.endswith(".avro"))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        avail = len(self._listing())
+        self._planned = min(avail, self._planned + self.max_files)
+        return {"index": self._planned}
+
+    def partitions(self, start, end):
+        files = self._listing()[start["index"] : end["index"]]
+        return [_FileSplit(os.path.join(self.path, f)) for f in files]
+
+    def read(self, split):
+        yield from read_avro_file(split.path)
+
+    def commit(self, end):
+        pass  # immutable landing files; nothing to clean up
+
+
 class AvroPyCommit(WriterCommitMessage):
     def __init__(self, path: str, rows: int):
         self.path = path
@@ -320,6 +362,9 @@ class AvroPyDataSource(DataSource):
 
     def reader(self, schema):
         return AvroPyReader(self.options)
+
+    def streamReader(self, schema):
+        return AvroPyStreamReader(self.options)
 
     def writer(self, schema, overwrite):
         return AvroPyWriter(self.options, _spark_fields(schema))

@@ -99,3 +99,53 @@ def rate_micro_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFr
         .option("rowsPerSecond", str(rows_per_second))
         .load()
     )
+
+
+def run_drain_until(
+    df: DataFrame,
+    done: Callable[[SparkSession, str], bool],
+    output_mode: str = "complete",
+    trigger_interval: str = "100 milliseconds",
+    timeout_sec: int = 120,
+    state_partitions: int | None = None,
+) -> tuple[str, StreamingQuery]:
+    """Drain with a REAL processing-time trigger loop until a caller
+    predicate observes completion, then stop — for sources that do not
+    support Trigger.AvailableNow (Python DataSourceStreamReader falls
+    back to single-batch under it, silently ignoring per-trigger
+    limits). This is the closest Spark mapping of the reference's
+    drain-then-stop EOF loop for a genuinely rate-limited source: the
+    engine replans micro-batches at the trigger cadence and the
+    caller decides when the stream has caught up (e.g. all input rows
+    visible in the sink)."""
+    import time as _time
+
+    spark = df.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        name = f"mb_{uuid.uuid4().hex[:12]}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="dfs_ckpt_"))
+            .trigger(processingTime=trigger_interval)
+            .start()
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    deadline = _time.monotonic() + timeout_sec
+    while _time.monotonic() < deadline:
+        try:
+            if done(spark, name):
+                break
+        except Exception:
+            pass  # sink table not materialized yet
+        _time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(timeout_sec)
+    return name, q

@@ -1054,3 +1054,67 @@ def streaming_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name, _ = run_drain_to_memory(agg, output_mode="complete", state_partitions=8)
     return spark.table(name)
+
+
+_AVRO_STREAM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "streaming_avro_source",
+    oracle=_AVRO_STREAM_ORACLE,
+    tags=("streaming", "source", "datasource"),
+)
+def streaming_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro landing-directory micro-batch stream through the clean-room
+    pure-Python Avro DataSource (sources/avro_py.py): orders are first
+    written as 4 container part files by the avro SINK (executor-side),
+    then consumed as a stream whose planner admits at most
+    maxFilesPerTrigger files per batch — at least 2 genuine micro-
+    batches — and aggregated. Completes the streaming x format matrix
+    (parquet / CSV / kafka-emu DataSource / avro) with the same
+    drain-then-stop contract as every streaming query.
+
+    The streamed aggregate must hash-match the batch oracle on the
+    original parquet: binary decode, file-offset planning, and replay
+    bookkeeping lose and duplicate nothing.
+    """
+    import tempfile as _tf
+
+    from datafusion_streams_spark.sources.avro_py import register_avro_py
+
+    register_avro_py(spark)
+    land = _tf.mkdtemp(prefix="dfs_avro_land_")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    orders.repartition(4).write.format("avro_py").option("path", land).mode(
+        "append"
+    ).save()
+    stream = (
+        spark.readStream.format("avro_py")
+        .option("path", land)
+        .option("maxFilesPerTrigger", "2")
+        .load()
+    )
+    agg = stream.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("sum_key"),
+    )
+    # Python stream readers fall back to single-batch under
+    # AvailableNow (ignoring the per-trigger cap), so drain with a real
+    # processing-time trigger loop until every input row is visible
+    total = orders.count()
+    from datafusion_streams_spark.streaming.microbatch import run_drain_until
+
+    def caught_up(sp, tbl):
+        rows = sp.table(tbl).agg(F.sum("n_orders")).first()[0]
+        return rows is not None and rows >= total
+
+    name, _ = run_drain_until(agg, caught_up, output_mode="complete", state_partitions=8)
+    return spark.table(name)
