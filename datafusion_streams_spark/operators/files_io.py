@@ -21,7 +21,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_streams_spark.functions import dsum
+from datafusion_streams_spark.functions import dec, dsum
 from datafusion_streams_spark.operators import query
 
 # o_note is synthesized WITH embedded commas and double quotes to force
@@ -588,3 +588,177 @@ def files_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).save()
     back = spark.read.format("avro_py").option("path", out).load()
     return _verify_agg(back)
+
+
+_NOTE_SQL = """o_orderpriority || ', "' || o_orderstatus || '"'"""
+
+_MERGE_ON_READ_ORACLE = f"""
+WITH base AS (
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority, o_totalprice, {_NOTE_SQL} AS o_note
+    FROM orders
+),
+merged AS (
+    SELECT o_orderkey, o_orderdate, o_orderpriority, o_totalprice, o_note
+    FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 13 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_orderdate, o_orderpriority,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1 AS DOUBLE), o_note
+    FROM base WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0
+)
+SELECT
+    o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+    CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+    CAST(SUM(length(o_note)) AS BIGINT) AS note_chars,
+    CAST(MIN(o_orderdate) AS VARCHAR) AS first_date,
+    CAST(MAX(o_orderdate) AS VARCHAR) AS last_date
+FROM merged
+GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "files_merge_on_read",
+    oracle=_MERGE_ON_READ_ORACLE,
+    tags=("source", "sink", "files", "lakehouse", "join"),
+)
+def files_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read table layout: immutable base parquet + a delete
+    vector + an upsert delta, reconciled at READ time — the lakehouse
+    pattern (Iceberg positional deletes / Delta DVs / Hudi MoR) that
+    makes row-level DELETE and UPDATE O(changed rows) instead of
+    O(table) at 100 TB, deferring the rewrite to compaction.
+
+    The base table is never rewritten: deletes land as a key file
+    (keys % 7), updates as full replacement rows (keys % 13, price+1,
+    exact DECIMAL arithmetic so the written double is engine-
+    identical). The read path is the production shape — base
+    LEFT ANTI JOIN (delete keys UNION update keys), then UNION ALL the
+    delta rows. Both tombstone relations are broadcast (delete/delta
+    files are tiny relative to base by construction of the pattern;
+    past the broadcast threshold this becomes a shuffled anti-join,
+    still O(changes) state per task). The verification aggregate
+    hash-matches the oracle computed by applying the same DELETE +
+    UPDATE logically to the original parquet — proving read-time
+    reconciliation loses nothing.
+    """
+    base_dir = tempfile.mkdtemp(prefix="dfs_mor_base_")
+    del_dir = tempfile.mkdtemp(prefix="dfs_mor_del_")
+    upd_dir = tempfile.mkdtemp(prefix="dfs_mor_upd_")
+
+    base = _orders_subset(spark, sf_dir)
+    base.write.mode("overwrite").parquet(base_dir)
+
+    written = spark.read.parquet(base_dir)
+    # delete vector: bare keys (as a positional-delete file would carry)
+    written.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(del_dir)
+    # upsert delta: full rows, price bumped via exact decimal arithmetic
+    written.filter(
+        (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") % 7 != 0)
+    ).withColumn(
+        "o_totalprice", (dec("o_totalprice") + F.lit(1)).cast("double")
+    ).write.mode("overwrite").parquet(upd_dir)
+
+    base_r = spark.read.parquet(base_dir)
+    dels = spark.read.parquet(del_dir)
+    upds = spark.read.parquet(upd_dir)
+    tombstones = dels.select("o_orderkey").unionByName(upds.select("o_orderkey"))
+    merged = base_r.join(
+        F.broadcast(tombstones), on="o_orderkey", how="left_anti"
+    ).unionByName(upds)
+    return _verify_agg(merged)
+
+
+_TIME_TRAVEL_ORACLE = f"""
+WITH base AS (
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+           o_orderpriority, o_totalprice, {_NOTE_SQL} AS o_note
+    FROM orders
+),
+snapshots AS (
+    SELECT 1 AS version, * FROM base
+    UNION ALL
+    SELECT 2 AS version, * FROM base WHERE o_orderkey % 7 <> 0
+)
+SELECT
+    CAST(version AS BIGINT) AS version,
+    o_orderpriority,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+    CAST(MIN(o_orderdate) AS VARCHAR) AS first_date,
+    CAST(MAX(o_orderdate) AS VARCHAR) AS last_date
+FROM snapshots
+GROUP BY version, o_orderpriority
+"""
+
+
+@query(
+    "files_time_travel",
+    oracle=_TIME_TRAVEL_ORACLE,
+    tags=("source", "sink", "files", "lakehouse"),
+)
+def files_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table reads (time travel): each commit writes
+    NEW immutable data files plus a manifest listing exactly the files
+    in that snapshot; readers resolve a version to its file list and
+    scan only those — so querying yesterday's snapshot after today's
+    compaction/delete is just reading a different manifest, the
+    Iceberg/Delta mechanism that makes reproducible training-data
+    snapshots free at 100 TB (no copies, only metadata).
+
+    v1 commits the full orders subset; v2 commits a DELETE (keys % 7
+    dropped) rewritten into fresh files in a sibling directory — v1's
+    files are untouched. Both manifests are tiny JSON (file lists —
+    metadata, not data; at scale this is the catalog/metastore layer).
+    The query reads BOTH versions through their manifests after v2
+    exists and aggregates each: v1's numbers must still match the
+    original table exactly (snapshot isolation — proven by the hash
+    check) while v2 reflects the delete.
+    """
+    import json as _json
+    import os as _os
+
+    table = tempfile.mkdtemp(prefix="dfs_tt_")
+    base = _orders_subset(spark, sf_dir)
+
+    def _commit(df: DataFrame, version: int) -> None:
+        data_dir = _os.path.join(table, f"data-v{version}")
+        df.write.mode("overwrite").parquet(data_dir)
+        files = sorted(
+            _os.path.join(data_dir, f)
+            for f in _os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        manifest = {"version": version, "files": files}
+        tmp = _os.path.join(table, f".manifest-v{version}.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(manifest, fh)
+        _os.rename(tmp, _os.path.join(table, f"manifest-v{version}.json"))
+
+    _commit(base, 1)
+    _commit(
+        spark.read.parquet(_os.path.join(table, "data-v1")).filter(
+            F.col("o_orderkey") % 7 != 0
+        ),
+        2,
+    )
+
+    def _read_version(version: int) -> DataFrame:
+        with open(_os.path.join(table, f"manifest-v{version}.json")) as fh:
+            manifest = _json.load(fh)
+        return spark.read.parquet(*manifest["files"])
+
+    def _snap_agg(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum("o_totalprice").alias("sum_total"),
+            F.min("o_orderdate").cast("string").alias("first_date"),
+            F.max("o_orderdate").cast("string").alias("last_date"),
+        ).select(F.lit(version).cast("long").alias("version"), "*")
+
+    return _snap_agg(_read_version(1), 1).unionByName(_snap_agg(_read_version(2), 2))
