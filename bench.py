@@ -112,6 +112,8 @@ HEADLINE = [
     "text_collocations_pmi",
     "files_pysink_manifest",
     "timeseries_ohlc_bars",
+    "files_merge_on_read",
+    "files_time_travel",
 ]
 
 

@@ -1065,3 +1065,60 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("outlier_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# packed-bitmap exact distinct (round 4)
+# ---------------------------------------------------------------------------
+
+_BITMAP_DISTINCT_ORACLE = """
+SELECT
+    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+    CAST(COUNT(DISTINCT user_id // 64) AS BIGINT) AS n_containers
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle=_BITMAP_DISTINCT_ORACLE,
+    tags=("agg", "events", "sketch", "scale"),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-day distinct users via packed 64-bit bitmap containers
+    — the roaring-bitmap / Druid / ClickHouse `groupBitmap` pattern,
+    entirely in codegen'd built-ins.
+
+    Each user lands in container `user_id >> 6` at bit `user_id & 63`;
+    per (day, container) the bits OR together (bit_or is associative +
+    commutative, so map-side partial aggregation already collapses
+    each container to 8 bytes before the exchange), then per day the
+    popcounts sum. Sparse-safe: only containers that actually occur
+    materialize, so arbitrary 64-bit ids work — no dense-id
+    assumption. vs COUNT(DISTINCT): the shuffle carries one row per
+    occupied container (<= distinct/64 + container count) instead of
+    one per distinct user, and the per-day container relation is a
+    MERGEABLE exact sketch — persist it and unions across days /
+    snapshots are bitwise ORs, the same rollup algebra as the HLL
+    sketch table but lossless. n_containers reports the realized
+    container occupancy (the compression the pattern is buying).
+    """
+    ev = load_events(spark, sf_dir)
+    bits = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.shiftright("user_id", 6).alias("container"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias("bit"),
+    )
+    containers = bits.groupBy("day", "container").agg(
+        F.bit_or("bit").alias("bitmap")
+    )
+    return (
+        containers.groupBy("day")
+        .agg(
+            F.sum(F.bit_count("bitmap")).cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_containers"),
+        )
+        .select(F.col("day").cast("string").alias("day"), "n_users", "n_containers")
+    )
