@@ -502,3 +502,37 @@ def test_approx_top_k_exact_under_full_tracking(spark):
     for uid, c in got_map.items():
         assert ex_all[uid] == c, f"count for {uid} not exact: {c} vs {ex_all[uid]}"
     assert min(got_map.values()) >= min(exact_map.values())
+
+
+def test_bitmap_distinct_equals_count_distinct_any_partitioning(spark):
+    """The packed-bitmap containers are an EXACT mergeable sketch:
+    bit_or is associative+commutative, so per-day popcount sums must
+    equal COUNT(DISTINCT) under any partitioning, and container
+    occupancy must never exceed the distinct count (that gap is the
+    compression the pattern buys on the shuffle)."""
+    from datafusion_streams_spark.catalog import load_events
+    from datafusion_streams_spark.operators import REGISTRY
+
+    exact = {
+        r.day: r.n
+        for r in load_events(spark, SF_DIR_SMALL)
+        .groupBy(F.col("ts").cast("date").cast("string").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+
+    def run(nparts):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+        try:
+            return {
+                r.day: (r.n_users, r.n_containers)
+                for r in REGISTRY["agg_bitmap_distinct"].fn(spark, SF_DIR_SMALL).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    a, b = run(1), run(32)
+    assert a == b and len(a) > 0
+    assert {d: v[0] for d, v in a.items()} == exact
+    assert all(nc <= nu for nu, nc in a.values())
