@@ -1118,3 +1118,81 @@ def streaming_avro_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name, _ = run_drain_until(agg, caught_up, output_mode="complete", state_partitions=8)
     return spark.table(name)
+
+
+_STREAM_BITMAP_DISTINCT_ORACLE = """
+SELECT
+    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+    CAST(COUNT(DISTINCT user_id // 63) AS BIGINT) AS n_containers
+FROM events
+GROUP BY CAST(ts AS DATE)
+"""
+
+
+@query(
+    "streaming_bitmap_distinct",
+    oracle=_STREAM_BITMAP_DISTINCT_ORACLE,
+    tags=("streaming", "stateful", "sketch", "pandas-udf"),
+)
+def streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT incremental distinct-per-day over a stream: per-day state
+    is a sparse packed bitmap (container -> 63-bit word) OR-merged
+    across micro-batches in applyInPandasWithState — the streaming
+    twin of `agg_bitmap_distinct`, proving the mergeable-sketch
+    algebra works as imperative operator state too (a lossless
+    alternative to streaming approx_count_distinct when ids are ints).
+
+    Containers use 63 bits so every word stays a non-negative signed
+    long (Spark state schema has no unsigned type); state per day is
+    O(distinct/63) longs — bounded by key cardinality, not events.
+    Popcount totals are MONOTONE under OR-accumulation, so the final
+    answer per day is the max_by(n_users) emission whatever the
+    micro-batch splits were — the same prefix-consistency argument as
+    `streaming_stateful_totals`, here for a set-valued accumulator.
+    """
+    import pandas as pd
+
+    def bitmap_state(key, pdfs, state):
+        if state.exists:
+            containers, words = state.get
+            bitmap = dict(zip(containers, words))
+        else:
+            bitmap = {}
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                c, b = uid // 63, uid % 63
+                bitmap[c] = bitmap.get(c, 0) | (1 << b)
+        state.update((list(bitmap), list(bitmap.values())))
+        n_users = sum(bin(w).count("1") for w in bitmap.values())
+        yield pd.DataFrame(
+            {
+                "day": [key[0]],
+                "n_users": [n_users],
+                "n_containers": [len(bitmap)],
+            }
+        )
+
+    ev = events_stream(spark, sf_dir).select(
+        F.col("ts").cast("date").cast("string").alias("day"), "user_id"
+    )
+    updates = ev.groupBy("day").applyInPandasWithState(
+        bitmap_state,
+        outputStructType="day string, n_users long, n_containers long",
+        stateStructType="containers array<long>, words array<long>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    name, _ = run_drain_to_memory(updates, output_mode="update", state_partitions=8)
+    emitted = spark.table(name)
+    final = F.max_by(F.struct("n_users", "n_containers"), F.col("n_users")).alias("f")
+    return (
+        emitted.groupBy("day")
+        .agg(final)
+        .select(
+            "day",
+            F.col("f.n_users").alias("n_users"),
+            F.col("f.n_containers").alias("n_containers"),
+        )
+    )
