@@ -1122,3 +1122,68 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("day").cast("string").alias("day"), "n_users", "n_containers")
     )
+
+
+_BITMAP_RETENTION_ORACLE = """
+WITH daily AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+)
+SELECT
+    CAST(a.day AS VARCHAR) AS day,
+    CAST(COUNT(*) AS BIGINT) AS retained_next_day
+FROM daily a
+JOIN daily b ON b.user_id = a.user_id AND b.day = a.day + 1
+GROUP BY a.day
+"""
+
+
+@query(
+    "agg_bitmap_retention",
+    oracle=_BITMAP_RETENTION_ORACLE,
+    tags=("agg", "events", "sketch", "cohort", "scale"),
+)
+def agg_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retained users via bitmap INTERSECTION — the set
+    operation that justifies keeping bitmap audience indexes: once the
+    per-(day, container) words exist, any cross-day audience overlap
+    is an equi-join on container + a bitwise AND + popcount, never a
+    re-scan of raw events or a user-level join.
+
+    The container relation (one row per occupied 64-bit word, the
+    `agg_bitmap_distinct` sketch) self-joins on (container,
+    day = day+1); bit_count(a AND b) counts users present both days
+    exactly. The join carries O(containers) ~ distinct/64 rows per
+    side — at 100 TB this is the persisted-index path: materialize the
+    container table once per snapshot, answer every pairwise cohort /
+    retention / audience-overlap question from it. Zero-overlap days
+    filter out to mirror the user-level inner join exactly.
+    """
+    ev = load_events(spark, sf_dir)
+    containers = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            F.shiftright("user_id", 6).alias("container"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("day", "container")
+        .agg(F.bit_or("bit").alias("bitmap"))
+    )
+    a = containers.alias("a")
+    b = containers.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.container") == F.col("b.container"))
+        & (F.col("b.day") == F.date_add(F.col("a.day"), 1)),
+    )
+    return (
+        joined.groupBy(F.col("a.day").alias("day"))
+        .agg(
+            F.sum(F.bit_count(F.col("a.bitmap").bitwiseAND(F.col("b.bitmap"))))
+            .cast("long")
+            .alias("retained_next_day")
+        )
+        .filter(F.col("retained_next_day") > 0)
+        .select(F.col("day").cast("string").alias("day"), "retained_next_day")
+    )
