@@ -114,6 +114,8 @@ HEADLINE = [
     "timeseries_ohlc_bars",
     "files_merge_on_read",
     "files_time_travel",
+    "agg_bitmap_distinct",
+    "audit_constraints",
 ]
 
 

@@ -96,6 +96,7 @@ def _populate() -> None:
         udtf_surface,
         lifecycle,
         runtime_filters,
+        audit,
     )
     from datafusion_streams_spark.streaming import queries as streaming_queries  # noqa: F401
 
