@@ -195,7 +195,9 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   streaming_pysink_manifest, multimodal_dedup_bytes, text_lang_confusion,
 #   streaming_csv_source, events_hysteresis_alerts, timeseries_ohlc_bars,
 #   dedup_bloom_prescreen, sample_poisson_bootstrap, files_avro_roundtrip,
-#   streaming_avro_source
+#   streaming_avro_source, files_merge_on_read, files_time_travel,
+#   agg_bitmap_distinct, agg_bitmap_retention, streaming_bitmap_distinct,
+#   audit_constraints
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never
