@@ -1036,3 +1036,88 @@ def dedup_bloom_prescreen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("doc_id").cast("long").alias("sample_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking (round 4)
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 5
+_SNM_KEY_LEN = 30
+_SNM_BLOCK_LEN = 10
+
+_SNM_ORACLE = f"""
+WITH {_SHINGLES_SQL.strip()},
+{_JACCARD_PAIRS_SQL.strip()},
+keyed AS (
+    SELECT doc_id, lower(substr(text, 1, {_SNM_KEY_LEN})) AS sortkey
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, sortkey, substr(sortkey, 1, {_SNM_BLOCK_LEN}) AS block,
+        row_number() OVER (
+            PARTITION BY substr(sortkey, 1, {_SNM_BLOCK_LEN})
+            ORDER BY sortkey, doc_id
+        ) AS rn
+    FROM keyed
+),
+cand AS (
+    SELECT DISTINCT
+        LEAST(a.doc_id, b.doc_id)    AS a_id,
+        GREATEST(a.doc_id, b.doc_id) AS b_id
+    FROM ranked a JOIN ranked b
+      ON a.block = b.block
+     AND b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
+)
+SELECT c.a_id, c.b_id, p.jaccard
+FROM cand c JOIN pairs p ON c.a_id = p.a_id AND c.b_id = p.b_id
+WHERE p.jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_sorted_neighborhood", oracle=_SNM_ORACLE, tags=("dedup", "similarity", "window", "join"))
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking (Hernandez–Stolfo SNM):
+    sort by a normalized key, slide a fixed window, compare only
+    neighbors — the third blocking paradigm in the suite alongside
+    LSH banding (`dedup_minhash_lsh`) and prefix filtering
+    (`dedup_ngram_jaccard`), the classic choice when duplicates
+    cluster under a cheap sort key (titles, URLs, names).
+
+    Blocked formulation for scale: the sort key's {_SNM_BLOCK_LEN}-char
+    prefix partitions the corpus, the window slides WITHIN blocks
+    (row_number over the block partition — no global single-partition
+    window), so the plan is one exchange on block + per-block sorts,
+    and candidates are O(n x window). The honest SNM trade-off stands:
+    near-dups whose first {_SNM_BLOCK_LEN} chars differ are missed —
+    recall lives on the key choice (the fixture's near-dups share
+    prefixes by construction; LSH is the key-free alternative).
+    Candidates verify by exact shingle Jaccard >= {JACCARD_THRESHOLD}
+    through the suite-shared per-doc shingle arrays.
+    """
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keyed = docs.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, _SNM_KEY_LEN)).alias("sortkey"),
+    ).withColumn("block", F.substring("sortkey", 1, _SNM_BLOCK_LEN))
+    w = Window.partitionBy("block").orderBy("sortkey", "doc_id")
+    ranked = keyed.select("doc_id", "block", F.row_number().over(w).alias("rn"))
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + SNM_WINDOW),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("a_id"),
+            F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
+        )
+        .distinct()
+    )
+    withsh = _doc_shingle_arrays(spark, sf_dir)
+    return _verify_pairs(cand, withsh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
