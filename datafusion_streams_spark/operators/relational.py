@@ -2043,3 +2043,73 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tw").cast("double").alias("total_weight"),
         )
     )
+
+
+_REGEXP_PACK_ORACLE = r"""
+SELECT
+    p_partkey,
+    regexp_extract(p_name, '^(\w+)\s+(\w+)', 2)                 AS second_word,
+    regexp_replace(p_name, '[aeiou]', '*', 'g')                 AS starred,
+    CAST(regexp_matches(p_name, '(^|\s)s\w+') AS BIGINT)        AS has_s_word,
+    CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT)  AS n_vowels,
+    CAST(len(regexp_split_to_array(p_type, '\s+')) AS BIGINT)   AS n_type_words,
+    regexp_extract(p_type, '(\w+)$', 1)                         AS last_type_word
+FROM part
+"""
+
+
+@query("scalar_regexp_pack", oracle=_REGEXP_PACK_ORACLE, tags=("scalar", "string", "regexp"))
+def scalar_regexp_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-expression function battery: extract (group select),
+    global replace, boolean match, match counting, regex split, and
+    anchored extraction — all JVM-codegen built-ins, no Python in the
+    row path. Patterns stay inside the RE2-compatible subset (no
+    backreferences/lookaround) so Java regex and DuckDB's RE2 agree
+    literally. The boolean surfaces as BIGINT 0/1 (engine-neutral
+    hashing); counts via regexp_extract_all length on the oracle side
+    mirror regexp_count exactly.
+    """
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)\s+(\w+)", 2).alias("second_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("starred"),
+        F.col("p_name").rlike(r"(^|\s)s\w+").cast("long").alias("has_s_word"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).cast("long").alias("n_vowels"),
+        F.size(F.split("p_type", r"\s+")).cast("long").alias("n_type_words"),
+        F.regexp_extract("p_type", r"(\w+)$", 1).alias("last_type_word"),
+    )
+
+
+_BOOLEAN_AGG_ORACLE = """
+SELECT
+    l_returnflag,
+    CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_qty,
+    CAST(bool_or(l_discount > 0.05) AS BIGINT)  AS any_deep_discount,
+    CAST(bool_and(l_extendedprice > 0) AS BIGINT) AS all_positive_price,
+    CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tax_free,
+    CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS high_qty_ratio
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_boolean_battery", oracle=_BOOLEAN_AGG_ORACLE, tags=("agg", "scalar", "conditional"))
+def agg_boolean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate battery: count_if, bool_or,
+    bool_and, and a conditional ratio — the predicate-aggregation
+    surface (ANY/EVERY in the standard). Booleans aggregate with
+    map-side partials like any sum/min; outputs cast to BIGINT 0/1 for
+    engine-neutral hashing, and the ratio divides two exactly-counted
+    integers (one deterministic float op, identical in both engines).
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    high = F.count_if(F.col("l_quantity") > 25)
+    return li.groupBy("l_returnflag").agg(
+        high.cast("long").alias("n_high_qty"),
+        F.bool_or(F.col("l_discount") > 0.05).cast("long").alias("any_deep_discount"),
+        F.bool_and(F.col("l_extendedprice") > 0).cast("long").alias("all_positive_price"),
+        F.count_if(F.col("l_tax") == 0).cast("long").alias("n_tax_free"),
+        (high.cast("double") / F.count(F.lit(1)).cast("double")).alias("high_qty_ratio"),
+    )
