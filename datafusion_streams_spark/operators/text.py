@@ -2026,3 +2026,108 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w), 6
         ).alias("share_of_actual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM scoring (round 4)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LP_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents
+),
+vocab AS (
+    SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS v
+    FROM (SELECT unnest(tk) AS t FROM toks)
+),
+big AS (
+    SELECT doc_id,
+        unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+    FROM toks WHERE len(tk) >= 2
+),
+c12 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n12 FROM big GROUP BY bg),
+pref AS (
+    SELECT split_part(bg, ' ', 1) AS w1, CAST(COUNT(*) AS BIGINT) AS n1
+    FROM big GROUP BY split_part(bg, ' ', 1)
+),
+lm AS (
+    SELECT c12.bg,
+        round(-ln((CAST(n12 AS DOUBLE) + 0.5)
+                  / (CAST(n1 AS DOUBLE) + 0.5 * (SELECT v FROM vocab))), 6) AS nll
+    FROM c12 JOIN pref ON split_part(c12.bg, ' ', 1) = pref.w1
+)
+SELECT big.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    round(CAST(SUM(CAST(round(nll * 1000000, 0) AS BIGINT)) AS DOUBLE)
+          / 1000000 / COUNT(*), 6) AS avg_neg_logprob
+FROM big JOIN lm ON big.bg = lm.bg
+GROUP BY big.doc_id
+"""
+
+
+@query("text_bigram_logprob", oracle=_BIGRAM_LP_ORACLE, tags=("text", "quality", "lm"))
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score with add-half smoothing: each document's
+    average per-bigram negative log-probability of the second token
+    given the first, under the corpus's own bigram statistics — one
+    Markov order above `text_unigram_logprob`, so repetitive/templated
+    text (predictable continuations) separates from shuffled-word
+    gibberish that unigram frequency alone cannot see (the CCNet
+    direction, Wenzek et al. 2020, without an external LM).
+
+    p(w2|w1) = (c(w1 w2) + 0.5) / (c(w1 ·) + 0.5·V): all counts and V
+    are exact integers, so each probability is ONE float division of
+    exactly-determined doubles — identical in both engines — then the
+    `text_unigram_logprob` float discipline verbatim: ln rounded to
+    6 dp per bigram TYPE, per-doc summation over exact scaled
+    integers, one final division.
+
+    Scale: bigram stats are two count shuffles; the LM table (distinct
+    bigrams, vocabulary-bounded) broadcasts to score occurrences —
+    map-side. Docs under 2 tokens have no bigram distribution and are
+    excluded by construction on both sides.
+    """
+    docs = load_documents(spark, sf_dir)
+    tk = docs.select("doc_id", tokens("text").alias("tk")).filter(F.size("tk") >= 2)
+    big = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(tk, 1, size(tk) - 1),"
+                " slice(tk, 2, size(tk) - 1), (x, y) -> concat(x, ' ', y))"
+            )
+        ).alias("bg"),
+    )
+    vocab = float(
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .agg(F.countDistinct("t"))
+        .collect()[0][0]
+    )
+    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("n12"))
+    pref = (
+        big.select(F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    lm = c12.join(
+        pref, F.substring_index(c12["bg"], " ", 1) == pref["w1"]
+    ).select(
+        "bg",
+        F.round(
+            -F.log(
+                (F.col("n12").cast("double") + F.lit(0.5))
+                / (F.col("n1").cast("double") + F.lit(0.5) * F.lit(vocab))
+            ),
+            6,
+        ).alias("nll"),
+    )
+    scored = big.join(F.broadcast(lm), "bg")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(F.round(F.col("nll") * 1000000, 0).cast("long")).cast("double")
+            / 1000000
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_neg_logprob"),
+    )
