@@ -2113,3 +2113,89 @@ def agg_boolean_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_tax") == 0).cast("long").alias("n_tax_free"),
         (high.cast("double") / F.count(F.lit(1)).cast("double")).alias("high_qty_ratio"),
     )
+
+
+_LINEAR_FIT_ORACLE = """
+WITH p AS (
+    SELECT l_returnflag,
+        CAST(round(l_quantity, 0) AS BIGINT) AS x,
+        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+    FROM lineitem
+),
+s AS (
+    SELECT l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(x) AS BIGINT) AS sx,
+        CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+    FROM p GROUP BY l_returnflag
+),
+fit AS (
+    SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+        (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+    FROM s
+)
+SELECT l_returnflag, n,
+    slope AS slope_cents_per_unit,
+    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents,
+    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    * ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS r2
+FROM fit
+"""
+
+
+@query("agg_linear_fit", oracle=_LINEAR_FIT_ORACLE, tags=("agg", "analytic", "ml"))
+def agg_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (slope, intercept, R^2) of extended price
+    (cents) on quantity, from exact-integer sufficient statistics —
+    the distributed closed-form regression: one shuffle carries five
+    DECIMAL(38,0)-exact power sums per group, the fit itself is
+    driver-free arithmetic on those scalars. Built-in
+    regr_slope/regr_intercept accumulate doubles in partition order
+    (irreproducible across partitionings); this formulation is
+    bit-stable under ANY partitioning because every float op happens
+    AFTER the exact integer aggregation, in a tree mirrored verbatim
+    in the oracle (same discipline as `agg_correlation`; R^2 is
+    written as the same two-factor product in both engines, not a
+    pow(), to keep the operation sequence literal).
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = li.select(
+        "l_returnflag",
+        F.round("l_quantity", 0).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    dec38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = p.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(dec38("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(dec38("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(dec38("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy") - sxd * syd
+    var_x_n = nd * F.col("sxx") - sxd * sxd
+    var_y_n = nd * F.col("syy") - syd * syd
+    fit = s.select(
+        "l_returnflag", "n", "sx", "sy", "syy", "sxy",
+        (cov_n / var_x_n).alias("slope"),
+        cov_n.alias("cov_n"), var_x_n.alias("var_x_n"), var_y_n.alias("var_y_n"),
+    )
+    return fit.select(
+        "l_returnflag",
+        "n",
+        F.col("slope").alias("slope_cents_per_unit"),
+        (
+            (F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_cents"),
+        (F.col("cov_n") * (F.col("cov_n") / (F.col("var_x_n") * F.col("var_y_n")))).alias("r2"),
+    )
