@@ -1637,3 +1637,131 @@ def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.min(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# grid resample with linear interpolation (round 4)
+# ---------------------------------------------------------------------------
+
+RESAMPLE_STEP_US = 6 * 3600 * 1_000_000  # 6-hour grid
+RESAMPLE_MAX_USER = 300
+
+_RESAMPLE_ORACLE = f"""
+WITH obs AS (
+    SELECT user_id, epoch_ns(ts) // 1000 AS t,
+        CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE user_id < {RESAMPLE_MAX_USER}
+    GROUP BY user_id, ts
+),
+bounds AS (
+    SELECT user_id,
+        MIN(t) - MIN(t) % {RESAMPLE_STEP_US} AS h0,
+        MAX(t) - MAX(t) % {RESAMPLE_STEP_US} AS h1
+    FROM obs GROUP BY user_id
+),
+grid AS (
+    SELECT user_id, unnest(range(h0, h1 + 1, {RESAMPLE_STEP_US})) AS t
+    FROM bounds
+),
+prevj AS (
+    SELECT g.user_id, g.t, o.t AS pt, o.cents AS pv
+    FROM grid g ASOF LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.t >= o.t
+),
+nextj AS (
+    SELECT g.user_id, g.t, o.t AS nt, o.cents AS nv
+    FROM (SELECT user_id, t, -t AS mt FROM grid) g
+    ASOF LEFT JOIN (SELECT user_id, t, cents, -t AS mt FROM obs) o
+      ON g.user_id = o.user_id AND g.mt >= o.mt
+)
+SELECT p.user_id, p.t AS grid_t,
+    CASE
+        WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+        WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+        WHEN nt = pt THEN CAST(pv AS DOUBLE)
+        ELSE CAST(pv AS DOUBLE)
+             + CAST(nv - pv AS DOUBLE)
+               * (CAST(p.t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+    END AS value_interp
+FROM prevj p JOIN nextj n ON p.user_id = n.user_id AND p.t = n.t
+"""
+
+
+@query(
+    "timeseries_resample_interpolate",
+    oracle=_RESAMPLE_ORACLE,
+    tags=("events", "temporal", "window", "timeseries"),
+)
+def timeseries_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular value series onto a regular
+    6-hour grid with LINEAR interpolation between the surrounding
+    observations (edges clamp to the nearest observation) — the
+    InfluxDB/Timescale `interpolate()` / pandas `resample().
+    interpolate()` primitive, companion to `timeseries_gap_fill`'s
+    zero/forward-fill.
+
+    One pass, no per-grid-point probe: grid points and observations
+    union into one relation; a forward and a backward
+    last-non-null window (partitioned by user, total order
+    (t, is_grid) so an observation AT a grid instant wins both
+    directions) carry (prev_t, prev_v) and (next_t, next_v) onto every
+    grid row — the same union+carry shape as `join_asof`, run in both
+    directions. The oracle derives the identical result independently
+    via DuckDB's native ASOF JOIN (backward, and forward through
+    negated keys). Parity: values are exact cents, times exact
+    microseconds; the interpolation is the only float arithmetic,
+    a literally mirrored expression tree over exactly-determined
+    inputs. Scale: grid size is span-bounded per user, everything
+    partitions on user_id.
+    """
+    ev = load_events_us(spark, sf_dir).filter(F.col("user_id") < RESAMPLE_MAX_USER)
+    obs = ev.groupBy("user_id", F.col("ts_us").alias("t")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("cents")
+    )
+    step = F.lit(RESAMPLE_STEP_US)
+    bounds = obs.groupBy("user_id").agg(
+        (F.min("t") - F.min("t") % step).alias("h0"),
+        (F.max("t") - F.max("t") % step).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("h0", "h1", step)).alias("t")
+    )
+    tagged = grid.select(
+        "user_id", "t", F.lit(None).cast("long").alias("cents"), F.lit(1).alias("is_grid")
+    ).unionByName(obs.select("user_id", "t", "cents", F.lit(0).alias("is_grid")))
+
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_grid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_bwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").desc(), F.col("is_grid").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs_t = F.when(F.col("cents").isNotNull(), F.col("t"))
+    carried = tagged.select(
+        "user_id",
+        "t",
+        "is_grid",
+        F.last("cents", ignorenulls=True).over(w_fwd).alias("pv"),
+        F.last(obs_t, ignorenulls=True).over(w_fwd).alias("pt"),
+        F.last("cents", ignorenulls=True).over(w_bwd).alias("nv"),
+        F.last(obs_t, ignorenulls=True).over(w_bwd).alias("nt"),
+    )
+    g = carried.filter(F.col("is_grid") == 1)
+    interp = (
+        F.when(F.col("pv").isNull(), F.col("nv").cast("double"))
+        .when(F.col("nv").isNull(), F.col("pv").cast("double"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv").cast("double"))
+        .otherwise(
+            F.col("pv").cast("double")
+            + (F.col("nv") - F.col("pv")).cast("double")
+            * (
+                (F.col("t") - F.col("pt")).cast("double")
+                / (F.col("nt") - F.col("pt")).cast("double")
+            )
+        )
+    )
+    return g.select("user_id", F.col("t").alias("grid_t"), interp.alias("value_interp"))
