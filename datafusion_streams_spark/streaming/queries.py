@@ -1196,3 +1196,68 @@ def streaming_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f.n_containers").alias("n_containers"),
         )
     )
+
+
+_MULTI_SOURCE_ORACLE = """
+SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+FROM events
+GROUP BY event_type
+"""
+
+
+@query(
+    "streaming_multi_source_union",
+    oracle=_MULTI_SOURCE_ORACLE,
+    tags=("streaming", "source", "union", "csv"),
+)
+def streaming_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-in topology: TWO independent streaming sources — a CSV
+    landing directory (even event ids, text round-trip) and the
+    parquet file stream (odd event ids) — UNION into one streaming
+    DAG feeding one stateful aggregate. Each source keeps its own
+    offset tracking and batch planning (Spark logs per-source offsets
+    in each micro-batch), the union itself is stateless, and the
+    single aggregate state downstream must account for every row from
+    both sources exactly once: the drained result hash-matches the
+    batch aggregate over the undivided events table — no row lost,
+    duplicated, or double-counted across the seam, whichever source's
+    micro-batches land first.
+    """
+    import tempfile as _tf
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    land = _tf.mkdtemp(prefix="dfs_union_land_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    ev.filter(F.col("event_id") % 2 == 0).repartition(2).write.mode(
+        "overwrite"
+    ).option("header", "true").csv(land)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    csv_side = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", "1")
+        .csv(land)
+    )
+    parquet_side = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_id") % 2 != 0)
+        .select("event_id", "user_id", "event_type")
+    )
+    union = csv_side.unionByName(parquet_side)
+    agg = union.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+    )
+    name, _ = run_drain_to_memory(agg, output_mode="complete", state_partitions=8)
+    return spark.table(name)
