@@ -197,7 +197,9 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   dedup_bloom_prescreen, sample_poisson_bootstrap, files_avro_roundtrip,
 #   streaming_avro_source, files_merge_on_read, files_time_travel,
 #   agg_bitmap_distinct, agg_bitmap_retention, streaming_bitmap_distinct,
-#   audit_constraints
+#   audit_constraints, dedup_sorted_neighborhood, scalar_regexp_pack,
+#   agg_boolean_battery, text_bigram_logprob, agg_linear_fit,
+#   timeseries_resample_interpolate, streaming_multi_source_union
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never
