@@ -1765,3 +1765,104 @@ def timeseries_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     return g.select("user_id", F.col("t").alias("grid_t"), interp.alias("value_interp"))
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive forecast backtest (round 4)
+# ---------------------------------------------------------------------------
+
+_FORECAST_BACKTEST_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY event_type, CAST(ts AS DATE)
+),
+dowd AS (
+    SELECT event_type, day, cents, CAST(EXTRACT(DOW FROM day) AS BIGINT) AS dow
+    FROM daily
+),
+fc AS (
+    SELECT event_type, day, cents,
+        SUM(cents) OVER w AS hist_sum,
+        COUNT(*)  OVER w AS hist_n
+    FROM dowd
+    WINDOW w AS (
+        PARTITION BY event_type, dow ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    )
+),
+scored AS (
+    SELECT event_type,
+        CAST(round(abs(CAST(cents AS DOUBLE)
+                       - CAST(hist_sum AS DOUBLE) / CAST(hist_n AS DOUBLE))
+                   * 1000000, 0) AS BIGINT) AS abs_err_u,
+        CAST(round((CAST(cents AS DOUBLE)
+                    - CAST(hist_sum AS DOUBLE) / CAST(hist_n AS DOUBLE))
+                   * 1000000, 0) AS BIGINT) AS err_u
+    FROM fc WHERE hist_n > 0
+)
+SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_scored,
+    round(CAST(SUM(abs_err_u) AS DOUBLE) / 1000000 / COUNT(*), 6) AS mae_cents,
+    round(CAST(SUM(err_u) AS DOUBLE) / 1000000 / COUNT(*), 6) AS bias_cents
+FROM scored
+GROUP BY event_type
+"""
+
+
+@query(
+    "events_forecast_backtest",
+    oracle=_FORECAST_BACKTEST_ORACLE,
+    tags=("events", "temporal", "window", "ml"),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine forecast backtest: the seasonal-naive baseline (each
+    day's prediction = expanding mean of the SAME weekday's history)
+    walked forward over the whole series, scored by MAE and signed
+    bias per event type — the evaluation loop every forecasting
+    pipeline needs, expressed as one windowed DAG with no per-day
+    driver iteration (the expanding window IS the walk-forward).
+
+    Leakage-safe by construction: ROWS UNBOUNDED PRECEDING .. 1
+    PRECEDING ends strictly before the scored day. Parity: daily
+    totals are exact cents; the forecast is one double division of
+    exact sums; each day's error is rounded to an exact integer
+    micro-cent BEFORE the cross-day summation (float accumulation
+    order never reaches the engines — `text_unigram_logprob`
+    discipline), then one final division + round.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("long").alias("cents")
+    )
+    dowd = daily.withColumn("dow", (F.dayofweek("day") - 1).cast("long"))
+    w = (
+        Window.partitionBy("event_type", "dow")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fc = dowd.select(
+        "event_type",
+        "cents",
+        F.sum("cents").over(w).alias("hist_sum"),
+        F.count(F.lit(1)).over(w).alias("hist_n"),
+    ).filter(F.col("hist_n") > 0)
+    forecast = F.col("hist_sum").cast("double") / F.col("hist_n").cast("double")
+    err = F.col("cents").cast("double") - forecast
+    scored = fc.select(
+        "event_type",
+        F.round(F.abs(err) * 1000000, 0).cast("long").alias("abs_err_u"),
+        F.round(err * 1000000, 0).cast("long").alias("err_u"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.round(
+            F.sum("abs_err_u").cast("double") / 1000000 / F.count(F.lit(1)), 6
+        ).alias("mae_cents"),
+        F.round(
+            F.sum("err_u").cast("double") / 1000000 / F.count(F.lit(1)), 6
+        ).alias("bias_cents"),
+    )
