@@ -1075,3 +1075,103 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(full_mean), "source")
         .select("source", "n_docs", "mean_chars", "boot_lo", "boot_hi")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental curation over the snapshot delta (round 4)
+# ---------------------------------------------------------------------------
+
+_INCR_MIN_CHARS = 200
+_INCR_MAX_CHARS = 50_000
+
+_INCREMENTAL_ORACLE = f"""
+WITH v1 AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0
+),
+v2 AS (
+    SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END AS text,
+        lang
+    FROM documents WHERE doc_id % 13 <> 0
+),
+v2h AS (SELECT doc_id, text, lang, md5(text) AS h FROM v2),
+delta AS (
+    SELECT v2h.doc_id, v2h.text, v2h.lang, v2h.h,
+        CASE WHEN v1.doc_id IS NULL THEN 'added' ELSE 'changed' END AS change_status
+    FROM v2h LEFT JOIN v1 ON v2h.doc_id = v1.doc_id
+    WHERE v1.doc_id IS NULL OR v1.h <> v2h.h
+)
+SELECT d.doc_id, d.change_status,
+    CAST(CASE WHEN k.h IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_new_content,
+    CAST(CASE WHEN length(d.text) >= {_INCR_MIN_CHARS}
+              AND length(d.text) <= {_INCR_MAX_CHARS} THEN 1 ELSE 0 END AS BIGINT)
+        AS passes_quality,
+    CAST(CASE WHEN k.h IS NULL
+              AND length(d.text) >= {_INCR_MIN_CHARS}
+              AND length(d.text) <= {_INCR_MAX_CHARS} THEN 1 ELSE 0 END AS BIGINT)
+        AS admitted
+FROM delta d
+LEFT JOIN (SELECT DISTINCT h FROM v1) k ON d.h = k.h
+"""
+
+
+@query(
+    "pipeline_incremental_curation",
+    oracle=_INCREMENTAL_ORACLE,
+    tags=("pipeline", "dedup", "provenance", "scale"),
+)
+def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation: re-process ONLY the snapshot delta. The
+    v1→v2 diff (same derived snapshots as `pipeline_snapshot_diff`)
+    yields added+changed docs; each delta doc passes through a
+    content-dedup gate against the EXISTING corpus (is its new hash
+    already in v1?) and a quality gate, emitting the admit/reject
+    decision per doc — the only-the-delta processing loop that turns a
+    daily 100 TB recrawl into an O(changes) job.
+
+    Scale posture: the standing corpus participates ONLY as its
+    16-byte content-hash set (distinct-reduced, broadcast when small,
+    hash-partitioned semi-join otherwise — never the text); delta
+    detection is a doc_id-keyed join of fingerprints; every gate is
+    map-side on delta rows. Work scales with |delta|, not |corpus| —
+    the composition `dedup_bloom_prescreen` accelerates further by
+    dropping definite-miss probes before this exact join. Verdicts are
+    BIGINT 0/1 (engine-neutral hashing).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v1 = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    edited = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+    ).otherwise(F.col("text"))
+    v2h = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id", edited.alias("text"), "lang", F.md5(edited).alias("h")
+    )
+    delta = (
+        v2h.alias("v2")
+        .join(v1.alias("v1"), F.col("v2.doc_id") == F.col("v1.doc_id"), "left")
+        .filter(F.col("v1.doc_id").isNull() | (F.col("v1.h") != F.col("v2.h")))
+        .select(
+            F.col("v2.doc_id").alias("doc_id"),
+            F.col("v2.text").alias("text"),
+            F.col("v2.h").alias("h"),
+            F.when(F.col("v1.doc_id").isNull(), "added")
+            .otherwise("changed")
+            .alias("change_status"),
+        )
+    )
+    known = v1.select("h").distinct()
+    j = delta.join(F.broadcast(known.withColumnRenamed("h", "kh")),
+                   delta["h"] == F.col("kh"), "left")
+    is_new = F.col("kh").isNull()
+    ok_len = (F.length("text") >= _INCR_MIN_CHARS) & (
+        F.length("text") <= _INCR_MAX_CHARS
+    )
+    return j.select(
+        "doc_id",
+        "change_status",
+        is_new.cast("long").alias("is_new_content"),
+        ok_len.cast("long").alias("passes_quality"),
+        (is_new & ok_len).cast("long").alias("admitted"),
+    )
