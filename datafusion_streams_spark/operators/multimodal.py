@@ -431,3 +431,150 @@ def multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# byte-level SimHash near-dup (round 4)
+# ---------------------------------------------------------------------------
+
+_BSH_BITS = 32
+_BSH_BANDS = 4  # 8 bits per band; hamming <= 3 < bands => recall 1.0
+_BSH_MAX_HAMMING = 3
+
+
+def _bsh_bit_sql(j: int) -> str:
+    return (
+        f"((strpos('0123456789abcdef', substr(m, {j // 4 + 1}, 1)) - 1) >> {j % 4}) & 1"
+    )
+
+
+def _byte_simhash_oracle() -> str:
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN ({_bsh_bit_sql(j)}) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(_BSH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_BSH_BITS)
+    )
+    band_selects = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band,"
+        f" (simhash >> {b * (_BSH_BITS // _BSH_BANDS)}) & 255 AS bv FROM sig"
+        for b in range(_BSH_BANDS)
+    )
+    return f"""
+WITH blobs AS (
+    SELECT doc_id, hex(encode(text)) AS hx FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(hx) - 7 + 1, 2),
+                              i -> substr(hx, i, 8))) AS g
+    FROM blobs WHERE len(hx) >= 8
+),
+h AS (SELECT doc_id, md5(g) AS m FROM grams),
+v AS (
+    SELECT doc_id,
+        {votes}
+    FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {combine} AS simhash FROM v),
+bands AS (
+{band_selects}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT c.a_id, c.b_id,
+    CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON c.a_id = sa.doc_id
+JOIN sig sb ON c.b_id = sb.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_BSH_MAX_HAMMING}
+"""
+
+
+@query(
+    "multimodal_simhash_neardup",
+    oracle=_byte_simhash_oracle(),
+    tags=("multimodal", "dedup", "fingerprint", "lsh"),
+)
+def multimodal_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup pairs for opaque binary payloads — the perceptual-hash
+    pattern for the multimodal columns, where exact CAS dedup
+    (`multimodal_dedup_bytes`) misses re-encoded/trailing-byte
+    variants: a 32-bit SimHash over distinct byte 4-grams (hex-aligned
+    windows over the blob — format-agnostic, no decode), then
+    Hamming-distance banding. Pigeonhole exactness at the radius:
+    {_BSH_BANDS} disjoint 8-bit bands and max hamming {_BSH_MAX_HAMMING}
+    < {_BSH_BANDS} means every qualifying pair shares >= 1 intact band
+    — banding recall is 1.0, not probabilistic, so the oracle is the
+    full definition, independently derived.
+
+    Scale: gram explode -> 32 SUM votes is one map-side-combined
+    shuffle per doc (same shape as `dedup_simhash`); the band
+    self-join keys on (band, 8-bit value) — bucketed candidates, no
+    all-pairs; the final verify probes the 16-byte signature relation.
+    The fixture payload is the deterministic fake blob (UTF-8 text
+    bytes); real image/audio bytes flow through the identical plan.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = docs.select(
+        "doc_id", F.lower(F.hex(F.encode("text", "UTF-8"))).alias("hx")
+    ).filter(F.length("hx") >= 8)
+    grams = blobs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(sequence(1, length(hx) - 7, 2), i -> substring(hx, i, 8))")
+            )
+        ).alias("g"),
+    ).withColumn("m", F.md5(F.upper("g")))
+    vote_exprs = [
+        F.sum(
+            F.when(
+                F.expr(
+                    f"((shiftright(instr('0123456789abcdef', substring(m, {j // 4 + 1}, 1)) - 1, {j % 4}) & 1)) = 1"
+                ),
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(_BSH_BITS)
+    ]
+    v = grams.groupBy("doc_id").agg(*vote_exprs)
+    combine = None
+    for j in range(_BSH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        combine = term if combine is None else combine + term
+    sig = v.select("doc_id", combine.cast("long").alias("simhash"))
+
+    width = _BSH_BITS // _BSH_BANDS
+    bands = None
+    for b in range(_BSH_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * width).bitwiseAND(F.lit(255)).alias("bv"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, bnd = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            bnd,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sha"))
+    sb = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("shb"))
+    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("long")
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= _BSH_MAX_HAMMING)
+    )
