@@ -116,6 +116,13 @@ HEADLINE = [
     "files_time_travel",
     "agg_bitmap_distinct",
     "audit_constraints",
+    "dedup_sorted_neighborhood",
+    "text_bigram_logprob",
+    "timeseries_resample_interpolate",
+    "streaming_multi_source_union",
+    "multimodal_simhash_neardup",
+    "events_forecast_backtest",
+    "pipeline_incremental_curation",
 ]
 
 

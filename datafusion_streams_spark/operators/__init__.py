@@ -199,7 +199,9 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   agg_bitmap_distinct, agg_bitmap_retention, streaming_bitmap_distinct,
 #   audit_constraints, dedup_sorted_neighborhood, scalar_regexp_pack,
 #   agg_boolean_battery, text_bigram_logprob, agg_linear_fit,
-#   timeseries_resample_interpolate, streaming_multi_source_union
+#   timeseries_resample_interpolate, streaming_multi_source_union,
+#   events_forecast_backtest, pipeline_incremental_curation,
+#   multimodal_simhash_neardup
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never
