@@ -536,3 +536,52 @@ def test_bitmap_distinct_equals_count_distinct_any_partitioning(spark):
     assert a == b and len(a) > 0
     assert {d: v[0] for d, v in a.items()} == exact
     assert all(nc <= nu for nu, nc in a.values())
+
+
+def test_byte_simhash_banding_recall_is_exact(spark):
+    """Pigeonhole claim pinned: with 4 disjoint 8-bit bands, EVERY pair
+    of signatures at Hamming distance <= 3 shares at least one band,
+    so the banded candidate pairs must be a superset of (and the
+    query's output identical to) the brute-force pair set computed
+    directly from the signatures."""
+    from itertools import combinations
+
+    from datafusion_streams_spark.operators import REGISTRY
+    from datafusion_streams_spark.operators.multimodal import _BSH_MAX_HAMMING
+
+    out = {
+        (r.a_id, r.b_id): r.hamming
+        for r in REGISTRY["multimodal_simhash_neardup"].fn(spark, SF_DIR_SMALL).collect()
+    }
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    sigs = _brute_signatures(docs)
+    brute = {}
+    for (i, si), (j, sj) in combinations(sorted(sigs.items()), 2):
+        h = bin(si ^ sj).count("1")
+        if h <= _BSH_MAX_HAMMING:
+            brute[(i, j)] = h
+    assert out == brute and len(brute) > 0
+
+
+def _brute_signatures(docs):
+    """Independent pure-Python byte-simhash (hex 4-byte grams, md5 bit
+    votes, ties -> 0) mirroring the registered definition."""
+    import hashlib
+
+    sigs = {}
+    for row in docs.select("doc_id", "text").collect():
+        hx = row.text.encode("utf-8").hex().upper()
+        if len(hx) < 8:
+            continue
+        grams = {hx[i : i + 8] for i in range(0, len(hx) - 7, 2)}
+        votes = [0] * 32
+        for g in grams:
+            m = int(hashlib.md5(g.encode()).hexdigest(), 16)
+            # md5 hex digit d (1-based from left) bit b: matches the
+            # strpos/substr extraction — digit value's bit (j % 4)
+            for j in range(32):
+                digit = int(hashlib.md5(g.encode()).hexdigest()[j // 4], 16)
+                votes[j] += 1 if (digit >> (j % 4)) & 1 else -1
+        sigs[row.doc_id] = sum(1 << j for j in range(32) if votes[j] > 0)
+    return sigs
