@@ -547,7 +547,11 @@ def multimodal_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(_BSH_BITS):
         term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         combine = term if combine is None else combine + term
-    sig = v.select("doc_id", combine.cast("long").alias("simhash"))
+    # six downstream branches (4 band projections + both verify probes)
+    # reuse this narrow (doc_id, long) relation — cache it so the gram
+    # explode + 32-vote aggregation runs once, not per branch (Spark's
+    # CacheManager dedupes by canonical plan across calls too)
+    sig = v.select("doc_id", combine.cast("long").alias("simhash")).cache()
 
     width = _BSH_BITS // _BSH_BANDS
     bands = None
