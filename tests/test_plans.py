@@ -197,3 +197,32 @@ def test_bloom_prefilter_reduces_fact_before_join(spark):
     ).count()
     assert survived >= true_matches, "Bloom filters must never produce false negatives"
     assert survived <= total * 0.25, f"prefilter too weak: {survived}/{total} survived"
+
+
+def test_bitmap_distinct_partial_or_before_exchange(spark):
+    """The container bit_or must partial-aggregate map-side (that IS
+    the 56x shuffle compression) and never broadcast anything."""
+    df = REGISTRY["agg_bitmap_distinct"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2, "expect partial + final bit_or"
+    assert "BroadcastExchange" not in plan
+    # formatted plans mention each node twice (tree + detail):
+    # 2 Exchange nodes -> 4 mentions. More would mean an extra shuffle.
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")
+
+
+def test_merge_on_read_tombstones_broadcast(spark):
+    """The delete-vector/delta keys must broadcast to the base scan —
+    the O(changes) read-path reconciliation, never a base-table
+    shuffle for the anti-join."""
+    df = REGISTRY["files_merge_on_read"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:800]
+
+
+def test_audit_constraints_no_cartesian(spark):
+    """Eight checks, two joins — no check may degenerate to a nested
+    loop over the fact table."""
+    plan = formatted_plan(REGISTRY["audit_constraints"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
