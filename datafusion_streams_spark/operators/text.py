@@ -888,9 +888,14 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_ellipsis = (
         (F.length("text") - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))) / 3
     ).cast("long")
+    # word_chars = sum of token lengths = non-whitespace chars of the text:
+    # one codegen regex pass instead of an interpreted aggregate(transform())
+    # over every token (lower() preserves length, so the original text works).
+    word_chars = F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("long")
     base = docs.select(
         "doc_id",
         tk.alias("tk"),
+        word_chars.alias("word_chars"),
         n_hash.cast("long").alias("n_hash"),
         n_ellipsis.alias("n_ellipsis"),
     )
@@ -898,12 +903,8 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_hash",
         "n_ellipsis",
+        "word_chars",
         F.size("tk").cast("long").alias("n_words"),
-        F.aggregate(
-            F.transform(F.col("tk"), lambda t: F.length(t).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("word_chars"),
         F.size(F.filter(F.col("tk"), lambda t: t.rlike("[a-z]"))).cast("long").alias("n_alpha_words"),
         _marker_count(F.col("tk"), STOPWORDS).alias("n_stop"),
     )
