@@ -123,6 +123,9 @@ HEADLINE = [
     "multimodal_simhash_neardup",
     "events_forecast_backtest",
     "pipeline_incremental_curation",
+    "text_bpe_merges",
+    "text_classifier_score",
+    "pipeline_drift_psi",
 ]
 
 

@@ -201,7 +201,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   agg_boolean_battery, text_bigram_logprob, agg_linear_fit,
 #   timeseries_resample_interpolate, streaming_multi_source_union,
 #   events_forecast_backtest, pipeline_incremental_curation,
-#   multimodal_simhash_neardup
+#   multimodal_simhash_neardup, text_classifier_score, pipeline_drift_psi,
+#   text_bpe_merges
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

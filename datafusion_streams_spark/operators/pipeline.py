@@ -1175,3 +1175,152 @@ def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame
         ok_len.cast("long").alias("passes_quality"),
         (is_new & ok_len).cast("long").alias("admitted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ingest drift monitor: population stability index (round 4)
+# ---------------------------------------------------------------------------
+
+_PSI_BAND_WIDTH = 100  # n_chars band width; bands capped at 10
+_PSI_ALERT = 0.2  # the standard "significant shift" PSI threshold
+
+_DRIFT_PSI_ORACLE = f"""
+WITH bucketed AS (
+    SELECT lang,
+        CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS cohort,
+        LEAST(CAST(floor(n_chars / {_PSI_BAND_WIDTH}.0) AS BIGINT), 9) AS band
+    FROM documents
+),
+bands AS (
+    SELECT DISTINCT lang, band FROM bucketed
+),
+nb AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bands FROM bands GROUP BY lang
+),
+tot AS (
+    SELECT lang, cohort, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bucketed GROUP BY lang, cohort
+),
+cnt AS (
+    SELECT b.lang, b.band,
+        CAST(COALESCE(SUM(CASE WHEN x.cohort = 'ref' THEN 1 END), 0) AS BIGINT) AS c_ref,
+        CAST(COALESCE(SUM(CASE WHEN x.cohort = 'cur' THEN 1 END), 0) AS BIGINT) AS c_cur
+    FROM bands b
+    LEFT JOIN bucketed x ON b.lang = x.lang AND b.band = x.band
+    GROUP BY b.lang, b.band
+),
+terms AS (
+    SELECT c.lang,
+        round(
+            ((CAST(c.c_ref AS DOUBLE) + 0.5) / (CAST(tr.n AS DOUBLE) + 0.5 * nb.n_bands)
+             - (CAST(c.c_cur AS DOUBLE) + 0.5) / (CAST(tc.n AS DOUBLE) + 0.5 * nb.n_bands))
+            * ln(((CAST(c.c_ref AS DOUBLE) + 0.5) / (CAST(tr.n AS DOUBLE) + 0.5 * nb.n_bands))
+                 / ((CAST(c.c_cur AS DOUBLE) + 0.5) / (CAST(tc.n AS DOUBLE) + 0.5 * nb.n_bands))),
+            6) AS term
+    FROM cnt c
+    JOIN nb ON c.lang = nb.lang
+    JOIN tot tr ON c.lang = tr.lang AND tr.cohort = 'ref'
+    JOIN tot tc ON c.lang = tc.lang AND tc.cohort = 'cur'
+),
+psi AS (
+    SELECT lang,
+        CAST(SUM(CAST(round(term * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000 AS psi
+    FROM terms GROUP BY lang
+)
+SELECT p.lang,
+    tr.n AS n_ref,
+    tc.n AS n_cur,
+    nb.n_bands,
+    p.psi,
+    p.psi >= {_PSI_ALERT} AS drifted
+FROM psi p
+JOIN nb ON p.lang = nb.lang
+JOIN tot tr ON p.lang = tr.lang AND tr.cohort = 'ref'
+JOIN tot tc ON p.lang = tc.lang AND tc.cohort = 'cur'
+"""
+
+
+@query("pipeline_drift_psi", oracle=_DRIFT_PSI_ORACLE, tags=("pipeline", "quality", "agg", "monitoring"))
+def pipeline_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest drift monitor: per-language Population Stability Index
+    between two corpus cohorts (here the deterministic doc_id parity
+    split standing in for yesterday's snapshot vs today's batch) over
+    length-band histograms — the alarm a continuously-fed training
+    pipeline raises BEFORE a shifted feed poisons the mixture. Bands
+    are fixed-width n_chars bins (capped at 10); shares are add-half
+    smoothed so empty bins never divide by zero; PSI >= 0.2 is the
+    conventional "significant shift" alert.
+
+    Float parity: every count is exact; smoothed shares are single
+    IEEE divisions over halves-grid numerators; each (p_ref - p_cur) *
+    ln(p_ref / p_cur) term is rounded to 6 dp and summed through the
+    integer-micro grid, so the PSI is exact in any accumulation
+    order (the text_dataset_card entropy discipline).
+
+    Scale: one map-side bucketization + aggregations over a keyspace
+    bounded by |lang| x 10 bands — constant-size state however large
+    the corpus; cohorts come from the same scan (no second read). At
+    100 TB this runs as a daily metric job on the delta partition
+    alone, joined against the standing reference histogram (itself 60
+    rows).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucketed = docs.select(
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, "ref").otherwise("cur").alias("cohort"),
+        F.least(
+            F.floor(F.col("n_chars") / _PSI_BAND_WIDTH).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("band"),
+    )
+    bands = bucketed.select("lang", "band").distinct()
+    nb = bands.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    tot = bucketed.groupBy("lang", "cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cnt = (
+        bucketed.groupBy("lang", "band")
+        .pivot("cohort", ["ref", "cur"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["ref", "cur"])
+        .select(
+            "lang",
+            "band",
+            F.col("ref").cast("long").alias("c_ref"),
+            F.col("cur").cast("long").alias("c_cur"),
+        )
+    )
+    tr = tot.filter(F.col("cohort") == "ref").select("lang", F.col("n").alias("n_ref"))
+    tc = tot.filter(F.col("cohort") == "cur").select("lang", F.col("n").alias("n_cur"))
+    j = cnt.join(F.broadcast(nb), "lang").join(F.broadcast(tr), "lang").join(
+        F.broadcast(tc), "lang"
+    )
+    denom_half = F.lit(0.5) * F.col("n_bands")
+    p_ref = (F.col("c_ref").cast("double") + F.lit(0.5)) / (
+        F.col("n_ref").cast("double") + denom_half
+    )
+    p_cur = (F.col("c_cur").cast("double") + F.lit(0.5)) / (
+        F.col("n_cur").cast("double") + denom_half
+    )
+    terms = j.select(
+        "lang", F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6).alias("term")
+    )
+    psi = terms.groupBy("lang").agg(
+        (
+            F.sum(F.round(F.col("term") * 1000000, 0).cast("long")).cast("double")
+            / 1000000
+        ).alias("psi")
+    )
+    return (
+        psi.join(F.broadcast(nb), "lang")
+        .join(F.broadcast(tr), "lang")
+        .join(F.broadcast(tc), "lang")
+        .select(
+            "lang",
+            "n_ref",
+            "n_cur",
+            "n_bands",
+            "psi",
+            (F.col("psi") >= _PSI_ALERT).alias("drifted"),
+        )
+    )

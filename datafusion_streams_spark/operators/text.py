@@ -2132,3 +2132,261 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_neg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier inference (round 4)
+# ---------------------------------------------------------------------------
+
+_CLF_DIM = 256  # weight-table size; two md5 hex chars address it exactly
+
+_CLF_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, t
+    FROM (
+        SELECT doc_id, UNNEST(regexp_split_to_array(lower(text), '\s+')) AS t
+        FROM documents
+    )
+    WHERE len(t) > 0
+),
+feat AS (
+    SELECT doc_id,
+        (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) AS bucket
+    FROM tok
+),
+weighted AS (
+    SELECT doc_id,
+        CAST(('0x' || substr(md5('w' || CAST(bucket AS VARCHAR)), 1, 4)) AS BIGINT)
+            % 2001 - 1000 AS w_milli
+    FROM feat
+),
+per_doc AS (
+    SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_terms,
+        CAST(SUM(w_milli) AS BIGINT) AS sum_milli
+    FROM weighted GROUP BY doc_id
+)
+SELECT doc_id, n_terms,
+    round(CAST(sum_milli AS DOUBLE) / (1000.0 * n_terms), 6) AS score,
+    round(1.0 / (1.0 + exp(-(CAST(sum_milli AS DOUBLE) / (1000.0 * n_terms)))), 6)
+        AS p_keep,
+    sum_milli > 0 AS keep
+FROM per_doc
+"""
+
+
+@query("text_classifier_score", oracle=_CLF_ORACLE, tags=("text", "quality", "filter", "pipeline"))
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference over hashed features — the
+    fastText-style model-based filtering stage (Joulin et al. 2017 as
+    applied by CCNet/LLaMA-style curation): every token routes to one
+    of 256 weight slots by its md5 (vocabulary-free, the hashing
+    trick), the document score is the mean slot weight, and the keep
+    decision thresholds the logistic probability at 0.5. The weight
+    table here is a deterministic function of the slot id (md5-derived
+    integer milli-units in [-1, 1]) standing in for trained
+    parameters; a real model swaps in a 256-float broadcast array and
+    NOTHING else about the plan changes.
+
+    Float parity: per-token weights are exact INTEGER milli-units, so
+    the per-document sum is order-independent exact arithmetic — no
+    fold discipline needed; score and sigmoid are each one IEEE
+    expression over two exact integers, rounded to 6 dp. The keep flag
+    compares the integer sum, not a float.
+
+    Scale: tokenize + hash + weight lookup are map-only (the "model"
+    is broadcast state of O(dim), never a join); the only exchange is
+    the doc_id rollup. Model-based filtering of 100 TB is exactly this
+    shape — inference cost linear in tokens, zero driver state.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("t")).filter(
+        F.length("t") > 0
+    )
+    hexv = "0123456789abcdef"
+    n1 = F.instr(F.lit(hexv), F.substring(F.md5("t"), 1, 1)) - 1
+    n2 = F.instr(F.lit(hexv), F.substring(F.md5("t"), 2, 1)) - 1
+    bucket = (n1 * 16 + n2).cast("long")
+    w_milli = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w"), bucket.cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    per_doc = (
+        tok.select("doc_id", w_milli.alias("w_milli"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("w_milli").cast("long").alias("sum_milli"),
+        )
+    )
+    score = F.col("sum_milli").cast("double") / (F.lit(1000.0) * F.col("n_terms"))
+    return per_doc.select(
+        "doc_id",
+        "n_terms",
+        F.round(score, 6).alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("p_keep"),
+        (F.col("sum_milli") > 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer-training merge rounds (round 4)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE round: pair counts from seg{r-1}, best pair
+    b{r} (max count, ties to the lexicographically first pair), and
+    the re-segmented corpus seg{r}."""
+    prev = f"seg{r - 1}"
+    return f"""
+p{r} AS (
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS cnt
+    FROM (
+        SELECT f,
+            UNNEST(list_transform(
+                range(1, len(str_split(trim(sym), ' '))),
+                i -> str_split(trim(sym), ' ')[i] || ' ' || str_split(trim(sym), ' ')[i + 1]
+            )) AS pair
+        FROM {prev}
+    ) GROUP BY pair
+),
+b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
+seg{r} AS (
+    SELECT f,
+        replace(sym,
+            ' ' || (SELECT pair FROM b{r}) || ' ',
+            ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ') AS sym
+    FROM {prev}
+)"""
+
+
+_BPE_ORACLE = (
+    r"""
+WITH words AS (
+    SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS f
+    FROM (
+        SELECT UNNEST(regexp_split_to_array(lower(text), '\s+')) AS t FROM documents
+    )
+    WHERE len(t) > 0
+    GROUP BY t
+),
+seg0 AS (
+    SELECT f,
+        ' ' || array_to_string(
+            list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)), ' '
+        ) || ' ' AS sym
+    FROM words
+),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_round, pair, replace(pair, ' ', '') AS merged, cnt AS pair_count FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+)
+
+
+def _bpe_adjacent_pairs(sym: Column) -> Column:
+    syms = F.split(F.trim(sym), " ")
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.concat(
+                F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@query("text_bpe_merges", oracle=_BPE_ORACLE, tags=("text", "tokenizer", "agg", "topk"))
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training, first three merge rounds
+    (Sennrich et al. 2016; the vocabulary-induction step behind every
+    GPT/LLaMA tokenizer): segment the word vocabulary into characters,
+    repeatedly find the adjacent symbol pair with the highest
+    corpus frequency (ties to the lexicographically first pair), merge
+    it everywhere, and emit the merge table — (round, pair, merged
+    symbol, pair frequency) — the exact artifact a tokenizer ships.
+
+    Entirely declarative: each round's winner is a 1-row aggregate
+    broadcast back into the next round's re-segmentation via
+    crossJoin, so the whole 3-round recursion is ONE Catalyst DAG —
+    no driver-side model state at all. Merge application is a padded
+    string replace (' a b ' -> ' ab '); both engines scan
+    left-to-right non-overlapping, which IS greedy BPE application,
+    and the identical scan rule keeps the corpora bit-equal.
+
+    Scale: pair counting runs over the DISTINCT word vocabulary
+    weighted by frequency — sublinear in the corpus (the standard BPE
+    trick); each round is one vocabulary-sized aggregation plus a
+    1-row broadcast. At 100 TB the corpus is touched once (the word
+    count); the 50k-round production loop iterates on the
+    vocabulary-sized relation only, checkpointing seg every few tens
+    of rounds like dedup_components does.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .filter(F.length("t") > 0)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    seg = words.select(
+        "f",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t")),
+                    lambda i: F.substring(F.col("t"), i, F.lit(1)),
+                ),
+                " ",
+            ),
+            F.lit(" "),
+        ).alias("sym"),
+    )
+    outs = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        best = (
+            seg.select("f", F.explode(_bpe_adjacent_pairs(F.col("sym"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+        )
+        outs.append(
+            best.select(
+                F.lit(r).cast("long").alias("merge_round"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        if r < _BPE_ROUNDS:
+            bp = F.col("bp")
+            seg = seg.crossJoin(
+                F.broadcast(best.select(F.col("pair").alias("bp")))
+            ).select(
+                "f",
+                F.replace(
+                    F.col("sym"),
+                    F.concat(F.lit(" "), bp, F.lit(" ")),
+                    F.concat(
+                        F.lit(" "), F.replace(bp, F.lit(" "), F.lit("")), F.lit(" ")
+                    ),
+                ).alias("sym"),
+            )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
