@@ -585,3 +585,67 @@ def _brute_signatures(docs):
                 votes[j] += 1 if (digit >> (j % 4)) & 1 else -1
         sigs[row.doc_id] = sum(1 << j for j in range(32) if votes[j] > 0)
     return sigs
+
+
+def test_bpe_merges_match_python_reference(spark):
+    """The registered 3-round BPE must agree with an independent pure-
+    Python BPE (dict-of-tuples segmentation, max-count/lexicographic
+    tie-break, greedy left-to-right merge application) on the fixture
+    corpus — guarding against both engines sharing a segmentation or
+    tie-break misunderstanding in the oracle pair."""
+    import re
+    from collections import Counter
+
+    from datafusion_streams_spark.operators import REGISTRY
+    from datafusion_streams_spark.operators.text import _BPE_ROUNDS
+
+    out = [
+        (r.merge_round, r.pair, r.merged, r.pair_count)
+        for r in REGISTRY["text_bpe_merges"].fn(spark, SF_DIR_SMALL).collect()
+    ]
+    out.sort()
+
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    words: Counter = Counter()
+    for row in docs.select("text").collect():
+        for w in re.split(r"\s+", row.text.lower()):
+            if w:
+                words[w] += 1
+    seg = {tuple(w): f for w, f in words.items()}
+    expected = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs: Counter = Counter()
+        for syms, f in seg.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rnd, f"{a} {b}", a + b, cnt))
+        new_seg: dict = {}
+        for syms, f in seg.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            new_seg[key] = new_seg.get(key, 0) + f
+        seg = new_seg
+    assert out == expected
+
+
+def test_classifier_score_partition_invariance(spark, tmp_path):
+    """The per-document classifier sum is integer arithmetic, so the
+    scores must be identical however the input scan is split."""
+    from datafusion_streams_spark.operators import REGISTRY
+
+    fn = REGISTRY["text_classifier_score"].fn
+    rows = sorted(map(tuple, fn(spark, SF_DIR_SMALL).collect()))
+    docs = spark.read.parquet(f"{SF_DIR_SMALL}/documents.parquet")
+    for nparts in (1, 7):
+        alt_dir = str(tmp_path / f"p{nparts}")
+        docs.repartition(nparts).write.parquet(f"{alt_dir}/documents.parquet")
+        alt = sorted(map(tuple, fn(spark, alt_dir).collect()))
+        assert alt == rows
