@@ -126,6 +126,7 @@ HEADLINE = [
     "text_bpe_merges",
     "text_classifier_score",
     "pipeline_drift_psi",
+    "sample_importance_dsir",
 ]
 
 

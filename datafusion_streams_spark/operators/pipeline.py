@@ -1324,3 +1324,167 @@ def pipeline_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("psi") >= _PSI_ALERT).alias("drifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (round 4)
+# ---------------------------------------------------------------------------
+
+_DSIR_DIM = 256  # hashed feature space; two md5 hex chars address it exactly
+_DSIR_TARGET = "src0"  # the "looks like this" exemplar feed
+_DSIR_KEEP_FRAC = 0.2
+
+_DSIR_ORACLE = rf"""
+WITH tok AS (
+    SELECT doc_id, source,
+        (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) AS bucket
+    FROM (
+        SELECT doc_id, source, UNNEST(regexp_split_to_array(lower(text), '\s+')) AS t
+        FROM documents
+    )
+    WHERE len(t) > 0
+),
+tcnt AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tok WHERE source = '{_DSIR_TARGET}' GROUP BY bucket
+),
+scnt AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tok WHERE source <> '{_DSIR_TARGET}' GROUP BY bucket
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok WHERE source = '{_DSIR_TARGET}'),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok WHERE source <> '{_DSIR_TARGET}'),
+lr AS (
+    SELECT b.bucket,
+        round(
+            ln((CAST(COALESCE(t.c, 0) AS DOUBLE) + 1.0)
+               / (CAST((SELECT n FROM nt) AS DOUBLE) + {_DSIR_DIM}))
+            - ln((CAST(COALESCE(s.c, 0) AS DOUBLE) + 1.0)
+                 / (CAST((SELECT n FROM ns) AS DOUBLE) + {_DSIR_DIM})),
+            6) AS lr
+    FROM (SELECT UNNEST(range({_DSIR_DIM})) AS bucket) b
+    LEFT JOIN tcnt t ON b.bucket = t.bucket
+    LEFT JOIN scnt s ON b.bucket = s.bucket
+),
+per_doc AS (
+    SELECT tok.doc_id, tok.source,
+        CAST(COUNT(*) AS BIGINT) AS n_tok,
+        CAST(SUM(CAST(round(lr.lr * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_micro
+    FROM tok JOIN lr ON tok.bucket = lr.bucket
+    GROUP BY tok.doc_id, tok.source
+),
+scored AS (
+    SELECT doc_id, source,
+        round(CAST(sum_micro AS DOUBLE) / 1000000 / n_tok, 6) AS avg_lr
+    FROM per_doc
+),
+ranked AS (
+    SELECT source, avg_lr,
+        ROW_NUMBER() OVER (ORDER BY avg_lr DESC, doc_id) AS rn,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM scored) AS n_total
+    FROM scored
+)
+SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN rn <= CAST(ceil({_DSIR_KEEP_FRAC} * n_total) AS BIGINT)
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+    round(CAST(SUM(CASE WHEN rn <= CAST(ceil({_DSIR_KEEP_FRAC} * n_total) AS BIGINT)
+        THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS selected_share
+FROM ranked GROUP BY source
+"""
+
+
+@query("sample_importance_dsir", oracle=_DSIR_ORACLE, tags=("sampling", "quality", "pipeline", "text"))
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    score every document by how much more likely its hashed-unigram
+    features are under a TARGET distribution (one exemplar feed) than
+    under the raw-pool distribution, then keep the global top 20% —
+    the method that tilts a web-scale crawl toward "looks like the
+    high-quality exemplar" without training a classifier. Both LMs are
+    add-one-smoothed 256-bucket hashed-ngram models, the DSIR trick
+    that makes the estimator vocabulary-free and cluster-shardable.
+
+    Float parity: bucket log-ratios are ln's of exact-integer ratios
+    rounded to 6 dp, broadcast as a 256-row table; per-document sums
+    run on the integer-micro grid (order-independent exact); the
+    selection rank orders by the rounded score with doc_id
+    tie-breaks, so the kept set is a pure function of the corpus.
+
+    Scale: two passes — one token-count aggregation bounded by the
+    256-bucket space (the "model fit", collect-free), one map-side
+    broadcast-join rescan plus a doc_id rollup. The global top-20%
+    rank is the one total sort; at 100 TB it becomes an
+    approx-quantile score threshold (computed once, broadcast), same
+    downstream shape — the exact rank here keeps the oracle checkable.
+    Per-feed selected-share is the mixture-shift report DSIR papers
+    print.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hexv = "0123456789abcdef"
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("t")
+    ).filter(F.length("t") > 0)
+    n1 = F.instr(F.lit(hexv), F.substring(F.md5("t"), 1, 1)) - 1
+    n2 = F.instr(F.lit(hexv), F.substring(F.md5("t"), 2, 1)) - 1
+    tok = tok.select("doc_id", "source", (n1 * 16 + n2).cast("long").alias("bucket"))
+    is_t = F.col("source") == _DSIR_TARGET
+    cnt = tok.groupBy("bucket").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("c_t"),
+        F.sum(F.when(is_t, 0).otherwise(1)).cast("long").alias("c_s"),
+    )
+    n_t, n_s = cnt.agg(F.sum("c_t"), F.sum("c_s")).collect()[0]
+    buckets = spark.range(_DSIR_DIM).select(F.col("id").cast("long").alias("bucket"))
+    lr = (
+        buckets.join(cnt, "bucket", "left")
+        .na.fill(0, ["c_t", "c_s"])
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.col("c_t").cast("double") + F.lit(1.0))
+                    / F.lit(float(n_t + _DSIR_DIM))
+                )
+                - F.log(
+                    (F.col("c_s").cast("double") + F.lit(1.0))
+                    / F.lit(float(n_s + _DSIR_DIM))
+                ),
+                6,
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        tok.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum(F.round(F.col("lr") * 1000000, 0).cast("long")).cast("long").alias(
+                "sum_micro"
+            ),
+        )
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.col("sum_micro").cast("double") / 1000000 / F.col("n_tok"), 6
+        ).alias("avg_lr"),
+    )
+    import math
+
+    from pyspark.sql import Window
+
+    n_total = scored.count()
+    k = math.ceil(_DSIR_KEEP_FRAC * n_total)
+    ranked = scored.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("avg_lr"), F.asc("doc_id")))
+    )
+    sel = F.when(F.col("rn") <= k, 1).otherwise(0)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(sel).cast("long").alias("n_selected"),
+        F.round(F.sum(sel).cast("double") / F.count(F.lit(1)), 6).alias(
+            "selected_share"
+        ),
+    )

@@ -649,3 +649,25 @@ def test_classifier_score_partition_invariance(spark, tmp_path):
         docs.repartition(nparts).write.parquet(f"{alt_dir}/documents.parquet")
         alt = sorted(map(tuple, fn(spark, alt_dir).collect()))
         assert alt == rows
+
+
+def test_dsir_selection_tilts_toward_target(spark):
+    """DSIR's whole point: the target feed's selected share must exceed
+    the global keep fraction, and shares must be consistent with the
+    global top-k (sum of n_selected == ceil(frac * total))."""
+    import math
+
+    from datafusion_streams_spark.operators import REGISTRY
+    from datafusion_streams_spark.operators.pipeline import (
+        _DSIR_KEEP_FRAC,
+        _DSIR_TARGET,
+    )
+
+    rows = {
+        r.source: r
+        for r in REGISTRY["sample_importance_dsir"].fn(spark, SF_DIR_SMALL).collect()
+    }
+    total = sum(r.n_docs for r in rows.values())
+    selected = sum(r.n_selected for r in rows.values())
+    assert selected == math.ceil(_DSIR_KEEP_FRAC * total)
+    assert rows[_DSIR_TARGET].selected_share > _DSIR_KEEP_FRAC
