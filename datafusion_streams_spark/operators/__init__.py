@@ -157,7 +157,7 @@ ROTATED_IN_R4: tuple[str, ...] = (
     "text_seq_dedup",
 )
 
-# Never driver-checked yet — 53 queries, more than one 50-slot window:
+# Never driver-checked yet — 57 queries, more than one 50-slot window:
 # fill ROTATED_IN_R5 entirely from this list (streaming/stateful and
 # composition queries first — streaming_sessionize_state,
 # streaming_append_watermark, streaming_stream_left_join,
