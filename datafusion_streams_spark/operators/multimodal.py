@@ -28,6 +28,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from datafusion_streams_spark.catalog import load_documents
 from datafusion_streams_spark.operators import query
 
 # The mapInPandas batch loops below are MODULE-LEVEL functions, which
@@ -519,7 +520,7 @@ def multimodal_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fixture payload is the deterministic fake blob (UTF-8 text
     bytes); real image/audio bytes flow through the identical plan.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_documents(spark, sf_dir)  # spread: the gram HOFs are compute-bound
     blobs = docs.select(
         "doc_id", F.lower(F.hex(F.encode("text", "UTF-8"))).alias("hx")
     ).filter(F.length("hx") >= 8)
@@ -530,13 +531,22 @@ def multimodal_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("transform(sequence(1, length(hx) - 7, 2), i -> substring(hx, i, 8))")
             )
         ).alias("g"),
-    ).withColumn("m", F.md5(F.upper("g")))
+    ).withColumn(
+        # first 8 md5 hex digits decoded ONCE to a long; each vote bit is
+        # then an integer shift-and (32 string instr/substring ops per gram
+        # were the aggregation hot spot). Bit j below is the oracle's
+        # per-digit little-endian bit: digit j//4 (big-endian string
+        # position) >> (j%4) & 1 == x >> (4*(7 - j//4) + j%4) & 1.
+        "x",
+        F.conv(F.substring(F.md5(F.upper("g")), 1, 8), 16, 10).cast("long"),
+    )
     vote_exprs = [
         F.sum(
             F.when(
-                F.expr(
-                    f"((shiftright(instr('0123456789abcdef', substring(m, {j // 4 + 1}, 1)) - 1, {j % 4}) & 1)) = 1"
-                ),
+                F.shiftright(F.col("x"), 4 * (7 - j // 4) + (j % 4)).bitwiseAND(
+                    F.lit(1)
+                )
+                == 1,
                 1,
             ).otherwise(-1)
         ).alias(f"v{j}")
@@ -553,32 +563,37 @@ def multimodal_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CacheManager dedupes by canonical plan across calls too)
     sig = v.select("doc_id", combine.cast("long").alias("simhash")).cache()
 
+    # band rows CARRY the full signature, so the Hamming verify runs
+    # inside the band join itself — no candidate-pair relation is ever
+    # materialized or deduplicated (on near-uniform corpora the band
+    # buckets collide heavily: this fixture yields 1.2M candidates for
+    # 5k docs, and a distinct over them dominated the query).
     width = _BSH_BITS // _BSH_BANDS
     bands = None
     for b in range(_BSH_BANDS):
         part = sig.select(
             "doc_id",
+            "simhash",
             F.lit(b).alias("band"),
             F.shiftright("simhash", b * width).bitwiseAND(F.lit(255)).alias("bv"),
         )
         bands = part if bands is None else bands.unionByName(part)
     a, bnd = bands.alias("a"), bands.alias("b")
-    cand = (
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
         a.join(
             bnd,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bv") == F.col("b.bv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .filter(F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))) <= _BSH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.alias("hamming"),
+        )
         .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sha"))
-    sb = sig.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("shb"))
-    ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("long")
-    return (
-        cand.join(sa, "a_id")
-        .join(sb, "b_id")
-        .select("a_id", "b_id", ham.alias("hamming"))
-        .filter(F.col("hamming") <= _BSH_MAX_HAMMING)
     )
