@@ -2334,12 +2334,16 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized relation only, checkpointing seg every few tens
     of rounds like dedup_components does.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_documents(spark, sf_dir)
+    # vocabulary-sized and consumed by every round's branch (each merge
+    # round AND its output row share this lineage): cache it so the
+    # corpus tokenization runs once, not once per downstream branch
     words = (
         docs.select(F.explode(tokens("text")).alias("t"))
         .filter(F.length("t") > 0)
         .groupBy("t")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .cache()
     )
     seg = words.select(
         "f",
