@@ -226,3 +226,22 @@ def test_audit_constraints_no_cartesian(spark):
     plan = formatted_plan(REGISTRY["audit_constraints"].fn(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round4_closing_batch_plan_shapes(spark):
+    """Scale-critical shapes of the closing round-4 batch."""
+    spark.catalog.clearCache()
+    # classifier inference: map-only scoring + exactly one doc_id rollup
+    plan = formatted_plan(REGISTRY["text_classifier_score"].fn(spark, SF_DIR))
+    n_ex = plan.count("hashpartitioning(") + plan.count("rangepartitioning(")
+    assert n_ex <= 2, f"classifier must stay map-only + one rollup:\n{plan}"
+
+    # byte-simhash: the Hamming verify is fused into the band join — no
+    # candidate-pair aggregation may appear between the join and the
+    # output distinct (one HashAggregate pair for the final dedup only)
+    plan = formatted_plan(REGISTRY["multimodal_simhash_neardup"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # formatted plans list each node in both the tree and the detail
+    # section; the fused plan prints 13 Exchange mentions today — the
+    # materialized-candidate shape it guards against printed 17+
+    assert plan.count("Exchange") <= 14, f"band join plan grew:\n{plan}"
