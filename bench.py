@@ -127,6 +127,7 @@ HEADLINE = [
     "text_classifier_score",
     "pipeline_drift_psi",
     "sample_importance_dsir",
+    "streaming_drift_psi",
 ]
 
 

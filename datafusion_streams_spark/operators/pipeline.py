@@ -1184,33 +1184,36 @@ def pipeline_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame
 _PSI_BAND_WIDTH = 100  # n_chars band width; bands capped at 10
 _PSI_ALERT = 0.2  # the standard "significant shift" PSI threshold
 
-_DRIFT_PSI_ORACLE = f"""
+
+def psi_oracle(key: str, bucketed_select: str) -> str:
+    """The PSI CTE chain over any `(key, cohort, band)` bucketization —
+    shared by the batch monitor and its streaming twin so both oracles
+    are one definition. `bucketed_select` must yield columns
+    (`key`, cohort in {'ref','cur'}, band)."""
+    return f"""
 WITH bucketed AS (
-    SELECT lang,
-        CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS cohort,
-        LEAST(CAST(floor(n_chars / {_PSI_BAND_WIDTH}.0) AS BIGINT), 9) AS band
-    FROM documents
+{bucketed_select}
 ),
 bands AS (
-    SELECT DISTINCT lang, band FROM bucketed
+    SELECT DISTINCT {key}, band FROM bucketed
 ),
 nb AS (
-    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_bands FROM bands GROUP BY lang
+    SELECT {key}, CAST(COUNT(*) AS BIGINT) AS n_bands FROM bands GROUP BY {key}
 ),
 tot AS (
-    SELECT lang, cohort, CAST(COUNT(*) AS BIGINT) AS n
-    FROM bucketed GROUP BY lang, cohort
+    SELECT {key}, cohort, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bucketed GROUP BY {key}, cohort
 ),
 cnt AS (
-    SELECT b.lang, b.band,
+    SELECT b.{key}, b.band,
         CAST(COALESCE(SUM(CASE WHEN x.cohort = 'ref' THEN 1 END), 0) AS BIGINT) AS c_ref,
         CAST(COALESCE(SUM(CASE WHEN x.cohort = 'cur' THEN 1 END), 0) AS BIGINT) AS c_cur
     FROM bands b
-    LEFT JOIN bucketed x ON b.lang = x.lang AND b.band = x.band
-    GROUP BY b.lang, b.band
+    LEFT JOIN bucketed x ON b.{key} = x.{key} AND b.band = x.band
+    GROUP BY b.{key}, b.band
 ),
 terms AS (
-    SELECT c.lang,
+    SELECT c.{key},
         round(
             ((CAST(c.c_ref AS DOUBLE) + 0.5) / (CAST(tr.n AS DOUBLE) + 0.5 * nb.n_bands)
              - (CAST(c.c_cur AS DOUBLE) + 0.5) / (CAST(tc.n AS DOUBLE) + 0.5 * nb.n_bands))
@@ -1218,26 +1221,76 @@ terms AS (
                  / ((CAST(c.c_cur AS DOUBLE) + 0.5) / (CAST(tc.n AS DOUBLE) + 0.5 * nb.n_bands))),
             6) AS term
     FROM cnt c
-    JOIN nb ON c.lang = nb.lang
-    JOIN tot tr ON c.lang = tr.lang AND tr.cohort = 'ref'
-    JOIN tot tc ON c.lang = tc.lang AND tc.cohort = 'cur'
+    JOIN nb ON c.{key} = nb.{key}
+    JOIN tot tr ON c.{key} = tr.{key} AND tr.cohort = 'ref'
+    JOIN tot tc ON c.{key} = tc.{key} AND tc.cohort = 'cur'
 ),
 psi AS (
-    SELECT lang,
+    SELECT {key},
         CAST(SUM(CAST(round(term * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000 AS psi
-    FROM terms GROUP BY lang
+    FROM terms GROUP BY {key}
 )
-SELECT p.lang,
+SELECT p.{key},
     tr.n AS n_ref,
     tc.n AS n_cur,
     nb.n_bands,
     p.psi,
     p.psi >= {_PSI_ALERT} AS drifted
 FROM psi p
-JOIN nb ON p.lang = nb.lang
-JOIN tot tr ON p.lang = tr.lang AND tr.cohort = 'ref'
-JOIN tot tc ON p.lang = tc.lang AND tc.cohort = 'cur'
+JOIN nb ON p.{key} = nb.{key}
+JOIN tot tr ON p.{key} = tr.{key} AND tr.cohort = 'ref'
+JOIN tot tc ON p.{key} = tc.{key} AND tc.cohort = 'cur'
 """
+
+
+def psi_report(cnt: DataFrame, key: str) -> DataFrame:
+    """PSI report from a per-(key, band) counts relation with exact
+    `c_ref`/`c_cur` columns (the band universe = the rows present).
+    Mirrors ``psi_oracle`` term by term: add-half smoothed shares,
+    6-dp-rounded terms summed on the integer-micro grid."""
+    nb = cnt.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    tots = cnt.groupBy(key).agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    )
+    j = cnt.join(F.broadcast(nb), key).join(F.broadcast(tots), key)
+    denom_half = F.lit(0.5) * F.col("n_bands")
+    p_ref = (F.col("c_ref").cast("double") + F.lit(0.5)) / (
+        F.col("n_ref").cast("double") + denom_half
+    )
+    p_cur = (F.col("c_cur").cast("double") + F.lit(0.5)) / (
+        F.col("n_cur").cast("double") + denom_half
+    )
+    terms = j.select(
+        key, F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6).alias("term")
+    )
+    psi = terms.groupBy(key).agg(
+        (
+            F.sum(F.round(F.col("term") * 1000000, 0).cast("long")).cast("double")
+            / 1000000
+        ).alias("psi")
+    )
+    return (
+        psi.join(F.broadcast(nb), key)
+        .join(F.broadcast(tots), key)
+        .select(
+            key,
+            "n_ref",
+            "n_cur",
+            "n_bands",
+            "psi",
+            (F.col("psi") >= _PSI_ALERT).alias("drifted"),
+        )
+    )
+
+
+_DRIFT_PSI_ORACLE = psi_oracle(
+    "lang",
+    f"""    SELECT lang,
+        CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS cohort,
+        LEAST(CAST(floor(n_chars / {_PSI_BAND_WIDTH}.0) AS BIGINT), 9) AS band
+    FROM documents""",
+)
 
 
 @query("pipeline_drift_psi", oracle=_DRIFT_PSI_ORACLE, tags=("pipeline", "quality", "agg", "monitoring"))
@@ -1273,11 +1326,6 @@ def pipeline_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(9).cast("long"),
         ).alias("band"),
     )
-    bands = bucketed.select("lang", "band").distinct()
-    nb = bands.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
-    tot = bucketed.groupBy("lang", "cohort").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
     cnt = (
         bucketed.groupBy("lang", "band")
         .pivot("cohort", ["ref", "cur"])
@@ -1290,40 +1338,7 @@ def pipeline_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cur").cast("long").alias("c_cur"),
         )
     )
-    tr = tot.filter(F.col("cohort") == "ref").select("lang", F.col("n").alias("n_ref"))
-    tc = tot.filter(F.col("cohort") == "cur").select("lang", F.col("n").alias("n_cur"))
-    j = cnt.join(F.broadcast(nb), "lang").join(F.broadcast(tr), "lang").join(
-        F.broadcast(tc), "lang"
-    )
-    denom_half = F.lit(0.5) * F.col("n_bands")
-    p_ref = (F.col("c_ref").cast("double") + F.lit(0.5)) / (
-        F.col("n_ref").cast("double") + denom_half
-    )
-    p_cur = (F.col("c_cur").cast("double") + F.lit(0.5)) / (
-        F.col("n_cur").cast("double") + denom_half
-    )
-    terms = j.select(
-        "lang", F.round((p_ref - p_cur) * F.log(p_ref / p_cur), 6).alias("term")
-    )
-    psi = terms.groupBy("lang").agg(
-        (
-            F.sum(F.round(F.col("term") * 1000000, 0).cast("long")).cast("double")
-            / 1000000
-        ).alias("psi")
-    )
-    return (
-        psi.join(F.broadcast(nb), "lang")
-        .join(F.broadcast(tr), "lang")
-        .join(F.broadcast(tc), "lang")
-        .select(
-            "lang",
-            "n_ref",
-            "n_cur",
-            "n_bands",
-            "psi",
-            (F.col("psi") >= _PSI_ALERT).alias("drifted"),
-        )
-    )
+    return psi_report(cnt, "lang")
 
 
 # ---------------------------------------------------------------------------
