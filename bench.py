@@ -128,6 +128,7 @@ HEADLINE = [
     "pipeline_drift_psi",
     "sample_importance_dsir",
     "streaming_drift_psi",
+    "text_bpe_fertility",
 ]
 
 

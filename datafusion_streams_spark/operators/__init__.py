@@ -202,7 +202,8 @@ ROTATED_IN_R4: tuple[str, ...] = (
 #   timeseries_resample_interpolate, streaming_multi_source_union,
 #   events_forecast_backtest, pipeline_incremental_curation,
 #   multimodal_simhash_neardup, text_classifier_score, pipeline_drift_psi,
-#   text_bpe_merges, sample_importance_dsir, streaming_drift_psi
+#   text_bpe_merges, sample_importance_dsir, streaming_drift_psi,
+#   text_bpe_fertility
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

@@ -2261,7 +2261,7 @@ p{r} AS (
 ),
 b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
 seg{r} AS (
-    SELECT f,
+    SELECT word, f,
         replace(sym,
             ' ' || (SELECT pair FROM b{r}) || ' ',
             ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ') AS sym
@@ -2280,7 +2280,7 @@ WITH words AS (
     GROUP BY t
 ),
 seg0 AS (
-    SELECT f,
+    SELECT word, f,
         ' ' || array_to_string(
             list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)), ' '
         ) || ' ' AS sym
@@ -2334,25 +2334,38 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized relation only, checkpointing seg every few tens
     of rounds like dedup_components does.
     """
+    outs, _ = _bpe_chain(spark, sf_dir)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def _bpe_chain(spark: SparkSession, sf_dir: str):
+    """The unrolled merge recursion shared by `text_bpe_merges` (which
+    emits the per-round winners) and `text_bpe_fertility` (which
+    consumes the final segmentation). Returns (per-round winner
+    DataFrames, the (word, f, sym) relation after all merges)."""
     docs = load_documents(spark, sf_dir)
     # vocabulary-sized and consumed by every round's branch (each merge
     # round AND its output row share this lineage): cache it so the
     # corpus tokenization runs once, not once per downstream branch
     words = (
-        docs.select(F.explode(tokens("text")).alias("t"))
-        .filter(F.length("t") > 0)
-        .groupBy("t")
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
         .cache()
     )
     seg = words.select(
+        "word",
         "f",
         F.concat(
             F.lit(" "),
             F.array_join(
                 F.transform(
-                    F.sequence(F.lit(1), F.length("t")),
-                    lambda i: F.substring(F.col("t"), i, F.lit(1)),
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.substring(F.col("word"), i, F.lit(1)),
                 ),
                 " ",
             ),
@@ -2376,21 +2389,112 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cnt").alias("pair_count"),
             )
         )
-        if r < _BPE_ROUNDS:
-            bp = F.col("bp")
-            seg = seg.crossJoin(
-                F.broadcast(best.select(F.col("pair").alias("bp")))
-            ).select(
-                "f",
-                F.replace(
-                    F.col("sym"),
-                    F.concat(F.lit(" "), bp, F.lit(" ")),
-                    F.concat(
-                        F.lit(" "), F.replace(bp, F.lit(" "), F.lit("")), F.lit(" ")
-                    ),
-                ).alias("sym"),
-            )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionAll(o)
-    return res
+        bp = F.col("bp")
+        seg = seg.crossJoin(
+            F.broadcast(best.select(F.col("pair").alias("bp")))
+        ).select(
+            "word",
+            "f",
+            F.replace(
+                F.col("sym"),
+                F.concat(F.lit(" "), bp, F.lit(" ")),
+                F.concat(
+                    F.lit(" "), F.replace(bp, F.lit(" "), F.lit("")), F.lit(" ")
+                ),
+            ).alias("sym"),
+        )
+    return outs, seg
+
+
+_BPE_FERTILITY_ORACLE = (
+    r"""
+WITH lw AS (
+    SELECT lang, t AS word, CAST(COUNT(*) AS BIGINT) AS fl
+    FROM (
+        SELECT lang, UNNEST(regexp_split_to_array(lower(text), '\s+')) AS t
+        FROM documents
+    )
+    WHERE len(t) > 0
+    GROUP BY lang, t
+),
+words AS (
+    SELECT word, CAST(SUM(fl) AS BIGINT) AS f FROM lw GROUP BY word
+),
+seg0 AS (
+    SELECT word, f,
+        ' ' || array_to_string(
+            list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)), ' '
+        ) || ' ' AS sym
+    FROM words
+),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    + f""",
+fin AS (
+    SELECT word, CAST(len(str_split(trim(sym), ' ')) AS BIGINT) AS n_sym
+    FROM seg{_BPE_ROUNDS}
+)
+SELECT l.lang,
+    CAST(SUM(l.fl) AS BIGINT) AS n_words,
+    CAST(SUM(l.fl * len(l.word)) AS BIGINT) AS total_chars,
+    CAST(SUM(l.fl * f.n_sym) AS BIGINT) AS total_tokens,
+    round(CAST(SUM(l.fl * f.n_sym) AS DOUBLE) / SUM(l.fl), 6) AS fertility,
+    round(CAST(SUM(l.fl * len(l.word)) AS DOUBLE) / SUM(l.fl * f.n_sym), 6)
+        AS chars_per_token
+FROM lw l JOIN fin f ON l.word = f.word
+GROUP BY l.lang
+"""
+)
+
+
+@query(
+    "text_bpe_fertility",
+    oracle=_BPE_FERTILITY_ORACLE,
+    tags=("text", "tokenizer", "agg", "pipeline"),
+)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: apply the merges learned by
+    `text_bpe_merges` to the corpus vocabulary and report, per
+    language, tokens-per-word (fertility) and characters-per-token
+    (compression) — the metric a multilingual pipeline checks before
+    committing to a tokenizer, because a vocabulary trained on the
+    corpus-dominant language inflates every other language's sequence
+    lengths (and training cost) proportionally.
+
+    The learned segmentation comes from the shared `_bpe_chain`, so
+    this query hash-checks the APPLICATION of the merges, composing
+    with the merge-table query exactly like the curation suites
+    compose their stages. All aggregates are exact integer sums
+    (freq x chars, freq x symbols); the two ratios are single
+    int/int divisions rounded to 6 dp.
+
+    Scale: the vocabulary relation (distinct words x symbol counts)
+    broadcasts into the per-(lang, word) rollup — the corpus is
+    scanned once for that rollup and never reshuffled; the report is
+    |lang|-sized.
+    """
+    _, seg = _bpe_chain(spark, sf_dir)
+    fin = seg.select(
+        "word",
+        F.size(F.split(F.trim(F.col("sym")), " ")).cast("long").alias("n_sym"),
+    )
+    docs = load_documents(spark, sf_dir)
+    lw = (
+        docs.select("lang", F.explode(tokens("text")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("fl"))
+    )
+    j = lw.join(F.broadcast(fin), "word")
+    return j.groupBy("lang").agg(
+        F.sum("fl").cast("long").alias("n_words"),
+        F.sum(F.col("fl") * F.length("word")).cast("long").alias("total_chars"),
+        F.sum(F.col("fl") * F.col("n_sym")).cast("long").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("fl") * F.col("n_sym")).cast("double") / F.sum("fl"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.col("fl") * F.length("word")).cast("double")
+            / F.sum(F.col("fl") * F.col("n_sym")),
+            6,
+        ).alias("chars_per_token"),
+    )
