@@ -469,22 +469,30 @@ FROM reach GROUP BY src
 # Converged-labels memo: the min-label fixpoint over the MinHash pair
 # graph is deterministic in the corpus, and THREE registered queries
 # (components, component_stats, rewrite_map) consume it. The memo holds
-# the collected label rows — cluster-member-sized (docs that appear in
-# some near-dup pair), never corpus-sized — following the
-# _KMEANS_MODEL_MEMO discipline: model-sized driver state only.
-_MINHASH_LABELS_MEMO: dict[str, list[tuple[int, int]]] = {}
+# a localCheckpointed DataFrame HANDLE, never driver-side rows: on a
+# real web corpus 30-50% of documents sit in near-dup clusters, so the
+# label relation is corpus-fraction-sized — collecting it to the driver
+# would OOM at 100 TB. The blocks live in executor storage; the driver
+# keeps only the handle. Session-keyed so a stale handle from a stopped
+# SparkSession is never served.
+_MINHASH_LABELS_MEMO: dict[str, tuple[SparkSession, DataFrame]] = {}
 
 
 def minhash_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, canonical_id) — the converged component labels for the
-    MinHash near-dup graph, memoized per sf_dir."""
-    rows = _MINHASH_LABELS_MEMO.get(sf_dir)
-    if rows is None:
-        p = minhash_pairs(spark, sf_dir).select("a_id", "b_id")
-        labels = min_label_components(p, id_col="doc_id")
-        rows = [(r.doc_id, r.canonical_id) for r in labels.collect()]
-        _MINHASH_LABELS_MEMO[sf_dir] = rows
-    return spark.createDataFrame(rows, "doc_id long, canonical_id long")
+    MinHash near-dup graph, memoized per (session, sf_dir) as a
+    localCheckpointed DataFrame (distributed state, not driver rows)."""
+    memo = _MINHASH_LABELS_MEMO.get(sf_dir)
+    if memo is not None and memo[0] is spark:
+        return memo[1]
+    p = minhash_pairs(spark, sf_dir).select("a_id", "b_id")
+    labels = min_label_components(p, id_col="doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+    df = labels.localCheckpoint(eager=True)
+    _MINHASH_LABELS_MEMO[sf_dir] = (spark, df)
+    return df
 
 
 @query("dedup_components", oracle=_components_oracle(), tags=("dedup", "graph", "iterative"))
@@ -796,15 +804,17 @@ def dedup_rewrite_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     one equi-join (the MERGE-input shape), completing the find-pairs ->
     cluster -> KEEP/DROP pipeline.
 
-    Scale: the label relation is cluster-member-sized (tiny vs the
-    corpus) and broadcasts into a map-side left join against the full
-    document scan — the corpus itself never shuffles.
+    Scale: the label relation is corpus-FRACTION-sized on a real web
+    corpus (30-50% of docs sit in near-dup clusters), so this is a
+    plain equi-join on doc_id — AQE broadcasts it when the measured
+    size is small and falls back to sort-merge when it isn't. No
+    forced broadcast, no driver-side rows anywhere in the chain.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     labels = minhash_labels(spark, sf_dir).withColumnRenamed(
         "canonical_id", "keeper_id"
     )
-    return docs.join(F.broadcast(labels), "doc_id", "left").select(
+    return docs.join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("keeper_id"), F.col("doc_id")).alias("keeper_id"),
         (F.coalesce(F.col("keeper_id"), F.col("doc_id")) != F.col("doc_id")).alias(

@@ -559,8 +559,14 @@ def multimodal_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         combine = term if combine is None else combine + term
     # six downstream branches (4 band projections + both verify probes)
     # reuse this narrow (doc_id, long) relation — cache it so the gram
-    # explode + 32-vote aggregation runs once, not per branch (Spark's
-    # CacheManager dedupes by canonical plan across calls too)
+    # explode + 32-vote aggregation runs once, not per branch. The
+    # cache is intentionally left persisted (the _doc_shingle_arrays
+    # precedent): the query contract returns a LAZY DataFrame, so there
+    # is no post-action hook to unpersist from, and Spark's
+    # CacheManager dedupes by canonical plan — repeated sweeps/bench
+    # reps in one session re-hit the same O(|docs| * 16B) entry rather
+    # than accumulating new ones (one entry per sf_dir; evictable, and
+    # spark.catalog.clearCache() between sweeps reclaims it).
     sig = v.select("doc_id", combine.cast("long").alias("simhash")).cache()
 
     # band rows CARRY the full signature, so the Hamming verify runs

@@ -1204,6 +1204,16 @@ tot AS (
     SELECT {key}, cohort, CAST(COUNT(*) AS BIGINT) AS n
     FROM bucketed GROUP BY {key}, cohort
 ),
+-- pivoted per-key totals; a key whose rows all land in one cohort
+-- keeps the other cohort's total as 0 (matching the Spark side's
+-- sum over exact per-band counts) instead of being inner-joined away
+tot2 AS (
+    SELECT nb.{key},
+        CAST(COALESCE(MAX(CASE WHEN t.cohort = 'ref' THEN t.n END), 0) AS BIGINT) AS n_ref,
+        CAST(COALESCE(MAX(CASE WHEN t.cohort = 'cur' THEN t.n END), 0) AS BIGINT) AS n_cur
+    FROM nb LEFT JOIN tot t ON nb.{key} = t.{key}
+    GROUP BY nb.{key}
+),
 cnt AS (
     SELECT b.{key}, b.band,
         CAST(COALESCE(SUM(CASE WHEN x.cohort = 'ref' THEN 1 END), 0) AS BIGINT) AS c_ref,
@@ -1215,15 +1225,14 @@ cnt AS (
 terms AS (
     SELECT c.{key},
         round(
-            ((CAST(c.c_ref AS DOUBLE) + 0.5) / (CAST(tr.n AS DOUBLE) + 0.5 * nb.n_bands)
-             - (CAST(c.c_cur AS DOUBLE) + 0.5) / (CAST(tc.n AS DOUBLE) + 0.5 * nb.n_bands))
-            * ln(((CAST(c.c_ref AS DOUBLE) + 0.5) / (CAST(tr.n AS DOUBLE) + 0.5 * nb.n_bands))
-                 / ((CAST(c.c_cur AS DOUBLE) + 0.5) / (CAST(tc.n AS DOUBLE) + 0.5 * nb.n_bands))),
+            ((CAST(c.c_ref AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 0.5 * nb.n_bands)
+             - (CAST(c.c_cur AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 0.5 * nb.n_bands))
+            * ln(((CAST(c.c_ref AS DOUBLE) + 0.5) / (CAST(t.n_ref AS DOUBLE) + 0.5 * nb.n_bands))
+                 / ((CAST(c.c_cur AS DOUBLE) + 0.5) / (CAST(t.n_cur AS DOUBLE) + 0.5 * nb.n_bands))),
             6) AS term
     FROM cnt c
     JOIN nb ON c.{key} = nb.{key}
-    JOIN tot tr ON c.{key} = tr.{key} AND tr.cohort = 'ref'
-    JOIN tot tc ON c.{key} = tc.{key} AND tc.cohort = 'cur'
+    JOIN tot2 t ON c.{key} = t.{key}
 ),
 psi AS (
     SELECT {key},
@@ -1231,15 +1240,14 @@ psi AS (
     FROM terms GROUP BY {key}
 )
 SELECT p.{key},
-    tr.n AS n_ref,
-    tc.n AS n_cur,
+    t.n_ref,
+    t.n_cur,
     nb.n_bands,
     p.psi,
-    p.psi >= {_PSI_ALERT} AS drifted
+    CAST(CASE WHEN p.psi >= {_PSI_ALERT} THEN 1 ELSE 0 END AS BIGINT) AS drifted
 FROM psi p
 JOIN nb ON p.{key} = nb.{key}
-JOIN tot tr ON p.{key} = tr.{key} AND tr.cohort = 'ref'
-JOIN tot tc ON p.{key} = tc.{key} AND tc.cohort = 'cur'
+JOIN tot2 t ON p.{key} = t.{key}
 """
 
 
@@ -1279,7 +1287,7 @@ def psi_report(cnt: DataFrame, key: str) -> DataFrame:
             "n_cur",
             "n_bands",
             "psi",
-            (F.col("psi") >= _PSI_ALERT).alias("drifted"),
+            (F.col("psi") >= _PSI_ALERT).cast("long").alias("drifted"),
         )
     )
 

@@ -2171,7 +2171,7 @@ SELECT doc_id, n_terms,
     round(CAST(sum_milli AS DOUBLE) / (1000.0 * n_terms), 6) AS score,
     round(1.0 / (1.0 + exp(-(CAST(sum_milli AS DOUBLE) / (1000.0 * n_terms)))), 6)
         AS p_keep,
-    sum_milli > 0 AS keep
+    CAST(CASE WHEN sum_milli > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM per_doc
 """
 
@@ -2231,7 +2231,7 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_terms",
         F.round(score, 6).alias("score"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("p_keep"),
-        (F.col("sum_milli") > 0).alias("keep"),
+        (F.col("sum_milli") > 0).cast("long").alias("keep"),
     )
 
 
@@ -2323,8 +2323,13 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin, so the whole 3-round recursion is ONE Catalyst DAG —
     no driver-side model state at all. Merge application is a padded
     string replace (' a b ' -> ' ab '); both engines scan
-    left-to-right non-overlapping, which IS greedy BPE application,
-    and the identical scan rule keeps the corpora bit-equal.
+    left-to-right non-overlapping, and because the replace consumes
+    the shared separator, consecutive occurrences of the winning pair
+    merge only at alternating positions (a deterministic variant of
+    greedy BPE, one merge behind it on runs like 'erer'). The
+    identical scan rule keeps the two engines bit-equal, and
+    test_bpe_merges_match_python_reference pins the rule against an
+    independent pure-Python implementation of the same semantics.
 
     Scale: pair counting runs over the DISTINCT word vocabulary
     weighted by frequency — sublinear in the corpus (the standard BPE
@@ -2349,7 +2354,11 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
     docs = load_documents(spark, sf_dir)
     # vocabulary-sized and consumed by every round's branch (each merge
     # round AND its output row share this lineage): cache it so the
-    # corpus tokenization runs once, not once per downstream branch
+    # corpus tokenization runs once, not once per downstream branch.
+    # Intentionally left persisted (same rationale as the simhash sig
+    # cache in multimodal.py): lazy-DataFrame contract means no
+    # post-action unpersist hook; CacheManager canonical-plan dedup
+    # keeps it to ONE vocabulary-sized entry per sf_dir across sweeps
     words = (
         docs.select(F.explode(tokens("text")).alias("word"))
         .filter(F.length("word") > 0)

@@ -1,0 +1,52 @@
+"""The driver records only the LAST 2000 bytes of bench stdout and
+parses the one JSON line from it. Rounds 2 and 3 lost their payloads to
+this; the compact-line builder now carries a hard budget. These tests
+pin that contract without starting Spark."""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+
+def _line(total, timings, streaming):
+    return bench.build_compact_line(total, timings, 2, streaming, 0.1)
+
+
+def test_compact_line_fits_budget_with_all_headline_queries():
+    timings = {n: 1.234 for n in bench.HEADLINE}
+    line = _line(round(sum(timings.values()), 3), timings, {
+        "replay_rows_per_sec": 245444.1,
+        "microbatch_avg_trigger_ms": 95.6,
+        "microbatch_batches": 12,
+    })
+    assert len(line) <= bench.BUDGET
+    obj = json.loads(line)
+    assert obj["metric"] == "headline_queries_total_wall_clock"
+    assert obj["n_queries"] == len(bench.HEADLINE)
+    # whatever was omitted is accounted for
+    assert len(obj["queries"]) + obj.get("queries_omitted", 0) == len(bench.HEADLINE)
+
+
+def test_compact_line_survives_bloated_streaming_metrics():
+    """If the streaming detail dict grows, the base object alone could
+    blow the budget with zero queries included — the builder must shed
+    detail instead of printing an unparseable line."""
+    timings = {n: 1.234 for n in bench.HEADLINE}
+    bloated = {"replay_rows_per_sec": 245444.1}
+    bloated.update({f"extra_metric_{i}": float(i) * 1.111 for i in range(200)})
+    line = _line(123.456, timings, bloated)
+    assert len(line) <= bench.BUDGET
+    obj = json.loads(line)
+    assert obj["streaming"] == {"replay_rows_per_sec": 245444.1}
+    assert obj["value"] == 123.456
+
+
+def test_headline_names_are_registered():
+    from datafusion_streams_spark.operators import REGISTRY
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert missing == []

@@ -590,9 +590,17 @@ def _brute_signatures(docs):
 def test_bpe_merges_match_python_reference(spark):
     """The registered 3-round BPE must agree with an independent pure-
     Python BPE (dict-of-tuples segmentation, max-count/lexicographic
-    tie-break, greedy left-to-right merge application) on the fixture
-    corpus — guarding against both engines sharing a segmentation or
-    tie-break misunderstanding in the oracle pair."""
+    tie-break, non-overlapping left-to-right merge application) on the
+    fixture corpus — guarding against both engines sharing a
+    segmentation or tie-break misunderstanding in the oracle pair.
+
+    Merge application mirrors the engines' padded string replace
+    (' a b ' -> ' ab '): the replace consumes the shared separator, so
+    the symbol immediately after a merge cannot START the next match —
+    consecutive occurrences of the winning pair merge only at
+    alternating positions. Both engines share this rule bit-for-bit
+    (that is what the oracle pair verifies); this test pins the rule
+    itself against an independent implementation."""
     import re
     from collections import Counter
 
@@ -622,14 +630,23 @@ def test_bpe_merges_match_python_reference(spark):
         expected.append((rnd, f"{a} {b}", a + b, cnt))
         new_seg: dict = {}
         for syms, f in seg.items():
-            merged, i = [], 0
+            # non-overlapping replace semantics: a merge consumes the
+            # separator, so the next symbol cannot start a match
+            merged, i, blocked = [], 0, False
             while i < len(syms):
-                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                if (
+                    not blocked
+                    and i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
                     merged.append(a + b)
                     i += 2
+                    blocked = True
                 else:
                     merged.append(syms[i])
                     i += 1
+                    blocked = False
             key = tuple(merged)
             new_seg[key] = new_seg.get(key, 0) + f
         seg = new_seg
