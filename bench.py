@@ -129,6 +129,7 @@ HEADLINE = [
     "sample_importance_dsir",
     "streaming_drift_psi",
     "text_bpe_fertility",
+    "multimodal_bmp_decode",
 ]
 
 

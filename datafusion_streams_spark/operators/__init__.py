@@ -157,53 +157,104 @@ ROTATED_IN_R4: tuple[str, ...] = (
     "text_seq_dedup",
 )
 
-# Never driver-checked yet — 57 queries, more than one 50-slot window:
-# fill ROTATED_IN_R5 entirely from this list (streaming/stateful and
-# composition queries first — streaming_sessionize_state,
-# streaming_append_watermark, streaming_stream_left_join,
-# streaming_foreachbatch_merge, pipeline_curation_v4, the five r4
-# lifecycle keystones), roll the remainder into r6, and skip keystones
-# in r5 — every family already has a driver-green representative from
-# r1-r4, so never-checked coverage outranks re-verification for one
-# round. All are green in the local oracle sweep:
-#   text_source_contrast, pipeline_curation_v3, join_bucketed,
-#   agg_mode_tiebreak, embedding_norm_audit, events_scd2_compress,
-#   events_markov_transitions, events_cumulative_uniques,
-#   timeseries_gap_fill, events_rfm_segmentation, files_schema_evolution,
-#   events_peak_concurrency, join_interval_overlap, sample_group_split,
-#   text_dataset_card, events_pattern_match, graph_pagerank_transitions,
-#   events_value_trend, text_zipf_fit, sql_lateral_topk,
-#   streaming_sessionize_state, embedding_mrl_recall, files_compaction,
-#   multimodal_image_tiles, agg_correlation, events_seasonality,
-#   events_cohort_ltv, agg_string_concat_ordered, streaming_append_watermark,
-#   join_market_basket, scalar_map_pack, join_null_safe, text_readability,
-#   streaming_foreachbatch_merge, set_ops_all, events_ewma_control,
-#   files_csv_malformed, text_code_detect, agg_skew_kurtosis,
-#   text_line_dedup, streaming_stream_left_join, join_asof_forward,
-#   events_new_vs_returning, pipeline_curation_v4, events_time_to_convert,
-#   agg_grouping_id, window_moving_avg, files_json_nested, agg_min_max_by,
-#   events_inter_arrival, join_point_in_time, text_feature_hashing,
-#   events_error_rate, sample_temperature_rebalance,
-#   pipeline_shard_shuffle, text_perplexity_buckets, join_asof_nearest,
-#   dedup_novelty_curve, embedding_dim_stats, layout_zorder_audit,
-#   agg_weighted_median, dedup_minhash_estimate_error, pipeline_snapshot_diff,
-#   streaming_stream_full_join, join_bloom_prefilter, join_dpp_prune,
-#   agg_heavy_hitters, streaming_dedup_watermark, window_gaps_islands,
-#   agg_hll_mergeable (rows-only), agg_approx_top_k (rows-only),
-#   window_equidepth_buckets, events_audience_overlap, text_collocations_pmi,
-#   join_asof_tolerance, events_anomaly_mad, files_pysink_manifest,
-#   streaming_pysink_manifest, multimodal_dedup_bytes, text_lang_confusion,
-#   streaming_csv_source, events_hysteresis_alerts, timeseries_ohlc_bars,
-#   dedup_bloom_prescreen, sample_poisson_bootstrap, files_avro_roundtrip,
-#   streaming_avro_source, files_merge_on_read, files_time_travel,
-#   agg_bitmap_distinct, agg_bitmap_retention, streaming_bitmap_distinct,
-#   audit_constraints, dedup_sorted_neighborhood, scalar_regexp_pack,
-#   agg_boolean_battery, text_bigram_logprob, agg_linear_fit,
-#   timeseries_resample_interpolate, streaming_multi_source_union,
-#   events_forecast_backtest, pipeline_incremental_curation,
-#   multimodal_simhash_neardup, text_classifier_score, pipeline_drift_psi,
-#   text_bpe_merges, sample_importance_dsir, streaming_drift_psi,
-#   text_bpe_fertility
+# R5 window: 50 slots filled ENTIRELY from the never-driver-checked
+# backlog (109 after r4) plus the one new r5 registration
+# (multimodal_bmp_decode — the real-codec query the r4 verdict asked
+# for). Streaming/stateful first, then the composition suites,
+# sampling, file layouts, runtime filters, dedup, multimodal, then
+# changed-code queries (text_classifier_score / pipeline_drift_psi /
+# streaming_drift_psi / text_bpe_* were re-oracled or type-fixed this
+# round and MUST be driver-checked now). No keystones — every family
+# already has a driver-green representative from r1-r4 — and no
+# rows-only queries (agg_hll_mergeable / agg_approx_top_k stay out so
+# CORRECTNESS_r05 carries zero err rows; their accuracy is
+# pytest-bounded). Registry growth this round: exactly +1.
+ROTATED_IN_R5: tuple[str, ...] = (
+    # streaming / stateful
+    "streaming_sessionize_state",
+    "streaming_append_watermark",
+    "streaming_foreachbatch_merge",
+    "streaming_stream_left_join",
+    "streaming_stream_full_join",
+    "streaming_dedup_watermark",
+    "streaming_csv_source",
+    "streaming_avro_source",
+    "streaming_bitmap_distinct",
+    "streaming_multi_source_union",
+    "streaming_drift_psi",
+    "streaming_pysink_manifest",
+    # composition suites
+    "pipeline_curation_v3",
+    "pipeline_curation_v4",
+    "pipeline_incremental_curation",
+    "pipeline_drift_psi",
+    "pipeline_shard_shuffle",
+    "pipeline_snapshot_diff",
+    # sampling
+    "sample_group_split",
+    "sample_temperature_rebalance",
+    "sample_poisson_bootstrap",
+    "sample_importance_dsir",
+    # file layouts
+    "join_bucketed",
+    "files_merge_on_read",
+    "files_time_travel",
+    "files_avro_roundtrip",
+    "files_schema_evolution",
+    "files_compaction",
+    "files_csv_malformed",
+    "files_json_nested",
+    "layout_zorder_audit",
+    "files_pysink_manifest",
+    # runtime filters
+    "join_bloom_prefilter",
+    "join_dpp_prune",
+    # dedup
+    "dedup_bloom_prescreen",
+    "dedup_sorted_neighborhood",
+    "dedup_novelty_curve",
+    "dedup_minhash_estimate_error",
+    # multimodal (incl. the new real-codec query)
+    "multimodal_image_tiles",
+    "multimodal_dedup_bytes",
+    "multimodal_simhash_neardup",
+    "multimodal_bmp_decode",
+    # changed-code + remaining families
+    "text_classifier_score",
+    "text_bpe_merges",
+    "text_bpe_fertility",
+    "agg_heavy_hitters",
+    "audit_constraints",
+    "agg_bitmap_distinct",
+    "agg_bitmap_retention",
+    "window_gaps_islands",
+)
+
+# Still never driver-checked after the r5 window — 60 queries, the r6
+# queue (50) + a 10-query r7 tail. agg_hll_mergeable / agg_approx_top_k
+# are rows-only by design (sketches, pytest accuracy-bounded) — slot
+# them last. All green in the local oracle sweep:
+#   agg_approx_top_k (rows-only), agg_boolean_battery, agg_correlation,
+#   agg_grouping_id, agg_hll_mergeable (rows-only), agg_linear_fit,
+#   agg_min_max_by, agg_mode_tiebreak, agg_skew_kurtosis,
+#   agg_string_concat_ordered, agg_weighted_median, embedding_dim_stats,
+#   embedding_mrl_recall, embedding_norm_audit, events_anomaly_mad,
+#   events_audience_overlap, events_cohort_ltv, events_cumulative_uniques,
+#   events_error_rate, events_ewma_control, events_forecast_backtest,
+#   events_hysteresis_alerts, events_inter_arrival,
+#   events_markov_transitions, events_new_vs_returning,
+#   events_pattern_match, events_peak_concurrency, events_rfm_segmentation,
+#   events_scd2_compress, events_seasonality, events_time_to_convert,
+#   events_value_trend, graph_pagerank_transitions, join_asof_forward,
+#   join_asof_nearest, join_asof_tolerance, join_interval_overlap,
+#   join_market_basket, join_null_safe, join_point_in_time,
+#   scalar_map_pack, scalar_regexp_pack, set_ops_all, sql_lateral_topk,
+#   text_bigram_logprob, text_code_detect, text_collocations_pmi,
+#   text_dataset_card, text_feature_hashing, text_lang_confusion,
+#   text_line_dedup, text_perplexity_buckets, text_readability,
+#   text_source_contrast, text_zipf_fit, timeseries_gap_fill,
+#   timeseries_ohlc_bars, timeseries_resample_interpolate,
+#   window_equidepth_buckets, window_moving_avg
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never
@@ -262,7 +313,11 @@ KEYSTONES_R3: tuple[str, ...] = (
     "cluster_kmeans_embeddings",
 )
 
-VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R4 + REPAIRED_IN_R4 + KEYSTONES_R4
+# r5: the window is exactly the 50-query rotation — no repaired set
+# (nothing driver-red in r4) and no keystones (coverage debt outranks
+# re-verification until the backlog clears; local pytest still sweeps
+# every oracle each session).
+VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R5
 
 
 def _prioritize() -> None:

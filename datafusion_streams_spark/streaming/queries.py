@@ -583,8 +583,14 @@ def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: state is four longs per ACTIVE user (closed sessions leave
     state immediately via emission), shuffles once on user_id per
-    batch — the canonical keyed-state layout.
+    batch — the canonical keyed-state layout. Within a batch the
+    session breaks are found VECTORIZED (numpy shift-compare + cumsum
+    segment ids, pandas per-segment agg); only the cross-batch carry —
+    a handful of segment summaries per user per batch — runs
+    imperatively, so a hot user's million-event batch costs one numpy
+    pass, not a million interpreted iterations.
     """
+    import numpy as np
     import pandas as pd
 
     def sessionize(key, pdfs, state):
@@ -595,16 +601,30 @@ def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         gap = 30 * 60 * 1_000_000
         out_rows = []
         for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values(["ts_us", "event_id"])
-            for ts_us in pdf["ts_us"].astype("int64"):
-                ts_us = int(ts_us)
-                if last_us is None or ts_us > last_us + gap:
+            ts = pdf["ts_us"].to_numpy("int64")
+            starts = np.empty(len(ts), dtype=bool)
+            starts[0] = last_us is None or ts[0] > last_us + gap
+            starts[1:] = ts[1:] > ts[:-1] + gap
+            # segment 0 (if present) continues the carried-over session
+            seg = np.cumsum(starts)
+            segs = pd.Series(ts).groupby(seg).agg(["count", "min", "max"])
+            for seg_id, cnt, mn, mx in zip(
+                segs.index,
+                segs["count"].to_numpy(),
+                segs["min"].to_numpy(),
+                segs["max"].to_numpy(),
+            ):
+                if seg_id == 0:
+                    n += int(cnt)
+                    last_us = int(mx)
+                else:
                     if last_us is not None:
                         out_rows.append((key[0], seq, n, start_us, last_us))
                     seq += 1
-                    start_us, n = ts_us, 0
-                n += 1
-                last_us = ts_us
+                    start_us, n, last_us = int(mn), int(cnt), int(mx)
         state.update((last_us, seq, start_us, n))
         out_rows.append((key[0], seq, n, start_us, last_us))  # open-session snapshot
         yield pd.DataFrame(

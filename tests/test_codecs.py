@@ -1,0 +1,93 @@
+"""Spec-level tests for the pure-Python BMP codec (no Spark needed)."""
+
+import random
+import struct
+
+import pytest
+
+from datafusion_streams_spark.codecs.bmp import decode_bmp, encode_bmp
+
+
+def _rand_pixels(rng, w, h):
+    return [
+        (rng.randrange(256), rng.randrange(256), rng.randrange(256))
+        for _ in range(w * h)
+    ]
+
+
+def test_roundtrip_all_padding_cases():
+    """widths 1..8 cover every stride padding (3*w mod 4 in 0..3)."""
+    rng = random.Random(42)
+    for w in range(1, 9):
+        for h in (1, 2, 5):
+            px = _rand_pixels(rng, w, h)
+            assert decode_bmp(encode_bmp(w, h, px)) == (w, h, px)
+
+
+def test_handwritten_bmp_pins_the_format():
+    """A byte-level 2x2 image built straight from the public spec:
+    bottom-up rows, BGR order, 2-byte row padding at width 2."""
+    # pixels top-down: (r,g,b) = TL(1,2,3) TR(4,5,6) / BL(7,8,9) BR(10,11,12)
+    stride = 8  # 2*3 rounded up to 4-byte boundary
+    data_offset = 54
+    payload = bytearray(data_offset + stride * 2)
+    struct.pack_into("<2sIHHI", payload, 0, b"BM", len(payload), 0, 0, data_offset)
+    struct.pack_into(
+        "<IiiHHIIiiII", payload, 14, 40, 2, 2, 1, 24, 0, stride * 2, 0, 0, 0, 0
+    )
+    # disk row 0 = image BOTTOM row: BL then BR, as B,G,R
+    payload[data_offset : data_offset + 6] = bytes([9, 8, 7, 12, 11, 10])
+    # disk row 1 = image TOP row
+    payload[data_offset + stride : data_offset + stride + 6] = bytes(
+        [3, 2, 1, 6, 5, 4]
+    )
+    assert decode_bmp(bytes(payload)) == (
+        2,
+        2,
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)],
+    )
+    # the encoder must produce these exact pixel bytes too
+    assert encode_bmp(2, 2, [(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12)])[
+        data_offset:
+    ] == bytes(payload[data_offset:])
+
+
+def test_top_down_negative_height():
+    """height < 0 = top-down row order (part of the public spec the
+    encoder never emits but real files use)."""
+    w, h = 3, 2
+    px = [(i, i + 1, i + 2) for i in range(0, 18, 3)]
+    up = bytearray(encode_bmp(w, h, px))
+    # flip to top-down: negate height, swap the two rows
+    struct.pack_into("<i", up, 22, -h)
+    stride = 12
+    row0 = bytes(up[54 : 54 + stride])
+    row1 = bytes(up[54 + stride : 54 + 2 * stride])
+    up[54 : 54 + stride] = row1
+    up[54 + stride : 54 + 2 * stride] = row0
+    assert decode_bmp(bytes(up)) == (w, h, px)
+
+
+def test_decode_rejects_malformed():
+    good = encode_bmp(2, 2, [(0, 0, 0)] * 4)
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"PK" + good[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(good[:20])
+    with pytest.raises(ValueError, match="pixel array short"):
+        decode_bmp(good[:-4])
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 8)
+    with pytest.raises(ValueError, match="bits-per-pixel"):
+        decode_bmp(bytes(bad_bpp))
+    compressed = bytearray(good)
+    struct.pack_into("<I", compressed, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="compression"):
+        decode_bmp(bytes(compressed))
+
+
+def test_encoder_validates_input():
+    with pytest.raises(ValueError, match="dimensions"):
+        encode_bmp(0, 1, [])
+    with pytest.raises(ValueError, match="expected 4 pixels"):
+        encode_bmp(2, 2, [(0, 0, 0)])
