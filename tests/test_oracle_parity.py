@@ -52,7 +52,6 @@ def test_verified_prefix_is_the_r5_rotation():
     CORRECTNESS row in any prior round, every slot carries a DuckDB
     oracle (zero expected err rows), and no slot wastes itself
     re-verifying a query that is already driver-green."""
-    import glob
     import json
     import os
 
@@ -68,11 +67,15 @@ def test_verified_prefix_is_the_r5_rotation():
     rows_only = [n for n in window if REGISTRY[n].oracle is None]
     assert rows_only == [], rows_only
 
-    # no window slot has ever had a driver CORRECTNESS row
+    # no window slot had a driver CORRECTNESS row in any round BEFORE
+    # this window was staged (r1-r4; r5's own run will of course add
+    # rows for exactly these names — that's the point)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set = set()
-    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
-        checked.update(json.load(open(f)).keys())
+    for r in ("r01", "r02", "r03", "r04"):
+        f = os.path.join(repo, f"CORRECTNESS_{r}.json")
+        if os.path.exists(f):
+            checked.update(json.load(open(f)).keys())
     if checked:  # absent in a bare checkout
         wasted = sorted(set(window) & checked)
         assert wasted == [], f"window slots already driver-checked: {wasted}"
