@@ -163,17 +163,28 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
         best = float("inf")
+        runs: list[float] = []
         for i in range(reps):
             t0 = time.perf_counter()
             spec.fn(spark, SF_DIR).count()
             elapsed = time.perf_counter() - t0
+            runs.append(round(elapsed, 3))
             if i == 0:
                 cold[name] = round(elapsed, 3)
             best = min(best, elapsed)
         timings[name] = round(best, 3)
+        all_reps[name] = runs
+
+    # Post-sweep storage hygiene: a few queries intentionally cache
+    # shared relations (minhash signatures, BPE vocab) with no
+    # unpersist hook; clear them once the sweep is over so the
+    # streaming metrics (and any embedding process) start from clean
+    # executor storage.
+    spark.catalog.clearCache()
 
     streaming = _streaming_metrics(spark)
 
@@ -202,6 +213,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": cold,
+                "queries_all_reps": all_reps,
                 "reps": reps,
                 "streaming": streaming,
                 "sf": sf,
@@ -254,8 +266,21 @@ def build_compact_line(total, timings, reps, streaming, sf) -> str:
             base["queries_omitted"] = len(timings) - len(base["queries"])
             break
         base["queries"] = trial["queries"]
+    # Hard clamp (never assert: a crash prints NO line, and asserts
+    # vanish under -O). Shed fields progressively until the line fits —
+    # everything shed still lives in BENCH_DETAIL.json.
     line = compact(base)
-    assert len(line) <= BUDGET, f"bench line {len(line)}b exceeds {BUDGET}b budget"
+    if len(line) > BUDGET:
+        while base["queries"] and len(compact(base)) > BUDGET:
+            base["queries"].popitem()
+            base["queries_omitted"] = len(timings) - len(base["queries"])
+        if len(compact(base)) > BUDGET:
+            base["streaming"] = {}
+        line = compact(base)
+        if len(line) > BUDGET:  # pathological: keep the metric triple only
+            line = compact(
+                {"metric": base["metric"], "value": total, "unit": "sec", "sf": sf}
+            )
     return line
 
 
@@ -276,6 +301,7 @@ def _streaming_metrics(spark) -> dict:
     # MicroBatchExecution/source-listing setup that a steady-state
     # pipeline amortizes away
     best = float("inf")
+    replay_runs: list[float] = []
     for _ in range(2):
         pipe = kafka_like_stream(spark, SF_DIR).select(
             F.col("key").cast("string").alias("key"),
@@ -283,7 +309,9 @@ def _streaming_metrics(spark) -> dict:
         )
         t0 = time.perf_counter()
         name, _ = run_drain_to_memory(pipe, output_mode="append")
-        best = min(best, time.perf_counter() - t0)
+        elapsed = time.perf_counter() - t0
+        replay_runs.append(round(elapsed, 3))
+        best = min(best, elapsed)
     replay_rows_per_sec = round(n_events / best, 1)
 
     # (c) cadence: rate source, 3 partitions, 200 ms trigger; average
@@ -313,6 +341,7 @@ def _streaming_metrics(spark) -> dict:
     return {
         "events_replay_rows_per_sec": replay_rows_per_sec,
         "events_replayed": n_events,
+        "events_replay_runs_sec": replay_runs,
         "microbatch_avg_trigger_ms": avg_trigger_ms,
         "microbatch_trigger_config_ms": 200,
         "microbatch_batches_observed": len(durations),

@@ -105,6 +105,10 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     if width <= 0 or abs_h <= 0:
         raise ValueError(f"invalid dimensions {width}x{height}")
     stride = _row_stride(width)
+    if data_offset < _FILE_HEADER_SIZE + hdr_size:
+        raise ValueError(
+            f"bad BMP data offset {data_offset}: overlaps the headers"
+        )
     if data_offset + stride * abs_h > len(payload):
         raise ValueError("truncated BMP: pixel array short")
     pixels: list[tuple[int, int, int]] = []

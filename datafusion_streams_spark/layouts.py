@@ -20,19 +20,28 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 from collections.abc import Callable
 
 _LAYOUT_MEMO: dict[tuple[str, str], str] = {}
+_MEMO_LOCK = threading.Lock()
+_KEY_LOCKS: dict[tuple[str, str], threading.Lock] = {}
 
 
 def memoized_layout(sf_dir: str, name: str, build: Callable[[str], None]) -> str:
     """Path to the derived layout `name` for `sf_dir`, building it with
-    `build(path)` exactly once per process."""
+    `build(path)` exactly once per process. Thread-safe: a per-key lock
+    serializes concurrent first calls so exactly one build() runs and
+    no tempdir leaks (the bench/test loops are sequential today, but a
+    parallel query harness must not race the Spark write)."""
     key = (sf_dir, name)
-    path = _LAYOUT_MEMO.get(key)
-    if path is not None and os.path.isdir(path):
+    with _MEMO_LOCK:
+        key_lock = _KEY_LOCKS.setdefault(key, threading.Lock())
+    with key_lock:
+        path = _LAYOUT_MEMO.get(key)
+        if path is not None and os.path.isdir(path):
+            return path
+        path = tempfile.mkdtemp(prefix=f"dfs_{name}_")
+        build(path)
+        _LAYOUT_MEMO[key] = path
         return path
-    path = tempfile.mkdtemp(prefix=f"dfs_{name}_")
-    build(path)
-    _LAYOUT_MEMO[key] = path
-    return path

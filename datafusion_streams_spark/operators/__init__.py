@@ -230,31 +230,84 @@ ROTATED_IN_R5: tuple[str, ...] = (
     "window_gaps_islands",
 )
 
-# Still never driver-checked after the r5 window — 60 queries, the r6
-# queue (50) + a 10-query r7 tail. agg_hll_mergeable / agg_approx_top_k
-# are rows-only by design (sketches, pytest accuracy-bounded) — slot
-# them last. All green in the local oracle sweep:
-#   agg_approx_top_k (rows-only), agg_boolean_battery, agg_correlation,
-#   agg_grouping_id, agg_hll_mergeable (rows-only), agg_linear_fit,
-#   agg_min_max_by, agg_mode_tiebreak, agg_skew_kurtosis,
-#   agg_string_concat_ordered, agg_weighted_median, embedding_dim_stats,
-#   embedding_mrl_recall, embedding_norm_audit, events_anomaly_mad,
-#   events_audience_overlap, events_cohort_ltv, events_cumulative_uniques,
-#   events_error_rate, events_ewma_control, events_forecast_backtest,
-#   events_hysteresis_alerts, events_inter_arrival,
-#   events_markov_transitions, events_new_vs_returning,
-#   events_pattern_match, events_peak_concurrency, events_rfm_segmentation,
-#   events_scd2_compress, events_seasonality, events_time_to_convert,
-#   events_value_trend, graph_pagerank_transitions, join_asof_forward,
-#   join_asof_nearest, join_asof_tolerance, join_interval_overlap,
-#   join_market_basket, join_null_safe, join_point_in_time,
-#   scalar_map_pack, scalar_regexp_pack, set_ops_all, sql_lateral_topk,
-#   text_bigram_logprob, text_code_detect, text_collocations_pmi,
-#   text_dataset_card, text_feature_hashing, text_lang_confusion,
-#   text_line_dedup, text_perplexity_buckets, text_readability,
-#   text_source_contrast, text_zipf_fit, timeseries_gap_fill,
-#   timeseries_ohlc_bars, timeseries_resample_interpolate,
-#   window_equidepth_buckets, window_moving_avg
+# R6 window (r5 verdict item #1): 50 of the 60 still-never-checked
+# queries — the near-final burn-down. The two r6 scale-fixed queries
+# lead (events_peak_concurrency's two-pass distributed prefix sum and
+# events_pattern_match's month-chunked encode land driver-checked, per
+# verdict items #2/#3), then the lifecycle family, timeseries, AS-OF
+# variants, the r4 agg battery, embedding audits, and text governance.
+# Registry growth frozen again (+0 this round). Every slot carries a
+# DuckDB oracle — zero expected err rows.
+ROTATED_IN_R6: tuple[str, ...] = (
+    # scale-fixed this round — must land driver-checked
+    "events_peak_concurrency",
+    "events_pattern_match",
+    # lifecycle family
+    "events_scd2_compress",
+    "events_rfm_segmentation",
+    "events_markov_transitions",
+    "events_cumulative_uniques",
+    "events_new_vs_returning",
+    "events_cohort_ltv",
+    "events_time_to_convert",
+    "events_audience_overlap",
+    "events_value_trend",
+    "events_error_rate",
+    "events_inter_arrival",
+    "events_seasonality",
+    "events_anomaly_mad",
+    "events_ewma_control",
+    "events_hysteresis_alerts",
+    "events_forecast_backtest",
+    "graph_pagerank_transitions",
+    "join_interval_overlap",
+    # timeseries
+    "timeseries_gap_fill",
+    "timeseries_ohlc_bars",
+    "timeseries_resample_interpolate",
+    # temporal AS-OF variants
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "join_point_in_time",
+    "join_market_basket",
+    # r4 agg battery
+    "agg_correlation",
+    "agg_linear_fit",
+    "agg_weighted_median",
+    "agg_skew_kurtosis",
+    "agg_min_max_by",
+    # embedding audits
+    "embedding_dim_stats",
+    "embedding_norm_audit",
+    "embedding_mrl_recall",
+    # text governance / analysis
+    "text_dataset_card",
+    "text_lang_confusion",
+    "text_source_contrast",
+    "text_readability",
+    "text_code_detect",
+    "text_perplexity_buckets",
+    "text_collocations_pmi",
+    "text_zipf_fit",
+    "text_feature_hashing",
+    "text_bigram_logprob",
+    "text_line_dedup",
+    # windows + sql surface
+    "window_moving_avg",
+    "window_equidepth_buckets",
+    "sql_lateral_topk",
+)
+
+# Still never driver-checked after the r6 window — the 10-query r7
+# tail. agg_hll_mergeable / agg_approx_top_k are rows-only by design
+# (sketches, pytest accuracy-bounded) — slot them last in r7, after
+# the 8 oracle-backed leftovers and the re-verification keystones for
+# code changed in r6 (greedy BPE, the BIGINT-boolean sweep):
+#   agg_approx_top_k (rows-only), agg_boolean_battery, agg_grouping_id,
+#   agg_hll_mergeable (rows-only), agg_mode_tiebreak,
+#   agg_string_concat_ordered, join_null_safe, scalar_map_pack,
+#   scalar_regexp_pack, set_ops_all
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never
@@ -313,11 +366,11 @@ KEYSTONES_R3: tuple[str, ...] = (
     "cluster_kmeans_embeddings",
 )
 
-# r5: the window is exactly the 50-query rotation — no repaired set
-# (nothing driver-red in r4) and no keystones (coverage debt outranks
+# r6: the window is exactly the 50-query rotation — no repaired set
+# (nothing driver-red in r5) and no keystones (coverage debt outranks
 # re-verification until the backlog clears; local pytest still sweeps
 # every oracle each session).
-VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R5
+VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R6
 
 
 def _prioritize() -> None:

@@ -484,7 +484,15 @@ def minhash_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed DataFrame (distributed state, not driver rows)."""
     memo = _MINHASH_LABELS_MEMO.get(sf_dir)
     if memo is not None and memo[0] is spark:
-        return memo[1]
+        # localCheckpoint blocks are NOT fault-tolerant: if an executor
+        # died, the stale handle would fail every consumer. Probe one
+        # block (a single-partition take — cheap vs. the fixpoint) and
+        # rebuild on any fetch failure instead of serving a dead handle.
+        try:
+            memo[1].take(1)
+            return memo[1]
+        except Exception:
+            _MINHASH_LABELS_MEMO.pop(sf_dir, None)
     p = minhash_pairs(spark, sf_dir).select("a_id", "b_id")
     labels = min_label_components(p, id_col="doc_id").select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -789,7 +797,7 @@ labels AS (
 )
 SELECT d.doc_id,
        COALESCE(l.canonical_id, d.doc_id) AS keeper_id,
-       COALESCE(l.canonical_id, d.doc_id) <> d.doc_id AS is_dup
+       CAST(COALESCE(l.canonical_id, d.doc_id) <> d.doc_id AS BIGINT) AS is_dup
 FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
 """
 
@@ -817,9 +825,9 @@ def dedup_rewrite_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("keeper_id"), F.col("doc_id")).alias("keeper_id"),
-        (F.coalesce(F.col("keeper_id"), F.col("doc_id")) != F.col("doc_id")).alias(
-            "is_dup"
-        ),
+        (F.coalesce(F.col("keeper_id"), F.col("doc_id")) != F.col("doc_id"))
+        .cast("long")
+        .alias("is_dup"),
     )
 
 

@@ -438,12 +438,17 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     its event log.
 
     Scale: sessionization is the user_id-partitioned window pass; the
-    sweep itself is a prefix sum over a sessions-sized (not
-    events-sized) relation. The single global sweep window is the
-    textbook two-pass distributed prefix sum at extreme scale
-    (per-partition subtotals + broadcast prefix offsets); at any
-    realistic session cardinality the one-task window over +/-1 longs
-    is negligible. All arithmetic is integer microseconds.
+    sweep itself is a TWO-PASS DISTRIBUTED prefix sum over a
+    sessions-sized (not events-sized) relation. Pass 1 runs the
+    running sum inside deterministic range buckets (calendar day — a
+    monotone function of the sort key, so bucket order == sort order
+    and every day's window task runs in parallel); pass 2 computes
+    per-day subtotals on the days-sized relation, turns them into
+    exclusive prefix offsets with a window over that tiny relation,
+    and broadcast-joins the offset back. No single-task
+    events/sessions-sized Window remains in the plan (asserted in
+    tests/test_plans.py); the only global sort is over O(days) rows.
+    All arithmetic is integer microseconds.
     """
     ev = load_events_us(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -468,16 +473,33 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.select(
             "user_id", "session_seq", F.col("s_end_us").alias("ts_us"), F.lit(-1).alias("delta")
         )
+    ).withColumn(
+        "day", F.date_format(F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd")
     )
-    wsweep = Window.orderBy(
+    # Pass 1: running sum WITHIN each day (day is monotone in ts_us, so
+    # per-day local order concatenated in day order == the global sweep
+    # order; starts sort before ends at the same instant).
+    wlocal = Window.partitionBy("day").orderBy(
         "ts_us", F.desc("delta"), "user_id", "session_seq"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    swept = deltas.select(
-        "ts_us", "delta", F.sum("delta").over(wsweep).alias("concurrency")
+    local = deltas.select(
+        "day", "delta", F.sum("delta").over(wlocal).alias("local_run")
     )
-    return swept.groupBy(
-        F.date_format(F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd").alias("day")
-    ).agg(
+    # Pass 2: exclusive prefix offsets over the days-sized subtotal
+    # relation (the only global-ordered window — O(days) rows).
+    woff = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        deltas.groupBy("day")
+        .agg(F.sum("delta").alias("day_total"))
+        .select(
+            "day",
+            F.coalesce(F.sum("day_total").over(woff), F.lit(0)).alias("day_offset"),
+        )
+    )
+    swept = local.join(F.broadcast(offsets), "day").select(
+        "day", "delta", (F.col("local_run") + F.col("day_offset")).alias("concurrency")
+    )
+    return swept.groupBy("day").agg(
         F.max("concurrency").cast("long").alias("peak_concurrency"),
         F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
         .cast("long")
@@ -627,33 +649,69 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     each user's ordered history as a compact symbol string and
     counting non-overlapping motif occurrences via replace()).
 
-    Scale: one shuffle on user_id; the per-user encode is
-    collect_list bounded by the user's own event count (human-scale —
-    for machine actors with unbounded histories, pre-chunk by month
-    and overlap chunks by |pattern|-1 symbols, same contract), and
-    array_sort on (ts_us, event_id) makes the collected order
-    deterministic under any partitioning.
+    Scale: one shuffle on (user_id, month); the per-group encode is
+    collect_list bounded by a user's events WITHIN ONE MONTH, never
+    their full history — machine actors with unbounded histories can't
+    produce a giant row (property-tested with a 10^6-event single user
+    in tests/test_scale_behaviors.py). Chunks overlap by
+    |pattern|-1 = 2 carry symbols (the tail of the previous <=2
+    chunks, a lag window over the months-sized chunk relation), so
+    every cross-boundary occurrence is counted exactly once: "vcp"
+    has no self-overlap, so occurrence count == the non-overlapping
+    replace() count, and each occurrence is attributed to the chunk
+    holding its final symbol (the carry is < |pattern| long, so no
+    occurrence fits inside it). array_sort on (ts_us, event_id) makes
+    the collected order deterministic under any partitioning.
     """
     ev = load_events_us(spark, sf_dir)
-    seqs = ev.select(
-        "user_id", "ts_us", "event_id", F.substring("event_type", 1, 1).alias("sym")
-    ).groupBy("user_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "sym"))),
-                lambda x: x["sym"],
-            ),
-            "",
-        ).alias("seq")
+    chunks = (
+        ev.select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("sym"),
+            F.date_format(F.timestamp_micros("ts_us"), "yyyy-MM").alias("month"),
+        )
+        .groupBy("user_id", "month")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "sym"))),
+                    lambda x: x["sym"],
+                ),
+                "",
+            ).alias("chunk")
+        )
     )
-    n_matches = (
-        F.length("seq") - F.length(F.replace(F.col("seq"), F.lit(_PATTERN), F.lit("")))
-    ) / 3
-    return seqs.select(
+    # Carry the last |pattern|-1 symbols of the preceding history into
+    # each chunk. Chunks are non-empty, so the previous two suffice to
+    # reconstruct the 2-symbol tail even when the previous chunk is a
+    # single symbol; the lag window runs over months-per-user rows.
+    wmonth = Window.partitionBy("user_id").orderBy("month")
+    carry = F.right(
+        F.concat(
+            F.coalesce(F.lag("chunk", 2).over(wmonth), F.lit("")),
+            F.coalesce(F.lag("chunk", 1).over(wmonth), F.lit("")),
+        ),
+        F.lit(len(_PATTERN) - 1),
+    )
+    ext = F.concat(carry, F.col("chunk"))
+    per_chunk = chunks.select(
         "user_id",
-        F.length("seq").cast("long").alias("seq_len"),
-        n_matches.cast("long").alias("n_patterns"),
-    ).filter(F.col("n_patterns") > 0)
+        F.length("chunk").alias("chunk_len"),
+        (
+            (F.length(ext) - F.length(F.replace(ext, F.lit(_PATTERN), F.lit(""))))
+            / len(_PATTERN)
+        ).alias("chunk_matches"),
+    )
+    return (
+        per_chunk.groupBy("user_id")
+        .agg(
+            F.sum("chunk_len").cast("long").alias("seq_len"),
+            F.sum("chunk_matches").cast("long").alias("n_patterns"),
+        )
+        .filter(F.col("n_patterns") > 0)
+    )
 
 
 # ---------------------------------------------------------------------------

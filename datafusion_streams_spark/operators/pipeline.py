@@ -184,10 +184,10 @@ base AS (
 )
 SELECT b.doc_id, b.lang, b.n_tokens
 FROM base b
-JOIN rep ON b.doc_id = rep.doc_id AND rep.keep
+JOIN rep ON b.doc_id = rep.doc_id AND rep.keep = 1
 LEFT JOIN cont ON b.doc_id = cont.doc_id
 LEFT JOIN dupes d ON b.doc_id = d.doc_id
-WHERE (cont.doc_id IS NULL OR NOT cont.contaminated)
+WHERE (cont.doc_id IS NULL OR cont.contaminated = 0)
   AND d.doc_id IS NULL
   AND b.n_tokens >= 30
   AND (strpos('0123456789abcdef', substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1)) - 1)
@@ -218,10 +218,14 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    keep = text_repetition_filter(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    keep = (
+        text_repetition_filter(spark, sf_dir)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
     cont = (
         text_contamination(spark, sf_dir)
-        .filter(F.col("contaminated"))
+        .filter(F.col("contaminated") == 1)
         .select("doc_id")
     )
     dupes = (
@@ -493,7 +497,7 @@ def _curation_v3_oracle() -> str:
 
     return f"""
 WITH g AS (
-    SELECT doc_id FROM ({_GOPHER_ORACLE}) WHERE gopher_pass
+    SELECT doc_id FROM ({_GOPHER_ORACLE}) WHERE gopher_pass = 1
 ),
 s AS (
     SELECT doc_id FROM ({_SEQ_DEDUP_ORACLE})
@@ -545,7 +549,7 @@ def pipeline_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_streams_spark.operators.text import text_gopher_rules, text_seq_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    g = text_gopher_rules(spark, sf_dir).filter(F.col("gopher_pass")).select("doc_id")
+    g = text_gopher_rules(spark, sf_dir).filter(F.col("gopher_pass") == 1).select("doc_id")
     s = text_seq_dedup(spark, sf_dir).filter(
         F.col("tokens_removed") * 2 <= F.col("tokens_kept") + F.col("tokens_removed")
     ).select("doc_id")
@@ -1457,22 +1461,20 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("c_t"),
         F.sum(F.when(is_t, 0).otherwise(1)).cast("long").alias("c_s"),
     )
-    n_t, n_s = cnt.agg(F.sum("c_t"), F.sum("c_s")).collect()[0]
+    tots = cnt.agg(
+        (F.sum("c_t") + F.lit(_DSIR_DIM)).cast("double").alias("z_t"),
+        (F.sum("c_s") + F.lit(_DSIR_DIM)).cast("double").alias("z_s"),
+    )
     buckets = spark.range(_DSIR_DIM).select(F.col("id").cast("long").alias("bucket"))
     lr = (
         buckets.join(cnt, "bucket", "left")
         .na.fill(0, ["c_t", "c_s"])
+        .crossJoin(F.broadcast(tots))
         .select(
             "bucket",
             F.round(
-                F.log(
-                    (F.col("c_t").cast("double") + F.lit(1.0))
-                    / F.lit(float(n_t + _DSIR_DIM))
-                )
-                - F.log(
-                    (F.col("c_s").cast("double") + F.lit(1.0))
-                    / F.lit(float(n_s + _DSIR_DIM))
-                ),
+                F.log((F.col("c_t").cast("double") + F.lit(1.0)) / F.col("z_t"))
+                - F.log((F.col("c_s").cast("double") + F.lit(1.0)) / F.col("z_s")),
                 6,
             ).alias("lr"),
         )

@@ -1032,8 +1032,8 @@ j AS (
     FROM ev FULL OUTER JOIN customer c ON ev.user_id = c.c_custkey
 )
 SELECT
-    (n_events IS NOT NULL) AS has_events,
-    (c_acctbal IS NOT NULL) AS has_customer,
+    CAST(n_events IS NOT NULL AS BIGINT) AS has_events,
+    CAST(c_acctbal IS NOT NULL AS BIGINT) AS has_customer,
     CAST(COUNT(*) AS BIGINT) AS n_entities,
     CAST(COALESCE(SUM(n_events), 0) AS BIGINT) AS total_events,
     CAST(SUM(CAST(COALESCE(c_acctbal, 0) AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
@@ -1062,8 +1062,8 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.join(c, ev["user_id"] == c["c_custkey"], "full_outer")
     return (
         j.groupBy(
-            F.col("n_events").isNotNull().alias("has_events"),
-            F.col("c_acctbal").isNotNull().alias("has_customer"),
+            F.col("n_events").isNotNull().cast("long").alias("has_events"),
+            F.col("c_acctbal").isNotNull().cast("long").alias("has_customer"),
         )
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_entities"),

@@ -1035,7 +1035,7 @@ stats AS (
     FROM nrm
 )
 SELECT nrm.vec_id, nrm.l2,
-    (nrm.l2 < stats.mean_l2 * 0.5 OR nrm.l2 > stats.mean_l2 * 2.0) AS is_outlier
+    CAST(nrm.l2 < stats.mean_l2 * 0.5 OR nrm.l2 > stats.mean_l2 * 2.0 AS BIGINT) AS is_outlier
 FROM nrm CROSS JOIN stats
 """
 
@@ -1051,8 +1051,10 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Float parity: the norm is the strict left-to-right dot fold
     (functions.dot discipline) rounded to 6 dp; the corpus mean
-    accumulates exact integer micros. One map pass + one scalar
-    aggregate broadcast back — no shuffle of the corpus at any scale.
+    accumulates exact integer micros. One map pass + the 1-row stats
+    aggregate broadcast back lazily (crossJoin(F.broadcast(...)), no
+    driver collect) — single Catalyst DAG, no shuffle of the corpus
+    at any scale.
     """
     from datafusion_streams_spark.functions import dot
 
@@ -1062,22 +1064,21 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = e.select(
         "vec_id", F.round(F.sqrt(dot(F.col("v"), F.col("v"))), 6).alias("l2")
     )
-    srow = nrm.agg(
-        F.count(F.lit(1)).alias("n"),
+    stats = nrm.agg(
         F.round(
             F.sum(F.round(F.col("l2") * 1000000, 0).cast("long")).cast("double")
             / 1000000
             / F.count(F.lit(1)),
             6,
         ).alias("mean_l2"),
-    ).collect()[0]
-    mean_l2 = float(srow["mean_l2"])
-    return nrm.select(
+    )
+    return nrm.crossJoin(F.broadcast(stats)).select(
         "vec_id",
         "l2",
         (
-            (F.col("l2") < F.lit(mean_l2) * 0.5) | (F.col("l2") > F.lit(mean_l2) * 2.0)
-        ).alias("is_outlier"),
+            (F.col("l2") < F.col("mean_l2") * 0.5)
+            | (F.col("l2") > F.col("mean_l2") * 2.0)
+        ).cast("long").alias("is_outlier"),
     )
 
 

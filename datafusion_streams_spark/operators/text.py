@@ -538,11 +538,11 @@ SELECT base.doc_id, n_tokens,
     CASE WHEN coalesce(total_tg, 0) > 0
          THEN CAST(dup_tg AS DOUBLE) / total_tg ELSE 0.0 END AS dup_trigram_frac,
     1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
-    (CASE WHEN coalesce(total_bg, 0) > 0
+    CAST((CASE WHEN coalesce(total_bg, 0) > 0
           THEN CAST(top_bg AS DOUBLE) / total_bg ELSE 0.0 END) <= {TOP_BIGRAM_FRAC_MAX}
       AND (CASE WHEN coalesce(total_tg, 0) > 0
                 THEN CAST(dup_tg AS DOUBLE) / total_tg ELSE 0.0 END) <= {DUP_TRIGRAM_FRAC_MAX}
-      AS keep
+      AS BIGINT) AS keep
 FROM base
 LEFT JOIN bga ON base.doc_id = bga.doc_id
 LEFT JOIN tga ON base.doc_id = tga.doc_id
@@ -616,7 +616,7 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (top_bigram_frac <= TOP_BIGRAM_FRAC_MAX)
                 & (dup_trigram_frac <= DUP_TRIGRAM_FRAC_MAX)
-            ).alias("keep"),
+            ).cast("long").alias("keep"),
         )
     )
 
@@ -659,7 +659,7 @@ SELECT totals.doc_id,
     CAST(n_grams AS BIGINT) AS n_grams,
     CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
     CAST(coalesce(n_hits, 0) AS DOUBLE) / n_grams AS contamination_frac,
-    coalesce(n_hits, 0) > 0 AS contaminated
+    CAST(coalesce(n_hits, 0) > 0 AS BIGINT) AS contaminated
 FROM totals LEFT JOIN hits ON totals.doc_id = hits.doc_id
 """
 
@@ -700,7 +700,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_grams")).alias(
             "contamination_frac"
         ),
-        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).cast("long").alias("contaminated"),
     )
 
 
@@ -803,14 +803,21 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating cast would disagree between engines by one unit — so
     both sides compute round(nll*1e6, 0) before the integer cast.
     One final double division + round. Two shuffles (term counts,
-    doc_id reduce) + one broadcast of the unigram table.
+    doc_id reduce) + one broadcast of the unigram table; the corpus
+    total rides along as a lazy 1-row broadcast (no driver collect),
+    keeping the whole query one Catalyst DAG.
     """
     docs = load_documents(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    n_total = uni.agg(F.sum("n")).collect()[0][0]
-    nll = F.round(-F.log(F.col("n").cast("double") / F.lit(float(n_total))), 6)
-    scored = tok.join(F.broadcast(uni.select("term", nll.alias("nll"))), "term")
+    tot = uni.agg(F.sum("n").cast("double").alias("n_total"))
+    nll = F.round(-F.log(F.col("n").cast("double") / F.col("n_total")), 6)
+    scored = tok.join(
+        F.broadcast(
+            uni.crossJoin(F.broadcast(tot)).select("term", nll.alias("nll"))
+        ),
+        "term",
+    )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(
@@ -852,18 +859,18 @@ m AS (
 )
 SELECT doc_id, n_words,
     CAST(word_chars AS DOUBLE) / n_words AS mean_word_len,
-    (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS ok_word_count,
-    (CAST(word_chars AS DOUBLE) / n_words >= {GOPHER_MIN_MEAN_LEN}
-     AND CAST(word_chars AS DOUBLE) / n_words <= {GOPHER_MAX_MEAN_LEN}) AS ok_mean_len,
-    (CAST(n_hash + n_ellipsis AS DOUBLE) / n_words <= {GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbols,
-    (CAST(n_alpha_words AS DOUBLE) / n_words >= {GOPHER_MIN_ALPHA_FRAC}) AS ok_alpha,
-    (n_stop >= {GOPHER_MIN_STOPWORDS}) AS ok_stopwords,
-    (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+    CAST(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} AS BIGINT) AS ok_word_count,
+    CAST(CAST(word_chars AS DOUBLE) / n_words >= {GOPHER_MIN_MEAN_LEN}
+     AND CAST(word_chars AS DOUBLE) / n_words <= {GOPHER_MAX_MEAN_LEN} AS BIGINT) AS ok_mean_len,
+    CAST(CAST(n_hash + n_ellipsis AS DOUBLE) / n_words <= {GOPHER_MAX_SYMBOL_RATIO} AS BIGINT) AS ok_symbols,
+    CAST(CAST(n_alpha_words AS DOUBLE) / n_words >= {GOPHER_MIN_ALPHA_FRAC} AS BIGINT) AS ok_alpha,
+    CAST(n_stop >= {GOPHER_MIN_STOPWORDS} AS BIGINT) AS ok_stopwords,
+    CAST(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
      AND CAST(word_chars AS DOUBLE) / n_words >= {GOPHER_MIN_MEAN_LEN}
      AND CAST(word_chars AS DOUBLE) / n_words <= {GOPHER_MAX_MEAN_LEN}
      AND CAST(n_hash + n_ellipsis AS DOUBLE) / n_words <= {GOPHER_MAX_SYMBOL_RATIO}
      AND CAST(n_alpha_words AS DOUBLE) / n_words >= {GOPHER_MIN_ALPHA_FRAC}
-     AND n_stop >= {GOPHER_MIN_STOPWORDS}) AS gopher_pass
+     AND n_stop >= {GOPHER_MIN_STOPWORDS} AS BIGINT) AS gopher_pass
 FROM m
 """
 
@@ -923,12 +930,14 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_words",
         mean_len.alias("mean_word_len"),
-        ok_words.alias("ok_word_count"),
-        ok_mean.alias("ok_mean_len"),
-        ok_sym.alias("ok_symbols"),
-        ok_alpha.alias("ok_alpha"),
-        ok_stop.alias("ok_stopwords"),
-        (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop).alias("gopher_pass"),
+        ok_words.cast("long").alias("ok_word_count"),
+        ok_mean.cast("long").alias("ok_mean_len"),
+        ok_sym.cast("long").alias("ok_symbols"),
+        ok_alpha.cast("long").alias("ok_alpha"),
+        ok_stop.cast("long").alias("ok_stopwords"),
+        (ok_words & ok_mean & ok_sym & ok_alpha & ok_stop)
+        .cast("long")
+        .alias("gopher_pass"),
     )
 
 
@@ -977,15 +986,15 @@ def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
-    corpus_tokens = per_doc.agg(F.sum("n_tokens")).collect()[0][0]
-    return cells.select(
+    tot = per_doc.agg(F.sum("n_tokens").cast("double").alias("corpus_tokens"))
+    return cells.crossJoin(F.broadcast(tot)).select(
         "lang",
         "source",
         "n_docs",
         "total_tokens",
         "total_chars",
         F.round(
-            F.col("total_tokens").cast("double") / F.lit(float(corpus_tokens)), 6
+            F.col("total_tokens").cast("double") / F.col("corpus_tokens"), 6
         ).alias("token_share"),
     )
 
@@ -1077,28 +1086,41 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    n_docs, sum_dl = dl.agg(F.count(F.lit(1)), F.sum("dl")).collect()[0]
-    avgdl = sum_dl / n_docs  # int/int true division == SQL DOUBLE division
+    # corpus stats ride along as a lazy 1-row broadcast (no driver
+    # collect): sum_dl/n_docs is the same long/long -> DOUBLE IEEE
+    # division the python true-division produced before
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
     tf = (
         tok.filter(F.col("term").isin(*BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    idf = tf.groupBy("term").agg(
-        F.log(
-            F.lit(1.0)
-            + (F.lit(n_docs) - F.countDistinct("doc_id") + F.lit(0.5))
-            / (F.countDistinct("doc_id") + F.lit(0.5))
-        ).alias("idf")
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("idf"),
+        )
     )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     sat = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
         F.col("tf")
         + F.lit(BM25_K1)
-        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
     )
     contrib = (
         tf.join(F.broadcast(idf), "term")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .select("doc_id", F.round(F.col("idf") * sat, 6).alias("c"))
     )
     scored = contrib.groupBy("doc_id").agg(
@@ -2099,10 +2121,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     )
-    vocab = float(
+    voc = (
         docs.select(F.explode(tokens("text")).alias("t"))
-        .agg(F.countDistinct("t"))
-        .collect()[0][0]
+        .agg(F.countDistinct("t").cast("double").alias("vocab"))
     )
     c12 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("n12"))
     pref = (
@@ -2112,12 +2133,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lm = c12.join(
         pref, F.substring_index(c12["bg"], " ", 1) == pref["w1"]
-    ).select(
+    ).crossJoin(F.broadcast(voc)).select(
         "bg",
         F.round(
             -F.log(
                 (F.col("n12").cast("double") + F.lit(0.5))
-                / (F.col("n1").cast("double") + F.lit(0.5) * F.lit(vocab))
+                / (F.col("n1").cast("double") + F.lit(0.5) * F.col("vocab"))
             ),
             6,
         ).alias("nll"),
@@ -2245,7 +2266,12 @@ _BPE_ROUNDS = 3
 def _bpe_round_sql(r: int) -> str:
     """One unrolled BPE round: pair counts from seg{r-1}, best pair
     b{r} (max count, ties to the lexicographically first pair), and
-    the re-segmented corpus seg{r}."""
+    the re-segmented corpus seg{r}. Every symbol is wrapped in its own
+    spaces (tokens joined by TWO spaces), so a single left-to-right
+    replace() of ' x  y ' with ' xy ' IS canonical greedy
+    non-overlapping merge application: disjoint adjacent occurrences
+    share no characters (each owns its padding), and overlapping
+    self-pair runs resolve left-to-right exactly as Sennrich BPE does."""
     prev = f"seg{r - 1}"
     return f"""
 p{r} AS (
@@ -2253,8 +2279,8 @@ p{r} AS (
     FROM (
         SELECT f,
             UNNEST(list_transform(
-                range(1, len(str_split(trim(sym), ' '))),
-                i -> str_split(trim(sym), ' ')[i] || ' ' || str_split(trim(sym), ' ')[i + 1]
+                range(1, len(str_split(trim(sym), '  '))),
+                i -> str_split(trim(sym), '  ')[i] || ' ' || str_split(trim(sym), '  ')[i + 1]
             )) AS pair
         FROM {prev}
     ) GROUP BY pair
@@ -2263,7 +2289,7 @@ b{r} AS (SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1),
 seg{r} AS (
     SELECT word, f,
         replace(sym,
-            ' ' || (SELECT pair FROM b{r}) || ' ',
+            ' ' || replace((SELECT pair FROM b{r}), ' ', '  ') || ' ',
             ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' ') AS sym
     FROM {prev}
 )"""
@@ -2282,7 +2308,7 @@ WITH words AS (
 seg0 AS (
     SELECT word, f,
         ' ' || array_to_string(
-            list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)), ' '
+            list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)), '  '
         ) || ' ' AS sym
     FROM words
 ),"""
@@ -2296,7 +2322,7 @@ seg0 AS (
 
 
 def _bpe_adjacent_pairs(sym: Column) -> Column:
-    syms = F.split(F.trim(sym), " ")
+    syms = F.split(F.trim(sym), "  ")
     return F.when(
         F.size(syms) >= 2,
         F.transform(
@@ -2322,14 +2348,14 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back into the next round's re-segmentation via
     crossJoin, so the whole 3-round recursion is ONE Catalyst DAG —
     no driver-side model state at all. Merge application is a padded
-    string replace (' a b ' -> ' ab '); both engines scan
-    left-to-right non-overlapping, and because the replace consumes
-    the shared separator, consecutive occurrences of the winning pair
-    merge only at alternating positions (a deterministic variant of
-    greedy BPE, one merge behind it on runs like 'erer'). The
-    identical scan rule keeps the two engines bit-equal, and
-    test_bpe_merges_match_python_reference pins the rule against an
-    independent pure-Python implementation of the same semantics.
+    string replace with every symbol wrapped in its OWN spaces
+    (' a  b ' -> ' ab ', tokens joined by two spaces): disjoint
+    adjacent occurrences share no characters, so one left-to-right
+    non-overlapping replace — identical in both engines — is exactly
+    canonical greedy (Sennrich) merge application, including
+    self-pair runs like 'a a a' -> 'aa a'.
+    test_bpe_merges_match_python_reference pins the semantics against
+    an independent pure-Python canonical-greedy implementation.
 
     Scale: pair counting runs over the DISTINCT word vocabulary
     weighted by frequency — sublinear in the corpus (the standard BPE
@@ -2376,7 +2402,7 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
                     F.sequence(F.lit(1), F.length("word")),
                     lambda i: F.substring(F.col("word"), i, F.lit(1)),
                 ),
-                " ",
+                "  ",
             ),
             F.lit(" "),
         ).alias("sym"),
@@ -2406,7 +2432,9 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
             "f",
             F.replace(
                 F.col("sym"),
-                F.concat(F.lit(" "), bp, F.lit(" ")),
+                F.concat(
+                    F.lit(" "), F.replace(bp, F.lit(" "), F.lit("  ")), F.lit(" ")
+                ),
                 F.concat(
                     F.lit(" "), F.replace(bp, F.lit(" "), F.lit("")), F.lit(" ")
                 ),
@@ -2432,14 +2460,14 @@ words AS (
 seg0 AS (
     SELECT word, f,
         ' ' || array_to_string(
-            list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)), ' '
+            list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)), '  '
         ) || ' ' AS sym
     FROM words
 ),"""
     + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
     + f""",
 fin AS (
-    SELECT word, CAST(len(str_split(trim(sym), ' ')) AS BIGINT) AS n_sym
+    SELECT word, CAST(len(str_split(trim(sym), '  ')) AS BIGINT) AS n_sym
     FROM seg{_BPE_ROUNDS}
 )
 SELECT l.lang,
@@ -2484,7 +2512,7 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, seg = _bpe_chain(spark, sf_dir)
     fin = seg.select(
         "word",
-        F.size(F.split(F.trim(F.col("sym")), " ")).cast("long").alias("n_sym"),
+        F.size(F.split(F.trim(F.col("sym")), "  ")).cast("long").alias("n_sym"),
     )
     docs = load_documents(spark, sf_dir)
     lw = (

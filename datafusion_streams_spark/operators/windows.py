@@ -696,7 +696,7 @@ SELECT user_id, event_id, ts,
         PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
     ) AS BIGINT) AS session_seq,
-    CAST(is_start AS BOOLEAN) AS is_session_start
+    CAST(is_start AS BIGINT) AS is_session_start
 FROM flagged
 """
 
@@ -734,7 +734,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         F.sum("is_start").over(wsum).cast("long").alias("session_seq"),
-        F.col("is_start").cast("boolean").alias("is_session_start"),
+        F.col("is_start").cast("long").alias("is_session_start"),
     )
 
 

@@ -84,6 +84,13 @@ def test_decode_rejects_malformed():
     struct.pack_into("<I", compressed, 30, 1)  # BI_RLE8
     with pytest.raises(ValueError, match="compression"):
         decode_bmp(bytes(compressed))
+    # data_offset pointing INSIDE the headers must raise, not silently
+    # decode header bytes as pixels (the payload is long enough that
+    # only the lower-bound check can catch it)
+    bad_off = bytearray(good + b"\x00" * 64)
+    struct.pack_into("<I", bad_off, 10, 0)
+    with pytest.raises(ValueError, match="data offset"):
+        decode_bmp(bytes(bad_off))
 
 
 def test_encoder_validates_input():

@@ -45,21 +45,23 @@ def test_registry_complete():
     assert set(o) <= set(q)
 
 
-def test_verified_prefix_is_the_r5_rotation():
+def test_verified_prefix_is_the_r6_rotation():
     """The driver hard-verifies only the first 50 registry slots. The
-    round-5 window (round-4 verdict item #1) burns down the
+    round-6 window (round-5 verdict item #1) nearly closes the
     never-driver-checked backlog: all 50 slots are queries with no
     CORRECTNESS row in any prior round, every slot carries a DuckDB
-    oracle (zero expected err rows), and no slot wastes itself
-    re-verifying a query that is already driver-green."""
+    oracle (zero expected err rows), no slot wastes itself
+    re-verifying a query that is already driver-green, and the two
+    r6 scale-fixed queries lead so their fixes land driver-checked."""
     import json
     import os
 
-    from datafusion_streams_spark.operators import ROTATED_IN_R5, VERIFIED_FIRST
+    from datafusion_streams_spark.operators import ROTATED_IN_R6, VERIFIED_FIRST
 
     names = list(REGISTRY)
     assert len(VERIFIED_FIRST) == 50
-    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R5)
+    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R6)
+    assert names[:2] == ["events_peak_concurrency", "events_pattern_match"]
 
     window = names[:50]
     # every window slot is hash-checkable — no rows-only queries burn a
@@ -68,11 +70,11 @@ def test_verified_prefix_is_the_r5_rotation():
     assert rows_only == [], rows_only
 
     # no window slot had a driver CORRECTNESS row in any round BEFORE
-    # this window was staged (r1-r4; r5's own run will of course add
+    # this window was staged (r1-r5; r6's own run will of course add
     # rows for exactly these names — that's the point)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set = set()
-    for r in ("r01", "r02", "r03", "r04"):
+    for r in ("r01", "r02", "r03", "r04", "r05"):
         f = os.path.join(repo, f"CORRECTNESS_{r}.json")
         if os.path.exists(f):
             checked.update(json.load(open(f)).keys())
@@ -130,3 +132,24 @@ def test_approx_percentile_accuracy(spark, duck):
         a50, a90 = approx[k]
         assert abs(a50 - e50) <= 0.01 * e50, (k, a50, e50)
         assert abs(a90 - e90) <= 0.01 * e90, (k, a90, e90)
+
+
+def test_no_boolean_output_columns(spark):
+    """Repo convention (r5 verdict item #5): no registered query may
+    emit a top-level BooleanType column — booleans are cast to BIGINT
+    on both engines so a future hash-normalization change can never
+    flip a green query red over bool representation. Schema-only: the
+    DataFrames are built, never executed."""
+    from pyspark.sql.types import BooleanType
+
+    offenders = []
+    for name, spec in REGISTRY.items():
+        try:
+            schema = spec.fn(spark, SF_DIR).schema
+        except Exception:
+            continue  # streaming-only shapes raise on plain build; the
+            # parity sweep covers their executed schemas
+        for f in schema.fields:
+            if isinstance(f.dataType, BooleanType):
+                offenders.append(f"{name}.{f.name}")
+    assert offenders == [], offenders

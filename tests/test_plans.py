@@ -245,3 +245,24 @@ def test_round4_closing_batch_plan_shapes(spark):
     # section; the fused plan prints 13 Exchange mentions today — the
     # materialized-candidate shape it guards against printed 17+
     assert plan.count("Exchange") <= 14, f"band join plan grew:\n{plan}"
+
+
+def test_peak_concurrency_sweep_is_distributed(spark):
+    """The r5 verdict's remaining scale item: the sweep-line prefix sum
+    must be the two-pass distributed form. Every unpartitioned Window
+    spec in the plan may order only by `day` (the O(days) offsets
+    relation); a global Window over the sessions-sized delta stream
+    (ordered by ts_us) would be a single-task sort at 100 TB."""
+    import re
+
+    plan = formatted_plan(REGISTRY["events_peak_concurrency"].fn(spark, SF_DIR))
+    global_specs = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = m.group(1).split(",")[0]
+        if " ASC" in first or " DESC" in first:  # no partition column
+            global_specs.append(m.group(1))
+    assert global_specs, "expected the days-sized offsets window"
+    for spec in global_specs:
+        assert spec.split(",")[0].lstrip().startswith("day#"), (
+            f"global window over a non-days relation:\n{spec}"
+        )

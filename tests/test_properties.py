@@ -589,18 +589,17 @@ def _brute_signatures(docs):
 
 def test_bpe_merges_match_python_reference(spark):
     """The registered 3-round BPE must agree with an independent pure-
-    Python BPE (dict-of-tuples segmentation, max-count/lexicographic
-    tie-break, non-overlapping left-to-right merge application) on the
-    fixture corpus — guarding against both engines sharing a
-    segmentation or tie-break misunderstanding in the oracle pair.
+    Python CANONICAL GREEDY BPE (Sennrich et al.: dict-of-tuples
+    segmentation, max-count/lexicographic tie-break, left-to-right
+    non-overlapping merge application) on the fixture corpus —
+    guarding against both engines sharing a segmentation or tie-break
+    misunderstanding in the oracle pair.
 
-    Merge application mirrors the engines' padded string replace
-    (' a b ' -> ' ab '): the replace consumes the shared separator, so
-    the symbol immediately after a merge cannot START the next match —
-    consecutive occurrences of the winning pair merge only at
-    alternating positions. Both engines share this rule bit-for-bit
-    (that is what the oracle pair verifies); this test pins the rule
-    itself against an independent implementation."""
+    Since round 6 the engines wrap every symbol in its own spaces
+    (tokens joined by two spaces), so their single left-to-right
+    replace IS canonical greedy — including disjoint adjacent
+    occurrences and self-pair runs; this test pins that against the
+    textbook scan-the-symbol-list implementation."""
     import re
     from collections import Counter
 
@@ -630,23 +629,16 @@ def test_bpe_merges_match_python_reference(spark):
         expected.append((rnd, f"{a} {b}", a + b, cnt))
         new_seg: dict = {}
         for syms, f in seg.items():
-            # non-overlapping replace semantics: a merge consumes the
-            # separator, so the next symbol cannot start a match
-            merged, i, blocked = [], 0, False
+            # canonical greedy: scan left-to-right, merge every
+            # non-overlapping occurrence of the winning pair
+            merged, i = [], 0
             while i < len(syms):
-                if (
-                    not blocked
-                    and i + 1 < len(syms)
-                    and syms[i] == a
-                    and syms[i + 1] == b
-                ):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
                     merged.append(a + b)
                     i += 2
-                    blocked = True
                 else:
                     merged.append(syms[i])
                     i += 1
-                    blocked = False
             key = tuple(merged)
             new_seg[key] = new_seg.get(key, 0) + f
         seg = new_seg
