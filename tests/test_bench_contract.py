@@ -50,3 +50,19 @@ def test_headline_names_are_registered():
 
     missing = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert missing == []
+
+
+def test_compact_line_clamps_instead_of_crashing():
+    """r5 ADVICE: the final length check must be a hard clamp, not an
+    assert — a short query name after the shed loop (or an oversized
+    slim base) could previously leave the line over budget and crash,
+    printing NO JSON at all. Worst-case inputs must still yield a
+    parseable line within budget."""
+    timings = {n: 123456.789 for n in bench.HEADLINE}
+    # streaming dict whose single mandatory key is itself enormous
+    monster = {"replay_rows_per_sec": float("1" * 15 + ".5")}
+    monster.update({f"pad_{i}": "x" * 50 for i in range(100)})
+    line = _line(999999.999, timings, monster)
+    assert len(line) <= bench.BUDGET
+    obj = json.loads(line)
+    assert obj["value"] == 999999.999

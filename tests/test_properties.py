@@ -680,3 +680,73 @@ def test_dsir_selection_tilts_toward_target(spark):
     selected = sum(r.n_selected for r in rows.values())
     assert selected == math.ceil(_DSIR_KEEP_FRAC * total)
     assert rows[_DSIR_TARGET].selected_share > _DSIR_KEEP_FRAC
+
+
+def test_bpe_self_pair_runs_are_canonical(spark, tmp_path, duck):
+    """The case the pre-r6 padded replace got wrong: when the winning
+    pair is a SELF-pair (x, x), runs like 'a a a a' must merge
+    left-to-right non-overlapping ('aa aa', canonical greedy), not at
+    alternating positions. Craft a corpus whose round-1 winner is
+    ('a', 'a') and whose round-2 winner merges across the new symbol,
+    then pin Spark == DuckDB oracle == textbook Python on it."""
+    from datafusion_streams_spark.operators import REGISTRY
+    from datafusion_streams_spark.operators.text import _BPE_ORACLE, _BPE_ROUNDS
+
+    rows = [
+        (1, "aaaa aaaa aaa baaaab", "en", "t", 19),
+        (2, "aaaaa caaac aaaa", "en", "t", 16),
+        (3, "xy xy zaaz", "en", "t", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = sorted(
+        (r.merge_round, r.pair, r.merged, r.pair_count)
+        for r in REGISTRY["text_bpe_merges"].fn(spark, str(tmp_path)).collect()
+    )
+    assert out[0][1] == "a a", f"corpus must elect the self-pair first: {out}"
+
+    import duckdb as _duck
+
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = sorted(map(tuple, con.execute(_BPE_ORACLE).fetchall()))
+    assert out == oracle
+
+    # textbook canonical greedy, independent implementation
+    import re
+    from collections import Counter
+
+    words: Counter = Counter()
+    for _, text, *_ in rows:
+        for w in re.split(r"\s+", text.lower()):
+            if w:
+                words[w] += 1
+    seg = {tuple(w): f for w, f in words.items()}
+    expected = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        pairs: Counter = Counter()
+        for syms, f in seg.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rnd, f"{a} {b}", a + b, cnt))
+        new_seg: dict = {}
+        for syms, f in seg.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            new_seg[key] = new_seg.get(key, 0) + f
+        seg = new_seg
+    assert out == sorted(expected)

@@ -296,3 +296,60 @@ def test_pattern_match_bounds_per_user_history(spark, tmp_path):
     row = out[0]
     assert row["seq_len"] == n
     assert row["n_patterns"] == expected
+
+
+def test_minhash_label_memo_rebuilds_on_dead_handle(spark):
+    """r5 ADVICE: localCheckpoint blocks are not fault-tolerant — if an
+    executor died, the memoized labels handle fails on fetch. The memo
+    must detect a dead handle (probe take(1)) and rebuild instead of
+    serving it to the three consumer queries."""
+    from datafusion_streams_spark.operators import dedup
+    from tests.conftest import SF_DIR
+
+    good = dedup.minhash_labels(spark, SF_DIR)
+    n = good.count()
+
+    class DeadHandle:
+        def take(self, _):
+            raise RuntimeError("block fetch failed (simulated lost executor)")
+
+    dedup._MINHASH_LABELS_MEMO[SF_DIR] = (spark, DeadHandle())
+    rebuilt = dedup.minhash_labels(spark, SF_DIR)
+    assert not isinstance(rebuilt, DeadHandle)
+    assert rebuilt.count() == n
+    # and the memo now holds the live handle again
+    assert dedup._MINHASH_LABELS_MEMO[SF_DIR][1] is rebuilt
+
+
+def test_memoized_layout_builds_once_under_concurrency():
+    """r5 ADVICE: two concurrent first calls for the same layout key
+    must not race the build — exactly one build() runs, both callers
+    get the same path."""
+    import threading
+    import time as _time
+
+    from datafusion_streams_spark import layouts
+
+    calls = []
+    paths = []
+
+    def build(path):
+        calls.append(path)
+        _time.sleep(0.2)  # widen the race window
+
+    key = ("/tmp/race-test-sf", "race_layout")
+    layouts._LAYOUT_MEMO.pop(key, None)
+    threads = [
+        threading.Thread(
+            target=lambda: paths.append(
+                layouts.memoized_layout(key[0], key[1], build)
+            )
+        )
+        for _ in range(4)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1, f"build ran {len(calls)} times"
+    assert len(set(paths)) == 1
