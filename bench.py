@@ -130,6 +130,8 @@ HEADLINE = [
     "streaming_drift_psi",
     "text_bpe_fertility",
     "multimodal_bmp_decode",
+    # round-6 addition
+    "files_avro_deflate",
 ]
 
 

@@ -598,6 +598,34 @@ def files_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verify_agg(back)
 
 
+@query(
+    "files_avro_deflate",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("source", "sink", "files", "datasource"),
+)
+def files_avro_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The avro round trip with the DEFLATE codec (r6): executors
+    compress each data block with raw RFC 1951 DEFLATE (stdlib zlib,
+    wbits=-15 — the Avro 1.11 spec's 'deflate', NOT zlib-framed) and
+    the reader inflates per block from the declared byte size. Same
+    verification aggregate and oracle as `files_avro_roundtrip`, so
+    the hash match proves compression is transparent to the values;
+    spec conformance (independent zlib inflate of the on-disk block,
+    2x+ size reduction) is pinned in tests/test_sources_sinks.py.
+    Snappy stays documented as the spark-avro jar path — no snappy
+    library ships in this container.
+    """
+    from datafusion_streams_spark.sources.avro_py import register_avro_py
+
+    register_avro_py(spark)
+    out = tempfile.mkdtemp(prefix="dfs_avro_defl_")
+    _orders_subset(spark, sf_dir).write.format("avro_py").option("path", out).option(
+        "codec", "deflate"
+    ).mode("append").save()
+    back = spark.read.format("avro_py").option("path", out).load()
+    return _verify_agg(back)
+
+
 _NOTE_SQL = """o_orderpriority || ', "' || o_orderstatus || '"'"""
 
 _MERGE_ON_READ_ORACLE = f"""

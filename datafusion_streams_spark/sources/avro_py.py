@@ -7,13 +7,17 @@ lives in the external spark-avro package, absent from this container
 (and no Python avro library is installed either). Rather than leave
 the format env-blocked, this module implements the published Avro 1.11
 object-container spec (https://avro.apache.org/docs/1.11.1/specification/)
-clean-room for the null codec and the primitive types the fixtures
-need:
+clean-room for the null and deflate codecs and the primitive types the
+fixtures need:
 
   - container file: ``Obj\\x01`` magic, file-metadata map
-    (``avro.schema`` JSON + ``avro.codec`` = null), 16-byte sync
-    marker, then data blocks of (record count, byte size, records,
-    sync marker);
+    (``avro.schema`` JSON + ``avro.codec`` = null | deflate), 16-byte
+    sync marker, then data blocks of (record count, byte size,
+    possibly-compressed records, sync marker);
+  - deflate codec (r6): raw RFC 1951 DEFLATE per block via stdlib
+    zlib with wbits=-15 — the spec's "deflate" (NOT RFC 1950 zlib
+    framing, no checksum); snappy stays on the spark-avro jar path
+    (no snappy library in this container);
   - primitives: long/int as zigzag varints, double as little-endian
     IEEE-754, string/bytes as length-prefixed UTF-8;
   - logical type ``date`` (int days since epoch) <-> Spark DateType.
@@ -32,6 +36,7 @@ import json
 import os
 import struct
 import uuid
+import zlib
 from datetime import date, timedelta
 
 from pyspark.sql.datasource import (
@@ -149,9 +154,37 @@ def _decode_value(buf: io.BufferedReader, kind: str):
 # ---------------------------------------------------------------------------
 
 
-def write_avro_file(path: str, fields: list[tuple[str, str]], rows, block_rows: int = 4096) -> int:
-    """Write an Avro object-container file (null codec). Returns rows
-    written. ``rows`` yields dicts or objects indexable by field name."""
+def _compress_block(body: bytes, codec: str) -> bytes:
+    if codec == "null":
+        return body
+    if codec == "deflate":
+        # Avro spec: raw RFC 1951 DEFLATE (no RFC 1950 zlib framing,
+        # no checksum) — zlib with negative wbits
+        c = zlib.compressobj(9, zlib.DEFLATED, -15)
+        return c.compress(body) + c.flush()
+    raise ValueError(f"unsupported avro codec: {codec!r}")
+
+
+def _decompress_block(data: bytes, codec: str) -> bytes:
+    if codec == "null":
+        return data
+    if codec == "deflate":
+        return zlib.decompress(data, -15)
+    raise ValueError(f"unsupported avro codec: {codec!r}")
+
+
+def write_avro_file(
+    path: str,
+    fields: list[tuple[str, str]],
+    rows,
+    block_rows: int = 4096,
+    codec: str = "null",
+) -> int:
+    """Write an Avro object-container file (null or deflate codec).
+    Returns rows written. ``rows`` yields dicts or objects indexable by
+    field name."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec: {codec!r}")
     n = 0
     with open(path, "wb") as f:
         f.write(MAGIC)
@@ -160,7 +193,7 @@ def write_avro_file(path: str, fields: list[tuple[str, str]], rows, block_rows: 
         _write_bytes(meta, b"avro.schema")
         _write_bytes(meta, _avro_schema_json(fields).encode("utf-8"))
         _write_bytes(meta, b"avro.codec")
-        _write_bytes(meta, b"null")
+        _write_bytes(meta, codec.encode("ascii"))
         _write_long(meta, 0)  # end of metadata map
         f.write(meta.getvalue())
         f.write(SYNC)
@@ -174,11 +207,12 @@ def write_avro_file(path: str, fields: list[tuple[str, str]], rows, block_rows: 
             for r in block:
                 for name, kind in fields:
                     _encode_value(body, kind, r[name])
+            payload = _compress_block(body.getvalue(), codec)
             head = io.BytesIO()
             _write_long(head, len(block))
-            _write_long(head, len(body.getvalue()))
+            _write_long(head, len(payload))
             f.write(head.getvalue())
-            f.write(body.getvalue())
+            f.write(payload)
             f.write(SYNC)
             block.clear()
 
@@ -191,12 +225,13 @@ def write_avro_file(path: str, fields: list[tuple[str, str]], rows, block_rows: 
     return n
 
 
-def read_avro_header(path: str) -> list[tuple[str, str]]:
-    """Parse the file-metadata map; return the field list."""
+def read_avro_meta(path: str) -> tuple[list[tuple[str, str]], str]:
+    """Parse the file-metadata map; return (field list, codec)."""
     with open(path, "rb") as f:
         if f.read(4) != MAGIC:
             raise ValueError(f"{path}: not an Avro object container file")
         schema_json = None
+        codec = "null"
         while True:
             count = _read_long(f)
             if count == 0:
@@ -206,16 +241,25 @@ def read_avro_header(path: str) -> list[tuple[str, str]]:
                 v = _read_bytes(f)
                 if k == b"avro.schema":
                     schema_json = v.decode("utf-8")
-                elif k == b"avro.codec" and v not in (b"null", b""):
-                    raise ValueError(f"unsupported avro codec: {v!r}")
+                elif k == b"avro.codec":
+                    if v not in (b"null", b"deflate", b""):
+                        raise ValueError(f"unsupported avro codec: {v!r}")
+                    codec = v.decode("ascii") or "null"
         if schema_json is None:
             raise ValueError(f"{path}: missing avro.schema")
-        return _fields_from_avro_json(schema_json)
+        return _fields_from_avro_json(schema_json), codec
+
+
+def read_avro_header(path: str) -> list[tuple[str, str]]:
+    """Parse the file-metadata map; return the field list."""
+    return read_avro_meta(path)[0]
 
 
 def read_avro_file(path: str):
-    """Yield tuples in field order from a null-codec container file."""
-    fields = read_avro_header(path)
+    """Yield tuples in field order from a container file (null or
+    deflate codec — blocks are read by their declared byte size and
+    decompressed per the header codec)."""
+    fields, codec = read_avro_meta(path)
     with open(path, "rb") as f:
         f.read(4)
         while True:  # skip metadata map again
@@ -232,9 +276,10 @@ def read_avro_file(path: str):
                 return
             f.seek(-1, 1)
             n_rows = _read_long(f)
-            _read_long(f)  # byte size (unused for null codec)
+            size = _read_long(f)
+            block = io.BytesIO(_decompress_block(f.read(size), codec))
             for _ in range(n_rows):
-                yield tuple(_decode_value(f, kind) for _, kind in fields)
+                yield tuple(_decode_value(block, kind) for _, kind in fields)
             f.read(16)  # sync
 
 
@@ -314,10 +359,11 @@ class AvroPyWriter(DataSourceWriter):
     def __init__(self, options, fields):
         self.path = options["path"]
         self.fields = fields
+        self.codec = options.get("codec", "null")
 
     def write(self, iterator):
         part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
-        n = write_avro_file(part, self.fields, iterator)
+        n = write_avro_file(part, self.fields, iterator, codec=self.codec)
         return AvroPyCommit(part, n)
 
     def commit(self, messages):

@@ -123,10 +123,10 @@ def test_transform_with_state_in_pandas(spark):
     Environment-gated: the API's Python worker requires a functional
     google.protobuf (absent in this container), so this skips here and
     runs in protobuf-capable deployments. Install re-attempted in round
-    3 (2026-08-13): ``pip install protobuf`` fails with DNS resolution
-    errors on every retry — the container has no package-index network
-    route, so the skip stands. applyInPandasWithState above covers the
-    same capability tier.
+    3 (2026-08-13) and round 6 (2026-08-14): ``pip install protobuf``
+    fails with DNS resolution errors on every retry — the container has
+    no package-index network route, so the skip stands.
+    applyInPandasWithState above covers the same capability tier.
     """
     import pytest
 
