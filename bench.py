@@ -130,8 +130,9 @@ HEADLINE = [
     "streaming_drift_psi",
     "text_bpe_fertility",
     "multimodal_bmp_decode",
-    # round-6 addition
+    # round-6 additions
     "files_avro_deflate",
+    "multimodal_png_decode",
 ]
 
 

@@ -7,9 +7,11 @@ directly echoing the reference's binary (key, value) data model
 spec-level codec in ``datafusion_streams_spark.codecs.bmp`` (the
 ``avro_py`` discipline — public format, no third-party libs), inside
 the same Arrow-batched ``mapInPandas`` loops the fake-feature
-extractors use. Codecs beyond BMP (JPEG/PNG/audio) would slot into the
-identical batch shape; their payload fixtures here are deterministic
-fakes (document text UTF-8 encoded) standing in for real media bytes.
+extractors use; ``multimodal_png_decode`` (r6) does the same with the
+full PNG chunk/zlib/filter codec in ``codecs.png``. JPEG remains the
+documented swap-in (DCT entropy coding needs a real library; none
+ships here); the remaining payload fixtures are deterministic fakes
+(document text UTF-8 encoded) standing in for real media bytes.
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ from pyspark.sql.types import (
 
 from datafusion_streams_spark.catalog import load_documents
 from datafusion_streams_spark.codecs.bmp import decode_bmp, encode_bmp
+from datafusion_streams_spark.codecs.png import decode_png, encode_png
 from datafusion_streams_spark.operators import query
 
 # The mapInPandas batch loops below are MODULE-LEVEL functions, which
@@ -727,3 +730,115 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bmp_encode_batch, "doc_id long, payload binary"
     )
     return encoded.mapInPandas(_bmp_decode_batch, _BMP_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real image decode #2: PNG payloads through the pure-Python codec (r6)
+# ---------------------------------------------------------------------------
+
+# closed-form fixture like the BMP one, with height >= 5 so the
+# cycling encoder (filter = y % 5) puts ALL FIVE scanline filter types
+# (None/Sub/Up/Average/Paeth) inside the driver-checked result:
+# pixel (x, y) of doc d = ((2d + 3x + y) % 256, (d + 5x) % 256,
+# (7d + 2y) % 256), width = 3 + d % 6, height = 5 + d % 4.
+_PNG_DECODE_ORACLE = """
+WITH dims AS (
+    SELECT doc_id, 3 + doc_id % 6 AS w, 5 + doc_id % 4 AS h FROM documents
+),
+px AS (
+    SELECT doc_id, w, h,
+        flatten(list_transform(range(0, h), y ->
+            list_transform(range(0, w), x -> [
+                (2 * doc_id + 3 * x + y) % 256,
+                (doc_id + 5 * x) % 256,
+                (7 * doc_id + 2 * y) % 256
+            ]))) AS pix
+    FROM dims
+)
+SELECT doc_id,
+    CAST(w AS BIGINT) AS width,
+    CAST(h AS BIGINT) AS height,
+    CAST(w * h AS BIGINT) AS n_pixels,
+    CAST(list_sum(list_transform(pix, p -> p[1])) AS BIGINT) AS sum_r,
+    CAST(list_sum(list_transform(pix, p -> p[2])) AS BIGINT) AS sum_g,
+    CAST(list_sum(list_transform(pix, p -> p[3])) AS BIGINT) AS sum_b,
+    CAST(list_sum(list_transform(range(1, w * h + 1),
+        i -> i * (pix[i][1] + 2 * pix[i][2] + 3 * pix[i][3]))) AS BIGINT)
+        AS checksum
+FROM px
+"""
+
+
+def _png_fixture_pixels(doc_id: int) -> tuple[int, int, list[tuple[int, int, int]]]:
+    w, h = 3 + doc_id % 6, 5 + doc_id % 4
+    pixels = [
+        (
+            (2 * doc_id + 3 * x + y) % 256,
+            (doc_id + 5 * x) % 256,
+            (7 * doc_id + 2 * y) % 256,
+        )
+        for y in range(h)
+        for x in range(w)
+    ]
+    return w, h, pixels
+
+
+def _png_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = []
+        for d in pdf["doc_id"].astype("int64"):
+            w, h, pixels = _png_fixture_pixels(int(d))
+            payloads.append(encode_png(w, h, pixels, filter_mode="cycle"))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _png_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    rows = []
+    for pdf in batches:
+        for d, payload in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
+            w, h, pixels = decode_png(bytes(payload))
+            sum_r = sum(p[0] for p in pixels)
+            sum_g = sum(p[1] for p in pixels)
+            sum_b = sum(p[2] for p in pixels)
+            checksum = sum(
+                (i + 1) * (r + 2 * g + 3 * b)
+                for i, (r, g, b) in enumerate(pixels)
+            )
+            rows.append((int(d), w, h, w * h, sum_r, sum_g, sum_b, checksum))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_pixels",
+                "sum_r", "sum_g", "sum_b", "checksum",
+            ],
+        )
+        rows = []
+
+
+@query(
+    "multimodal_png_decode",
+    oracle=_PNG_DECODE_ORACLE,
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end (r6, the second real image codec):
+    synthesize one 8-bit RGB PNG per document with the scanline filter
+    CYCLING y % 5 — so None, Sub, Up, Average, and Paeth all appear in
+    every image (height >= 5 by construction) — ship the binary column
+    through Arrow, and decode with the pure-Python spec-level codec
+    (codecs/png.py: chunk/CRC walk, zlib inflate, all five filter
+    inversions). Dimensions/pixels are closed-form in doc_id, so the
+    DuckDB oracle recomputes the decoded ground truth with no codec:
+    the hash match proves chunk framing, compression, and every filter
+    predictor inverted bit-exactly. With codecs/bmp.py this leaves
+    JPEG as the only documented swap-in (DCT entropy coding needs a
+    real library; none ships in this container).
+
+    Scale: identical two-stage map-only Arrow pipeline as
+    multimodal_bmp_decode — no shuffle, no state.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    encoded = docs.repartition(32, "doc_id").mapInPandas(
+        _png_encode_batch, "doc_id long, payload binary"
+    )
+    return encoded.mapInPandas(_png_decode_batch, _BMP_DECODE_SCHEMA)

@@ -98,3 +98,125 @@ def test_encoder_validates_input():
         encode_bmp(0, 1, [])
     with pytest.raises(ValueError, match="expected 4 pixels"):
         encode_bmp(2, 2, [(0, 0, 0)])
+
+
+# ---------------------------------------------------------------------------
+# PNG (r6)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filter_types():
+    from datafusion_streams_spark.codecs.png import decode_png, encode_png
+
+    for w, h in [(1, 1), (1, 7), (4, 5), (7, 6), (16, 5)]:
+        pixels = [
+            ((x * 31 + y * 7) % 256, (x * 5 + y * 13) % 256, (x + y * y) % 256)
+            for y in range(h)
+            for x in range(w)
+        ]
+        for mode in ("none", "cycle"):
+            payload = encode_png(w, h, pixels, filter_mode=mode)
+            assert decode_png(payload) == (w, h, pixels), (w, h, mode)
+
+
+def test_handwritten_png_pins_the_format():
+    """Hand-build a 2x1 PNG byte-by-byte (independent of encode_png):
+    signature, IHDR fields, a filter-0 scanline zlib-compressed, IEND —
+    decoding it pins signature/chunk/CRC/IHDR/scanline layout."""
+    import struct
+    import zlib
+
+    from datafusion_streams_spark.codecs.png import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    scan = bytes([0, 255, 0, 0, 0, 0, 255])  # filter 0, red px, blue px
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(payload) == (2, 1, [(255, 0, 0), (0, 0, 255)])
+
+
+def test_png_rgba_alpha_dropped_and_ancillary_skipped():
+    """Color type 6 (RGBA) decodes with alpha dropped; an ancillary
+    chunk (tEXt) between IHDR and IDAT is skipped but CRC-checked."""
+    import struct
+    import zlib
+
+    from datafusion_streams_spark.codecs.png import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 2, 8, 6, 0, 0, 0)
+    scan = bytes([0, 10, 20, 30, 128]) + bytes([2, 1, 2, 3, 0])  # Up filter row 2
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"tEXt", b"Comment\x00skip me")
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    # row 2 is Up-filtered: raw = filt + prev = (1+10, 2+20, 3+30, 0+128)
+    assert decode_png(payload) == (1, 2, [(10, 20, 30), (11, 22, 33)])
+
+
+def test_png_decode_rejects_malformed():
+    import struct
+    import zlib
+
+    from datafusion_streams_spark.codecs.png import decode_png, encode_png
+
+    good = encode_png(3, 2, [(i, i, i) for i in range(6)])
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"BM" + good[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:20])
+    corrupt = bytearray(good)
+    corrupt[20] ^= 0xFF  # flip an IHDR byte -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def build(depth=8, ctype_v=2, interlace=0, scan=None, w=1, h=1):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype_v, 0, 0, interlace)
+        scan = scan if scan is not None else bytes([0, 1, 2, 3])
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(build(depth=16))
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(build(ctype_v=3))
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png(build(interlace=1))
+    with pytest.raises(ValueError, match="does not match"):
+        decode_png(build(scan=bytes([0, 1, 2, 3, 4, 5])))
+    with pytest.raises(ValueError, match="filter type"):
+        decode_png(build(scan=bytes([7, 1, 2, 3])))
