@@ -750,3 +750,24 @@ def test_bpe_self_pair_runs_are_canonical(spark, tmp_path, duck):
             new_seg[key] = new_seg.get(key, 0) + f
         seg = new_seg
     assert out == sorted(expected)
+
+
+def test_peak_concurrency_and_pattern_match_partition_invariance(spark, tmp_path):
+    """The two r6 scale rewrites must be pure functions of the data,
+    not the file layout: the distributed sweep (per-day windows +
+    broadcast offsets) and the month-chunked pattern encode both carry
+    total tiebreak orders, so re-splitting the events input into 1 or
+    13 files must reproduce identical rows."""
+    from datafusion_streams_spark.catalog import load_events
+    from datafusion_streams_spark.operators import REGISTRY
+
+    ev = load_events(spark, SF_DIR_SMALL)
+    for name in ("events_peak_concurrency", "events_pattern_match"):
+        fn = REGISTRY[name].fn
+        base = sorted(map(tuple, fn(spark, SF_DIR_SMALL).collect()))
+        assert len(base) > 0
+        for nparts in (1, 13):
+            alt = str(tmp_path / f"{name}_p{nparts}")
+            ev.repartition(nparts).write.parquet(f"{alt}/events.parquet")
+            got = sorted(map(tuple, fn(spark, alt).collect()))
+            assert got == base, (name, nparts)
