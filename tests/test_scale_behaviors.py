@@ -353,3 +353,51 @@ def test_memoized_layout_builds_once_under_concurrency():
         t.join()
     assert len(calls) == 1, f"build ran {len(calls)} times"
     assert len(set(paths)) == 1
+
+
+def test_pattern_match_carry_spans_three_chunks(spark, tmp_path):
+    """The hardest chunk-boundary case: a motif whose three symbols
+    live in THREE consecutive month chunks (the middle month has a
+    single event). The 2-symbol carry is rebuilt from the previous TWO
+    chunks precisely so this match is found — and found exactly once.
+    Also pins: a motif split 2|1 across two chunks, and no
+    double-count for a motif ending at a chunk's last symbol."""
+    from pyspark.sql import functions as F
+
+    from datafusion_streams_spark.operators import REGISTRY
+
+    def ts(month, step):
+        return 1_577_836_800_000_000 + (month * 32 * 86_400 + step) * 1_000_000
+
+    rows = []
+    # user 1: v | c | p in three consecutive months (1 event/month)
+    rows += [(0, ts(0, 0), 1, "view"), (1, ts(1, 0), 1, "click"),
+             (2, ts(2, 0), 1, "purchase")]
+    # user 2: [v c] | [p v] | [c p] -> motif at positions 1-3 and 4-6 (2 total)
+    rows += [(10, ts(0, 0), 2, "view"), (11, ts(0, 1), 2, "click"),
+             (12, ts(1, 0), 2, "purchase"), (13, ts(1, 1), 2, "view"),
+             (14, ts(2, 0), 2, "click"), (15, ts(2, 1), 2, "purchase")]
+    # user 3: motif ends exactly at a chunk boundary [o v c p] | [o o]
+    rows += [(20, ts(0, 0), 3, "other"), (21, ts(0, 1), 3, "view"),
+             (22, ts(0, 2), 3, "click"), (23, ts(0, 3), 3, "purchase"),
+             (24, ts(1, 0), 3, "other"), (25, ts(1, 1), 3, "other")]
+    # user 4: no motif at all (c v p) -> filtered out
+    rows += [(30, ts(0, 0), 4, "click"), (31, ts(1, 0), 4, "view"),
+             (32, ts(2, 0), 4, "purchase")]
+    ev = spark.createDataFrame(
+        [(i, t, u, e) for i, t, u, e in rows],
+        "event_id long, ts_us long, user_id long, event_type string",
+    ).select(
+        "event_id",
+        F.timestamp_micros("ts_us").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev.write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.user_id: (r.seq_len, r.n_patterns)
+        for r in REGISTRY["events_pattern_match"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (3, 1), 2: (6, 2), 3: (6, 1)}
