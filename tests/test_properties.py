@@ -771,3 +771,63 @@ def test_peak_concurrency_and_pattern_match_partition_invariance(spark, tmp_path
             ev.repartition(nparts).write.parquet(f"{alt}/events.parquet")
             got = sorted(map(tuple, fn(spark, alt).collect()))
             assert got == base, (name, nparts)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=9),      # month index
+            st.integers(min_value=0, max_value=27),     # step within month
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=3,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1], t[2]),
+    )
+)
+def test_pattern_match_chunking_matches_whole_history(spark, tmp_path, data):
+    """Generative check of the month-chunked encode: for random
+    multi-user histories scattered over random months, the chunked
+    count must equal counting 'vcp' over each user's WHOLE ordered
+    symbol string (str.count == non-overlapping count for a pattern
+    with no self-overlap)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_streams_spark.operators import REGISTRY
+
+    base_us = 1_577_836_800_000_000
+    rows = [
+        (i, base_us + (m * 32 * 86_400 + s * 3600) * 1_000_000, u, e)
+        for i, (u, m, s, e) in enumerate(data)
+    ]
+    out = str(tmp_path / "gen")
+    shutil.rmtree(out, ignore_errors=True)
+    spark.createDataFrame(
+        rows, "event_id long, ts_us long, user_id long, event_type string"
+    ).select(
+        "event_id",
+        F.timestamp_micros("ts_us").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    got = {
+        r.user_id: (r.seq_len, r.n_patterns)
+        for r in REGISTRY["events_pattern_match"].fn(spark, out).collect()
+    }
+    expected = {}
+    by_user: dict = {}
+    for i, (u, m, s, e) in enumerate(data):
+        by_user.setdefault(u, []).append((rows[i][1], i, e[0]))
+    for u, evs in by_user.items():
+        seq = "".join(sym for _, _, sym in sorted(evs))
+        n = seq.count("vcp")
+        if n > 0:
+            expected[u] = (len(seq), n)
+    assert got == expected
