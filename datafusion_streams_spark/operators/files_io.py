@@ -591,9 +591,13 @@ def files_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_avro_py(spark)
     out = tempfile.mkdtemp(prefix="dfs_avro_")
-    _orders_subset(spark, sf_dir).write.format("avro_py").option("path", out).mode(
-        "append"
-    ).save()
+    # repartition: the single-file fixture scan is ONE partition, which
+    # would serialize the pure-Python encode into one task and produce
+    # one container file (one read partition). A real table arrives
+    # pre-split; 8 ways keeps write AND read parallel here.
+    _orders_subset(spark, sf_dir).repartition(8).write.format("avro_py").option(
+        "path", out
+    ).mode("append").save()
     back = spark.read.format("avro_py").option("path", out).load()
     return _verify_agg(back)
 
@@ -619,9 +623,9 @@ def files_avro_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_avro_py(spark)
     out = tempfile.mkdtemp(prefix="dfs_avro_defl_")
-    _orders_subset(spark, sf_dir).write.format("avro_py").option("path", out).option(
-        "codec", "deflate"
-    ).mode("append").save()
+    _orders_subset(spark, sf_dir).repartition(8).write.format("avro_py").option(
+        "path", out
+    ).option("codec", "deflate").mode("append").save()
     back = spark.read.format("avro_py").option("path", out).load()
     return _verify_agg(back)
 
