@@ -502,7 +502,10 @@ def files_pysink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_manifest_sink(spark)
     out = tempfile.mkdtemp(prefix="dfs_pysink_")
-    _orders_subset(spark, sf_dir).write.format("manifest_sink").option(
+    # repartition: same single-partition fixture effect as the avro
+    # round trips — 8 ways keeps the per-task part writes (and the
+    # read of the resulting part files) parallel
+    _orders_subset(spark, sf_dir).repartition(8).write.format("manifest_sink").option(
         "path", out
     ).mode("append").save()
     back = spark.read.parquet(*manifest_files(out))
