@@ -133,6 +133,7 @@ HEADLINE = [
     # round-6 additions
     "files_avro_deflate",
     "multimodal_png_decode",
+    "multimodal_wav_decode",
 ]
 
 

@@ -34,6 +34,7 @@ from pyspark.sql.types import (
 from datafusion_streams_spark.catalog import load_documents
 from datafusion_streams_spark.codecs.bmp import decode_bmp, encode_bmp
 from datafusion_streams_spark.codecs.png import decode_png, encode_png
+from datafusion_streams_spark.codecs.wav import decode_wav, encode_wav
 from datafusion_streams_spark.operators import query
 
 # The mapInPandas batch loops below are MODULE-LEVEL functions, which
@@ -842,3 +843,109 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _png_encode_batch, "doc_id long, payload binary"
     )
     return encoded.mapInPandas(_png_decode_batch, _BMP_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real audio decode: WAV (RIFF PCM16) payloads through the pure-Python codec
+# ---------------------------------------------------------------------------
+
+# closed-form fixture: doc d -> rate 8000*(1 + d%3), channels 1 + d%2,
+# frames 16 + d%17, interleaved sample i = ((d*31 + i*17) * 257) % 65536
+# - 32768 — so the DuckDB oracle recomputes the DECODED ground truth
+# with no codec, and the hash match proves RIFF framing, fmt fields,
+# and the s16le sample payload round-tripped bit-exactly.
+_WAV_DECODE_ORACLE = """
+WITH dims AS (
+    SELECT doc_id,
+        8000 * (1 + doc_id % 3) AS rate,
+        1 + doc_id % 2 AS ch,
+        16 + doc_id % 17 AS frames
+    FROM documents
+),
+s AS (
+    SELECT doc_id, rate, ch, frames,
+        list_transform(range(0, frames * ch),
+            i -> ((doc_id * 31 + i * 17) * 257) % 65536 - 32768) AS smp
+    FROM dims
+)
+SELECT doc_id,
+    CAST(rate AS BIGINT) AS sample_rate,
+    CAST(ch AS BIGINT) AS channels,
+    CAST(frames AS BIGINT) AS n_frames,
+    CAST(list_sum(smp) AS BIGINT) AS sum_samples,
+    CAST(list_sum(list_transform(range(1, frames * ch + 1),
+        i -> i * smp[i])) AS BIGINT) AS checksum
+FROM s
+"""
+
+
+def _wav_fixture(doc_id: int) -> tuple[int, int, list[int]]:
+    rate = 8000 * (1 + doc_id % 3)
+    ch = 1 + doc_id % 2
+    frames = 16 + doc_id % 17
+    samples = [
+        ((doc_id * 31 + i * 17) * 257) % 65536 - 32768
+        for i in range(frames * ch)
+    ]
+    return rate, ch, samples
+
+
+def _wav_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = []
+        for d in pdf["doc_id"].astype("int64"):
+            rate, ch, samples = _wav_fixture(int(d))
+            payloads.append(encode_wav(rate, ch, samples))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _wav_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    rows = []
+    for pdf in batches:
+        for d, payload in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
+            rate, ch, samples = decode_wav(bytes(payload))
+            checksum = sum((i + 1) * s for i, s in enumerate(samples))
+            rows.append(
+                (int(d), rate, ch, len(samples) // ch, sum(samples), checksum)
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "sample_rate", "channels",
+                "n_frames", "sum_samples", "checksum",
+            ],
+        )
+        rows = []
+
+
+@query(
+    "multimodal_wav_decode",
+    oracle=_WAV_DECODE_ORACLE,
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end (r6, completing the image/audio
+    codec set with BMP and PNG): synthesize one RIFF PCM16 WAV per
+    document (rate/channels/frames/samples closed-form in doc_id,
+    covering mono and stereo interleaving and three sample rates),
+    ship the binary column through Arrow, and decode with the
+    pure-Python spec-level codec (codecs/wav.py: RIFF chunk walk with
+    word-alignment padding, fmt consistency equations, s16le payload).
+    The DuckDB oracle recomputes the decoded ground truth from the
+    closed form — the hash match proves container framing and sample
+    encoding inverted bit-exactly. Compressed audio (MP3/AAC/FLAC)
+    stays a documented swap-in: entropy/transform decode needs a real
+    library, and none ships in this container.
+
+    Scale: identical two-stage map-only Arrow pipeline as the BMP/PNG
+    decodes — no shuffle, no state.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    encoded = docs.repartition(32, "doc_id").mapInPandas(
+        _wav_encode_batch, "doc_id long, payload binary"
+    )
+    return encoded.mapInPandas(
+        _wav_decode_batch,
+        "doc_id long, sample_rate long, channels long, "
+        "n_frames long, sum_samples long, checksum long",
+    )

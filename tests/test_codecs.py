@@ -220,3 +220,71 @@ def test_png_decode_rejects_malformed():
         decode_png(build(scan=bytes([0, 1, 2, 3, 4, 5])))
     with pytest.raises(ValueError, match="filter type"):
         decode_png(build(scan=bytes([7, 1, 2, 3])))
+
+
+# ---------------------------------------------------------------------------
+# WAV (r6)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip():
+    from datafusion_streams_spark.codecs.wav import decode_wav, encode_wav
+
+    for rate, ch, n in [(8000, 1, 5), (16000, 2, 8), (44100, 1, 1)]:
+        samples = [((i * 9973) % 65536) - 32768 for i in range(n * ch)]
+        payload = encode_wav(rate, ch, samples)
+        assert decode_wav(payload) == (rate, ch, samples)
+
+
+def test_handwritten_wav_pins_the_format():
+    """Hand-build a 2-frame mono PCM16 WAV byte-by-byte (independent
+    of encode_wav), with an unknown LIST chunk and an ODD-sized chunk
+    to exercise RIFF word-alignment padding."""
+    import struct
+
+    from datafusion_streams_spark.codecs.wav import decode_wav
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data = struct.pack("<2h", -1, 32767)
+    odd = b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded odd chunk
+    body = (
+        b"WAVE"
+        + odd
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_wav(payload) == (8000, 1, [-1, 32767])
+
+
+def test_wav_decode_rejects_malformed():
+    import struct
+
+    from datafusion_streams_spark.codecs.wav import decode_wav, encode_wav
+
+    good = encode_wav(8000, 1, [0, 1, 2, 3])
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"RIFX" + good[4:])
+    with pytest.raises(ValueError, match="WAVE"):
+        decode_wav(good[:8] + b"AVI " + good[12:])
+    with pytest.raises(ValueError, match="size exceeds"):
+        decode_wav(good[:-4])
+
+    def build(tag=1, bits=16, block=2, brate=16000):
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, brate, block, bits)
+        data = struct.pack("<2h", 5, 6)
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav(build(tag=3))  # IEEE float
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_wav(build(bits=8))
+    with pytest.raises(ValueError, match="inconsistent"):
+        decode_wav(build(brate=999))
+    with pytest.raises(ValueError, match="int16 range"):
+        encode_wav(8000, 1, [40000])
+    with pytest.raises(ValueError, match="multiple"):
+        encode_wav(8000, 2, [1, 2, 3])
