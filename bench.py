@@ -132,6 +132,7 @@ HEADLINE = [
     "multimodal_bmp_decode",
     # round-6 additions
     "files_avro_deflate",
+    "files_avro_snappy",
     "multimodal_png_decode",
     "multimodal_wav_decode",
 ]

@@ -619,8 +619,6 @@ def files_avro_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash match proves compression is transparent to the values;
     spec conformance (independent zlib inflate of the on-disk block,
     2x+ size reduction) is pinned in tests/test_sources_sinks.py.
-    Snappy stays documented as the spark-avro jar path — no snappy
-    library ships in this container.
     """
     from datafusion_streams_spark.sources.avro_py import register_avro_py
 
@@ -629,6 +627,37 @@ def files_avro_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _orders_subset(spark, sf_dir).repartition(8).write.format("avro_py").option(
         "path", out
     ).option("codec", "deflate").mode("append").save()
+    back = spark.read.format("avro_py").option("path", out).load()
+    return _verify_agg(back)
+
+
+@query(
+    "files_avro_snappy",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("source", "sink", "files", "datasource"),
+)
+def files_avro_snappy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The avro round trip with the SNAPPY codec (r6): no snappy
+    library ships in this container, so the blocks go through the
+    clean-room `codecs/snappy.py` implementation of the public snappy
+    block format (varint preamble + literal/copy tagged elements, a
+    real greedy LZ77 matcher on the write side), each suffixed with
+    the Avro spec's 4-byte big-endian CRC32 of the uncompressed bytes,
+    verified on read. This closes the last codec named by the Avro
+    1.11 container spec that spark-avro ships; the reference only ever
+    feature-flagged avro (Cargo.toml:7). Same verification aggregate
+    and oracle as `files_avro_roundtrip`, so the hash match proves
+    the codec transparent; block-format spec vectors are pinned in
+    tests/test_codecs.py and container conformance in
+    tests/test_sources_sinks.py.
+    """
+    from datafusion_streams_spark.sources.avro_py import register_avro_py
+
+    register_avro_py(spark)
+    out = tempfile.mkdtemp(prefix="dfs_avro_snap_")
+    _orders_subset(spark, sf_dir).repartition(8).write.format("avro_py").option(
+        "path", out
+    ).option("codec", "snappy").mode("append").save()
     back = spark.read.format("avro_py").option("path", out).load()
     return _verify_agg(back)
 

@@ -7,17 +7,20 @@ lives in the external spark-avro package, absent from this container
 (and no Python avro library is installed either). Rather than leave
 the format env-blocked, this module implements the published Avro 1.11
 object-container spec (https://avro.apache.org/docs/1.11.1/specification/)
-clean-room for the null and deflate codecs and the primitive types the
-fixtures need:
+clean-room for the null, deflate, and snappy codecs and the primitive
+types the fixtures need:
 
   - container file: ``Obj\\x01`` magic, file-metadata map
-    (``avro.schema`` JSON + ``avro.codec`` = null | deflate), 16-byte
-    sync marker, then data blocks of (record count, byte size,
+    (``avro.schema`` JSON + ``avro.codec`` = null | deflate | snappy),
+    16-byte sync marker, then data blocks of (record count, byte size,
     possibly-compressed records, sync marker);
   - deflate codec (r6): raw RFC 1951 DEFLATE per block via stdlib
     zlib with wbits=-15 — the spec's "deflate" (NOT RFC 1950 zlib
-    framing, no checksum); snappy stays on the spark-avro jar path
-    (no snappy library in this container);
+    framing, no checksum);
+  - snappy codec (r6): the raw snappy block format via the clean-room
+    ``codecs/snappy.py`` (no snappy library ships here), each block
+    suffixed with the spec's 4-byte BIG-endian CRC32 of the
+    UNCOMPRESSED bytes, verified on read;
   - primitives: long/int as zigzag varints, double as little-endian
     IEEE-754, string/bytes as length-prefixed UTF-8;
   - logical type ``date`` (int days since epoch) <-> Spark DateType.
@@ -38,6 +41,13 @@ import struct
 import uuid
 import zlib
 from datetime import date, timedelta
+
+# Module-level on purpose: codecs/snappy.py registers itself
+# pickle-by-value, so binding it as a global here ships it inside this
+# module's by-value pickle to executor write/read tasks — a
+# function-level import would run ON the executor, whose sys.path does
+# not include the repo (see CLAUDE.md / sources/pysink.py).
+from datafusion_streams_spark.codecs import snappy as _snappy
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -162,6 +172,10 @@ def _compress_block(body: bytes, codec: str) -> bytes:
         # no checksum) — zlib with negative wbits
         c = zlib.compressobj(9, zlib.DEFLATED, -15)
         return c.compress(body) + c.flush()
+    if codec == "snappy":
+        # Avro spec: snappy-compressed data followed by a 4-byte
+        # BIG-endian CRC32 of the UNCOMPRESSED data
+        return _snappy.compress(body) + struct.pack(">I", zlib.crc32(body))
     raise ValueError(f"unsupported avro codec: {codec!r}")
 
 
@@ -170,6 +184,14 @@ def _decompress_block(data: bytes, codec: str) -> bytes:
         return data
     if codec == "deflate":
         return zlib.decompress(data, -15)
+    if codec == "snappy":
+        if len(data) < 4:
+            raise ValueError("avro snappy block shorter than its CRC32")
+        body = _snappy.decompress(data[:-4])
+        (crc,) = struct.unpack(">I", data[-4:])
+        if zlib.crc32(body) != crc:
+            raise ValueError("avro snappy block CRC32 mismatch")
+        return body
     raise ValueError(f"unsupported avro codec: {codec!r}")
 
 
@@ -180,10 +202,10 @@ def write_avro_file(
     block_rows: int = 4096,
     codec: str = "null",
 ) -> int:
-    """Write an Avro object-container file (null or deflate codec).
-    Returns rows written. ``rows`` yields dicts or objects indexable by
-    field name."""
-    if codec not in ("null", "deflate"):
+    """Write an Avro object-container file (null, deflate, or snappy
+    codec). Returns rows written. ``rows`` yields dicts or objects
+    indexable by field name."""
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported avro codec: {codec!r}")
     n = 0
     with open(path, "wb") as f:
@@ -242,7 +264,7 @@ def read_avro_meta(path: str) -> tuple[list[tuple[str, str]], str]:
                 if k == b"avro.schema":
                     schema_json = v.decode("utf-8")
                 elif k == b"avro.codec":
-                    if v not in (b"null", b"deflate", b""):
+                    if v not in (b"null", b"deflate", b"snappy", b""):
                         raise ValueError(f"unsupported avro codec: {v!r}")
                     codec = v.decode("ascii") or "null"
         if schema_json is None:
@@ -256,9 +278,9 @@ def read_avro_header(path: str) -> list[tuple[str, str]]:
 
 
 def read_avro_file(path: str):
-    """Yield tuples in field order from a container file (null or
-    deflate codec — blocks are read by their declared byte size and
-    decompressed per the header codec)."""
+    """Yield tuples in field order from a container file (null,
+    deflate, or snappy codec — blocks are read by their declared byte
+    size and decompressed per the header codec)."""
     fields, codec = read_avro_meta(path)
     with open(path, "rb") as f:
         f.read(4)

@@ -1,4 +1,5 @@
-"""Spec-level tests for the pure-Python BMP codec (no Spark needed)."""
+"""Spec-level tests for the pure-Python codecs (BMP/PNG/WAV/snappy —
+no Spark needed)."""
 
 import random
 import struct
@@ -288,3 +289,116 @@ def test_wav_decode_rejects_malformed():
         encode_wav(8000, 1, [40000])
     with pytest.raises(ValueError, match="multiple"):
         encode_wav(8000, 2, [1, 2, 3])
+
+
+# ---------------------------------------------------------------------------
+# snappy block format (codecs/snappy.py) — the Avro "snappy" codec body
+# ---------------------------------------------------------------------------
+
+from datafusion_streams_spark.codecs.snappy import (  # noqa: E402
+    compress as snappy_compress,
+    decompress as snappy_decompress,
+)
+
+
+def test_snappy_handwritten_vectors_pin_the_format():
+    """Hand-assembled streams per format_description.txt: every element
+    type a decoder must accept, including the copy-1 tag the compressor
+    never emits and the overlapping-copy repeat semantics."""
+    # literal(3 "abc") + copy-2(len 2, off 3) -> "abcab"
+    assert snappy_decompress(b"\x05\x08abc\x06\x03\x00") == b"abcab"
+    # literal(1 "a") + copy-2(len 4, off 1): overlap repeats the pattern
+    assert snappy_decompress(b"\x05\x00a\x0e\x01\x00") == b"aaaaa"
+    # copy-1 tag (01): len = 4+bits[2:5] = 7, off = bits[5:8]<<8 | next
+    assert snappy_decompress(b"\x08\x00a\x0d\x01") == b"aaaaaaaa"
+    # copy-1 with len 4, off 4 after a 4-byte literal
+    assert snappy_decompress(b"\x08\x0cabcd\x01\x04") == b"abcdabcd"
+    # copy-4 tag (11): len 2, 4-byte LE offset 4
+    assert snappy_decompress(b"\x06\x0cabcd\x07\x04\x00\x00\x00") == b"abcdab"
+    # extended literal length: tag 60<<2, 1 extra byte holding len-1
+    body = bytes(range(61))
+    assert snappy_decompress(bytes([61, 60 << 2, 60]) + body) == body
+    # empty input: bare zero preamble
+    assert snappy_decompress(b"\x00") == b""
+
+
+def test_snappy_roundtrip_and_real_compression():
+    rng = random.Random(1234)
+    cases = [
+        b"",
+        b"x",
+        b"abc",
+        b"ab" * 5000,
+        bytes(rng.randrange(256) for _ in range(4096)),  # incompressible
+        bytes(rng.randrange(4) for _ in range(50000)),  # mildly repetitive
+        b"the quick brown fox " * 512,
+        bytes(100000),  # zeros: long overlapping runs
+    ]
+    for payload in cases:
+        z = snappy_compress(payload)
+        assert snappy_decompress(z) == payload
+    # a real matcher, not a literal-only shell: repetitive input shrinks
+    assert len(snappy_compress(b"ab" * 5000)) < 10000 // 10
+    # zero runs: one literal + offset-1 copies, <=64 decoded bytes per
+    # 3-byte element -> bounded near 100000*3/60
+    assert len(snappy_compress(bytes(100000))) < 100000 // 15
+    # incompressible input must not blow up (spec: <= ~1.17x + preamble)
+    rnd = bytes(rng.randrange(256) for _ in range(10000))
+    assert len(snappy_compress(rnd)) < 10000 * 1.2
+
+
+def test_snappy_compressor_emits_only_spec_elements():
+    """Walk the compressor's own output element by element — every tag
+    must be a literal or a 2/4-byte-offset copy with length <= 64 and
+    an offset inside the produced prefix (a structural spec audit,
+    independent of the decoder's permissiveness)."""
+    payload = (b"seg-%d " % 7) * 300 + bytes(range(256)) * 4
+    z = snappy_compress(payload)
+    # skip the varint preamble
+    pos = 0
+    while z[pos] & 0x80:
+        pos += 1
+    pos += 1
+    produced = 0
+    while pos < len(z):
+        tag = z[pos]
+        pos += 1
+        kind = tag & 3
+        assert kind in (0, 2, 3), "compressor never emits copy-1"
+        if kind == 0:
+            length = (tag >> 2) + 1
+            if length > 60:
+                extra = length - 60
+                length = int.from_bytes(z[pos : pos + extra], "little") + 1
+                pos += extra
+            pos += length
+        else:
+            length = (tag >> 2) + 1
+            assert 4 <= length <= 64
+            width = 2 if kind == 2 else 4
+            offset = int.from_bytes(z[pos : pos + width], "little")
+            pos += width
+            assert 1 <= offset <= produced
+        produced += length
+    assert produced == len(payload)
+
+
+def test_snappy_decode_rejects_malformed():
+    good = snappy_compress(b"hello world, hello world, hello world")
+    with pytest.raises(ValueError, match="varint"):
+        snappy_decompress(b"")
+    with pytest.raises(ValueError, match="varint"):
+        snappy_decompress(b"\xff\xff\xff\xff\xff\xff")
+    with pytest.raises(ValueError, match="literal overruns"):
+        snappy_decompress(b"\x05\x10ab")  # literal len 5, 2 bytes left
+    with pytest.raises(ValueError, match="offset"):
+        snappy_decompress(b"\x05\x00a\x0e\x05\x00")  # off 5 > 1 produced
+    with pytest.raises(ValueError, match="offset"):
+        snappy_decompress(b"\x05\x00a\x0e\x00\x00")  # off 0 invalid
+    with pytest.raises(ValueError, match="truncated copy"):
+        snappy_decompress(b"\x05\x00a\x0e\x01")  # copy-2 missing a byte
+    with pytest.raises(ValueError, match="declared"):
+        snappy_decompress(good[:-1] if good[-1:] != b"\x00" else good + b"\x00a")
+    # declared-vs-decoded mismatch, explicit: preamble says 9, body has 5
+    with pytest.raises(ValueError, match="declared"):
+        snappy_decompress(b"\x09\x10hello")

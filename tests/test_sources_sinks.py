@@ -237,9 +237,10 @@ def test_avro_py_spec_byte_vectors():
 
 
 def test_avro_py_reader_rejects_unknown_codec(tmp_path):
-    """Codec guard: an unsupported codec (snappy — no snappy library
-    in this container) must raise a clear error, not decode garbage.
-    deflate is supported since r6 and exercised below."""
+    """Codec guard: an unsupported codec (bzip2 — named by the Avro
+    spec but deliberately not implemented here) must raise a clear
+    error, not decode garbage. null/deflate/snappy are the supported
+    set since r6 and exercised below."""
     import io
 
     import pytest
@@ -255,7 +256,7 @@ def test_avro_py_reader_rejects_unknown_codec(tmp_path):
     buf.write(MAGIC)
     _write_long(buf, 2)
     for k, v in ((b"avro.schema", b'{"type":"record","name":"r","fields":[]}'),
-                 (b"avro.codec", b"snappy")):
+                 (b"avro.codec", b"bzip2")):
         _write_long(buf, len(k)); buf.write(k)
         _write_long(buf, len(v)); buf.write(v)
     _write_long(buf, 0)
@@ -314,3 +315,71 @@ def test_avro_py_deflate_codec_roundtrip(tmp_path):
         body = zlib.decompress(f.read(size), -15)
         assert n_rows == 200
         assert _read_long(io.BytesIO(body)) == 0  # first row: k=0
+
+
+def test_avro_py_snappy_codec_roundtrip(tmp_path):
+    """r6: the snappy codec per the Avro spec — each block is the raw
+    snappy block format followed by a 4-byte BIG-endian CRC32 of the
+    UNCOMPRESSED bytes. A compressible payload must (a) roundtrip
+    exactly, (b) beat the null codec on size, and (c) carry a CRC that
+    stdlib zlib.crc32 independently confirms against the decompressed
+    block — and corrupting the stored CRC must fail the read."""
+    import io
+    import struct
+    import zlib
+
+    from datafusion_streams_spark.codecs.snappy import decompress as snappy_raw
+    from datafusion_streams_spark.sources.avro_py import (
+        SYNC,
+        _read_long,
+        read_avro_file,
+        read_avro_meta,
+        write_avro_file,
+    )
+
+    fields = [("k", "long"), ("s", "string"), ("d", "double")]
+    rows = [{"k": i, "s": "repetitive payload " * 5, "d": i / 8} for i in range(200)]
+    p_null = str(tmp_path / "n.avro")
+    p_snap = str(tmp_path / "s.avro")
+    write_avro_file(p_null, fields, rows, codec="null")
+    write_avro_file(p_snap, fields, rows, codec="snappy")
+
+    assert read_avro_meta(p_snap)[1] == "snappy"
+    assert list(read_avro_file(p_snap)) == list(read_avro_file(p_null))
+    import os
+
+    assert os.path.getsize(p_snap) < os.path.getsize(p_null) / 2
+
+    # independent decode: skip the metadata map, read (count, size,
+    # block); the last 4 block bytes are a big-endian CRC32 that must
+    # match zlib.crc32 of the snappy-decoded body
+    with open(p_snap, "rb") as f:
+        f.read(4)
+        while True:
+            count = _read_long(f)
+            if count == 0:
+                break
+            for _ in range(abs(count)):
+                f.read(_read_long(f))
+                f.read(_read_long(f))
+        assert f.read(16) == SYNC
+        n_rows = _read_long(f)
+        size = _read_long(f)
+        blob = f.read(size)
+        body = snappy_raw(blob[:-4])
+        (crc,) = struct.unpack(">I", blob[-4:])
+        assert zlib.crc32(body) == crc
+        assert n_rows == 200
+        assert _read_long(io.BytesIO(body)) == 0  # first row: k=0
+
+    # flip a CRC byte on disk -> the reader must refuse the block
+    import pytest
+
+    raw = bytearray(open(p_snap, "rb").read())
+    # the CRC of the first block sits right before the trailing SYNC
+    crc_pos = len(raw) - 16 - 4
+    raw[crc_pos] ^= 0xFF
+    p_bad = str(tmp_path / "bad_crc.avro")
+    open(p_bad, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="CRC32"):
+        list(read_avro_file(p_bad))
