@@ -135,6 +135,7 @@ HEADLINE = [
     "files_avro_snappy",
     "multimodal_png_decode",
     "multimodal_wav_decode",
+    "multimodal_jpeg_decode",
 ]
 
 

@@ -236,13 +236,15 @@ ROTATED_IN_R5: tuple[str, ...] = (
 # events_pattern_match's month-chunked encode land driver-checked, per
 # verdict items #2/#3), then the lifecycle family, timeseries, AS-OF
 # variants, the r4 agg battery, embedding audits, and text governance.
-# Registry growth: +4 this round (files_avro_deflate,
-# files_avro_snappy, multimodal_png_decode, multimodal_wav_decode —
-# closing the r5 verdict's avro-codec gap COMPLETELY (both spec
-# codecs, snappy via the clean-room codecs/snappy.py block-format
-# implementation) and the image-codec gap, plus the audio analogue in
-# the same clean-room discipline). Every slot carries a DuckDB
-# oracle — zero expected err rows.
+# Registry growth: +5 this round (files_avro_deflate,
+# files_avro_snappy, multimodal_png_decode, multimodal_wav_decode,
+# multimodal_jpeg_decode — closing the r5 verdict's avro-codec gap
+# COMPLETELY (both spec codecs, snappy via the clean-room
+# codecs/snappy.py block-format implementation) and the ENTIRE
+# image-codec gap (PNG + baseline JPEG, formerly "needs a real
+# library"), plus the audio analogue in the same clean-room
+# discipline). Every slot carries a DuckDB oracle — zero expected
+# err rows.
 ROTATED_IN_R6: tuple[str, ...] = (
     # scale-fixed this round — must land driver-checked
     "events_peak_concurrency",
@@ -304,17 +306,18 @@ ROTATED_IN_R6: tuple[str, ...] = (
     "sql_lateral_topk",
 )
 
-# Still never driver-checked after the r6 window — the 14-query r7
+# Still never driver-checked after the r6 window — the 15-query r7
 # tail. agg_hll_mergeable / agg_approx_top_k are rows-only by design
 # (sketches, pytest accuracy-bounded) — slot them last in r7, after
-# the 12 oracle-backed leftovers and the re-verification keystones for
+# the 13 oracle-backed leftovers and the re-verification keystones for
 # code changed in r6 (greedy BPE, the BIGINT-boolean sweep):
 #   agg_approx_top_k (rows-only), agg_boolean_battery, agg_grouping_id,
 #   agg_hll_mergeable (rows-only), agg_mode_tiebreak,
 #   agg_string_concat_ordered, files_avro_deflate (r6 addition),
 #   files_avro_snappy (r6 addition), join_null_safe,
-#   multimodal_png_decode (r6 addition), multimodal_wav_decode
-#   (r6 addition), scalar_map_pack, scalar_regexp_pack, set_ops_all
+#   multimodal_jpeg_decode (r6 addition), multimodal_png_decode
+#   (r6 addition), multimodal_wav_decode (r6 addition),
+#   scalar_map_pack, scalar_regexp_pack, set_ops_all
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never

@@ -33,6 +33,7 @@ from pyspark.sql.types import (
 
 from datafusion_streams_spark.catalog import load_documents
 from datafusion_streams_spark.codecs.bmp import decode_bmp, encode_bmp
+from datafusion_streams_spark.codecs.jpeg import decode_jpeg_gray, encode_jpeg_gray
 from datafusion_streams_spark.codecs.png import decode_png, encode_png
 from datafusion_streams_spark.codecs.wav import decode_wav, encode_wav
 from datafusion_streams_spark.operators import query
@@ -831,9 +832,7 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     inversions). Dimensions/pixels are closed-form in doc_id, so the
     DuckDB oracle recomputes the decoded ground truth with no codec:
     the hash match proves chunk framing, compression, and every filter
-    predictor inverted bit-exactly. With codecs/bmp.py this leaves
-    JPEG as the only documented swap-in (DCT entropy coding needs a
-    real library; none ships in this container).
+    predictor inverted bit-exactly.
 
     Scale: identical two-stage map-only Arrow pipeline as
     multimodal_bmp_decode — no shuffle, no state.
@@ -843,6 +842,126 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _png_encode_batch, "doc_id long, payload binary"
     )
     return encoded.mapInPandas(_png_decode_batch, _BMP_DECODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real image decode #3: baseline JPEG through the pure-Python codec (r6)
+# ---------------------------------------------------------------------------
+
+# JPEG is LOSSY, so an oracle can only recompute decoded output where
+# the codec's arithmetic is exact. Piecewise-flat images (constant per
+# 8x8 block) are that case: every block is DC-only, the DC coefficient
+# quantizes in pure integers (S = floor((2*64*(v-128) + 8*Q0)/(16*Q0)),
+# Q0 = 16 — a power of two, so each oracle division is an exact dyadic
+# FLOOR), and the DC-only inverse transform is flat (p = clip(
+# floor((16*S + 4)/8) + 128)). Dimensions are NOT multiples of 8
+# (w = 8..24 minus doc_id % 5, h = 8..16 minus doc_id % 3), so partial
+# edge blocks — padded by edge replication at encode, cropped at
+# decode — are inside the hash check too; the padding of a flat block
+# region is the same flat value, preserving exactness. DuckDB's `//`
+# TRUNCATES toward zero, hence FLOOR(x / 2^k) throughout.
+_JPEG_DECODE_ORACLE = """
+WITH dims AS (
+    SELECT doc_id,
+           8 * (1 + doc_id % 3) - (doc_id % 5) AS w,
+           8 * (1 + doc_id % 2) - (doc_id % 3) AS h
+    FROM documents
+),
+px AS (
+    SELECT doc_id, w, h,
+        flatten(list_transform(range(0, h), y ->
+            list_transform(range(0, w), x ->
+                LEAST(255, GREATEST(0,
+                    CAST(FLOOR((16 * CAST(FLOOR(
+                        (2 * (64 * (((17 * doc_id
+                            + 29 * CAST(FLOOR(x / 8.0) AS BIGINT)
+                            + 43 * CAST(FLOOR(y / 8.0) AS BIGINT)) % 256)
+                            - 128)) + 128) / 256.0) AS BIGINT) + 4) / 8.0)
+                        AS BIGINT) + 128))
+            ))) AS pix
+    FROM dims
+)
+SELECT doc_id,
+    CAST(w AS BIGINT) AS width,
+    CAST(h AS BIGINT) AS height,
+    CAST(w * h AS BIGINT) AS n_pixels,
+    CAST(list_sum(pix) AS BIGINT) AS sum_px,
+    CAST(list_sum(list_transform(range(1, w * h + 1),
+        i -> i * pix[i])) AS BIGINT) AS checksum
+FROM px
+"""
+
+
+def _jpeg_fixture_pixels(doc_id: int) -> tuple[int, int, list[int]]:
+    w = 8 * (1 + doc_id % 3) - (doc_id % 5)
+    h = 8 * (1 + doc_id % 2) - (doc_id % 3)
+    pixels = [
+        (17 * doc_id + 29 * (x // 8) + 43 * (y // 8)) % 256
+        for y in range(h)
+        for x in range(w)
+    ]
+    return w, h, pixels
+
+
+def _jpeg_encode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = []
+        for d in pdf["doc_id"].astype("int64"):
+            w, h, pixels = _jpeg_fixture_pixels(int(d))
+            payloads.append(encode_jpeg_gray(w, h, pixels))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _jpeg_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    rows = []
+    for pdf in batches:
+        for d, payload in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
+            w, h, pixels = decode_jpeg_gray(bytes(payload))
+            sum_px = sum(pixels)
+            checksum = sum((i + 1) * p for i, p in enumerate(pixels))
+            rows.append((int(d), w, h, w * h, sum_px, checksum))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "n_pixels", "sum_px", "checksum"],
+        )
+        rows = []
+
+
+_JPEG_DECODE_SCHEMA = (
+    "doc_id long, width long, height long, n_pixels long, "
+    "sum_px long, checksum long"
+)
+
+
+@query(
+    "multimodal_jpeg_decode",
+    oracle=_JPEG_DECODE_ORACLE,
+    tags=("multimodal", "pandas-udf", "codec"),
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode end-to-end (r6, the third real image codec —
+    formerly the one documented swap-in): synthesize one baseline
+    sequential grayscale JPEG per document with the pure-Python
+    spec-level codec (codecs/jpeg.py: DQT/SOF0/DHT/SOS marker stream,
+    canonical Huffman DC-difference + AC run-length entropy coding,
+    byte stuffing, quantized 8x8 DCT), ship the binary column through
+    Arrow, and DECODE it. Fixture images are piecewise-flat so the
+    lossy pipeline is EXACT (DC-only blocks, integer arithmetic end to
+    end — see the oracle comment), letting the DuckDB oracle recompute
+    decoded pixels in closed form: the hash match proves marker
+    parsing, Huffman decode, dequantization, DC reconstruction, and
+    edge-block cropping bit-exact. Non-flat content exercises the full
+    float DCT paths in tests/test_codecs.py (round-trip error bounds,
+    PSNR, handwritten spec vectors with foreign Huffman tables).
+
+    Scale: identical two-stage map-only Arrow pipeline as
+    multimodal_bmp_decode — no shuffle, no state.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    encoded = docs.repartition(32, "doc_id").mapInPandas(
+        _jpeg_encode_batch, "doc_id long, payload binary"
+    )
+    return encoded.mapInPandas(_jpeg_decode_batch, _JPEG_DECODE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

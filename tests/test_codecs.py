@@ -402,3 +402,151 @@ def test_snappy_decode_rejects_malformed():
     # declared-vs-decoded mismatch, explicit: preamble says 9, body has 5
     with pytest.raises(ValueError, match="declared"):
         snappy_decompress(b"\x09\x10hello")
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (codecs/jpeg.py) — grayscale sequential DCT
+# ---------------------------------------------------------------------------
+
+from datafusion_streams_spark.codecs.jpeg import (  # noqa: E402
+    STD_QUANT,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+
+
+def _flat_expected(d, w, h):
+    """The integer closed form the DuckDB oracle mirrors."""
+    out = []
+    for y in range(h):
+        for x in range(w):
+            v = (17 * d + 29 * (x // 8) + 43 * (y // 8)) % 256
+            s = (2 * 64 * (v - 128) + 8 * STD_QUANT[0]) // (16 * STD_QUANT[0])
+            p = (s * STD_QUANT[0] + 4) // 8 + 128
+            out.append(min(255, max(0, p)))
+    return out
+
+
+def test_jpeg_flat_blocks_roundtrip_exactly():
+    """Piecewise-flat images (constant per 8x8 block) are DC-only, so
+    the lossy pipeline is EXACT — including non-multiple-of-8
+    dimensions whose edge blocks are pad-replicated then cropped.
+    This is precisely what multimodal_jpeg_decode's oracle recomputes."""
+    for d in range(24):
+        w = 8 * (1 + d % 3) - (d % 5)
+        h = 8 * (1 + d % 2) - (d % 3)
+        px = [
+            (17 * d + 29 * (x // 8) + 43 * (y // 8)) % 256
+            for y in range(h)
+            for x in range(w)
+        ]
+        assert decode_jpeg_gray(encode_jpeg_gray(w, h, px)) == (
+            w,
+            h,
+            _flat_expected(d, w, h),
+        ), d
+
+
+def test_jpeg_handwritten_vector_with_foreign_tables():
+    """A byte-level minimal JPEG assembled straight from the spec,
+    using Huffman tables SHAPED NOTHING LIKE the encoder's (two
+    length-2 DC codes, one length-2 AC code) — decoding it proves the
+    decoder rebuilds canonical tables from DHT instead of assuming its
+    own: scan bits are DC code '01' (category 1) + '1' (diff=+1) +
+    AC '00' (EOB) + '111' padding = 0x67; S=1, Q0=16 -> every pixel
+    floor((16+4)/8)+128 = 130."""
+    vec = (
+        b"\xff\xd8"
+        + b"\xff\xdb\x00\x43\x00" + b"\x10" * 64
+        + b"\xff\xc0\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        + b"\xff\xc4\x00\x15\x00" + bytes([0, 2] + [0] * 14) + b"\x00\x01"
+        + b"\xff\xc4\x00\x14\x10" + bytes([0, 1] + [0] * 14) + b"\x00"
+        + b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+        + b"\x67"
+        + b"\xff\xd9"
+    )
+    assert decode_jpeg_gray(vec) == (8, 8, [130] * 64)
+
+
+def test_jpeg_general_content_bounded_error():
+    """Non-flat content through the full float DCT paths: with a
+    unit quant table the only loss is coefficient rounding, bounding
+    pixel error by a couple of levels; the std table on a smooth
+    gradient must stay visually lossless (PSNR > 40 dB)."""
+    import math
+
+    rng = random.Random(3)
+    w, h = 24, 16
+    px = [rng.randrange(100, 157) for _ in range(w * h)]
+    gw, gh, out = decode_jpeg_gray(encode_jpeg_gray(w, h, px, quant=[1] * 64))
+    assert (gw, gh) == (w, h)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 3
+
+    w, h = 32, 24
+    grad = [
+        min(255, max(0, int(128 + 60 * (x / w - 0.5) + 40 * (y / h - 0.5))))
+        for y in range(h)
+        for x in range(w)
+    ]
+    _, _, out = decode_jpeg_gray(encode_jpeg_gray(w, h, grad))
+    mse = sum((a - b) ** 2 for a, b in zip(grad, out)) / len(grad)
+    assert 10 * math.log10(255**2 / mse) > 40
+
+
+def test_jpeg_byte_stuffing_in_scan():
+    """seed 6 at quant=1 produces an entropy stream containing a raw
+    0xFF data byte — the writer must stuff 0x00 after it and the
+    reader must swallow the pair (and the decode stays within the
+    unit-quant error bound)."""
+    rng = random.Random(6)
+    px = [rng.randrange(256) for _ in range(16 * 8)]
+    payload = encode_jpeg_gray(16, 8, px, quant=[1] * 64)
+    scan = payload[payload.index(b"\xff\xda") + 10 : -2]
+    assert b"\xff\x00" in scan
+    _, _, out = decode_jpeg_gray(payload)
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 3
+
+
+def test_jpeg_decode_rejects_malformed():
+    good = encode_jpeg_gray(8, 8, [128] * 64)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"PK" + good[2:])
+    with pytest.raises(ValueError, match="overruns"):
+        decode_jpeg_gray(good[:10])  # DQT length field exceeds the file
+    # progressive SOF2
+    prog = bytearray(good)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg_gray(bytes(prog))
+    # 3-component SOF: grayscale-only decoder must say so
+    i = good.index(b"\xff\xc0")
+    sof3 = (
+        good[:i]
+        + b"\xff\xc0\x00\x11\x08\x00\x08\x00\x08\x03"
+        + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+        + good[i + 13 :]
+    )
+    with pytest.raises(ValueError, match="grayscale"):
+        decode_jpeg_gray(sof3)
+    # restart intervals are out of scope, loudly
+    dri = good[:i] + b"\xff\xdd\x00\x04\x00\x08" + good[i:]
+    with pytest.raises(ValueError, match="DRI"):
+        decode_jpeg_gray(dri)
+    # truncated entropy stream
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_gray(good[:-3])
+    # APPn and COM segments are skipped fine
+    app = good[:2] + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00" + good[2:]
+    com = app[:2] + b"\xff\xfe\x00\x0chello jpeg" + app[2:]
+    assert decode_jpeg_gray(com)[2] == decode_jpeg_gray(good)[2]
+
+
+def test_jpeg_encoder_validates_input():
+    with pytest.raises(ValueError, match="dimensions"):
+        encode_jpeg_gray(0, 8, [])
+    with pytest.raises(ValueError, match="expected 64"):
+        encode_jpeg_gray(8, 8, [0] * 63)
+    with pytest.raises(ValueError, match="8-bit range"):
+        encode_jpeg_gray(1, 1, [300])
+    with pytest.raises(ValueError, match="quant table"):
+        encode_jpeg_gray(1, 1, [0], quant=[0] * 64)
