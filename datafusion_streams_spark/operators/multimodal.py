@@ -70,7 +70,8 @@ def decode_image(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     spec-level codec (``codecs/bmp.py``). Runs inside the same
     mapInPandas batch loop ``_extract_meta`` uses, so the Spark plan
     (Arrow exchange, partitioning, schema) is the production shape;
-    swapping in a JPEG/PNG codec changes only this function body."""
+    the PNG and baseline-JPEG codecs plug into the same loop (see
+    multimodal_png_decode / multimodal_jpeg_decode)."""
     return decode_bmp(bytes(payload))
 
 
@@ -719,8 +720,8 @@ def multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel order. The DuckDB oracle recomputes the ground truth from
     the closed form, so a hash match proves the codec inverted the
     header/stride/bottom-up encoding bit-exactly. This replaces the
-    repo's former decode stub; JPEG/PNG codecs would swap into the
-    same two-stage mapInPandas pipeline.
+    repo's former decode stub; the PNG and baseline-JPEG codecs ride
+    the same two-stage mapInPandas pipeline.
 
     Scale: two chained map-only Arrow stages — no shuffle, no state;
     the repartition spreads the single-file fixture scan the same way

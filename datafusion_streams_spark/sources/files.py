@@ -63,7 +63,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     except Exception as exc:  # pragma: no cover - environment-dependent
         raise RuntimeError(
             "avro support needs the org.apache.spark:spark-avro package on the classpath; "
-            "for null-codec container files, format('avro_py') "
+            "for null/deflate/snappy container files, format('avro_py') "
             "(datafusion_streams_spark.sources.avro_py, pure Python, no jar) reads and writes "
             "without it"
         ) from exc

@@ -550,3 +550,56 @@ def test_jpeg_encoder_validates_input():
         encode_jpeg_gray(1, 1, [300])
     with pytest.raises(ValueError, match="quant table"):
         encode_jpeg_gray(1, 1, [0], quant=[0] * 64)
+
+
+# ---------------------------------------------------------------------------
+# generative properties (hypothesis) — no Spark needed
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.one_of(
+        st.binary(max_size=2000),
+        # repetitive payloads: a few short motifs tiled in random order,
+        # exercising the copy/overlap paths hard
+        st.lists(
+            st.sampled_from([b"ab", b"abc", b"\x00", b"xyzw", b"q"]),
+            min_size=0,
+            max_size=400,
+        ).map(b"".join),
+    )
+)
+def test_snappy_roundtrip_property(data):
+    assert snappy_decompress(snappy_compress(data)) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bw=st.integers(1, 3),
+    bh=st.integers(1, 3),
+    crop_x=st.integers(0, 7),
+    crop_y=st.integers(0, 7),
+    vals=st.lists(st.integers(0, 255), min_size=9, max_size=9),
+)
+def test_jpeg_flat_block_exactness_property(bw, bh, crop_x, crop_y, vals):
+    """ANY piecewise-flat image (any per-block values, any crop below
+    a block multiple) round-trips through the lossy codec onto the
+    integer closed form — the generative version of the oracle's
+    premise, so the driver-checked fixture family isn't a special
+    case."""
+    w = 8 * bw - min(crop_x, 8 * bw - 1)
+    h = 8 * bh - min(crop_y, 8 * bh - 1)
+    grid = {(bx, by): vals[(by * 3 + bx) % 9] for bx in range(bw) for by in range(bh)}
+    px = [grid[(x // 8, y // 8)] for y in range(h) for x in range(w)]
+    exp = []
+    q0 = STD_QUANT[0]
+    for y in range(h):
+        for x in range(w):
+            v = grid[(x // 8, y // 8)]
+            s = (2 * 64 * (v - 128) + 8 * q0) // (16 * q0)
+            exp.append(min(255, max(0, (s * q0 + 4) // 8 + 128)))
+    assert decode_jpeg_gray(encode_jpeg_gray(w, h, px)) == (w, h, exp)
