@@ -287,11 +287,18 @@ def encode_jpeg_gray(
     pred = 0
     for by in range((height + 7) // 8):
         for bx in range((width + 7) // 8):
-            block = [
-                pixels[min(8 * by + y, height - 1) * width + min(8 * bx + x, width - 1)]
-                for y in range(8)
-                for x in range(8)
-            ]
+            x0, y0 = 8 * bx, 8 * by
+            if x0 + 8 <= width and y0 + 8 <= height:
+                block = []
+                for y in range(8):
+                    base = (y0 + y) * width + x0
+                    block.extend(pixels[base : base + 8])
+            else:  # edge block: pad by edge replication
+                block = [
+                    pixels[min(y0 + y, height - 1) * width + min(x0 + x, width - 1)]
+                    for y in range(8)
+                    for x in range(8)
+                ]
             coeffs = _quantize_block(block, quant)
             # DC difference
             diff = coeffs[0] - pred
@@ -485,15 +492,10 @@ def _decode_scan(payload, pos, width, height, quant, dc_table, ac_table):
                 coeffs[ZIGZAG[k]] = _extend(reader.take(s), s) * quant[ZIGZAG[k]]
                 k += 1
             block = _idct_block(coeffs)
-            for y in range(8):
-                py = 8 * by + y
-                if py >= height:
-                    break
+            x0 = 8 * bx
+            ncols = min(8, width - x0)
+            for y in range(min(8, height - 8 * by)):
+                base = (8 * by + y) * width + x0
                 row = y * 8
-                base = py * width
-                for x in range(8):
-                    px = 8 * bx + x
-                    if px >= width:
-                        break
-                    pixels[base + px] = block[row + x]
+                pixels[base : base + ncols] = block[row : row + ncols]
     return width, height, pixels
