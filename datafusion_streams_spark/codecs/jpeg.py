@@ -415,6 +415,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, list[int]]:
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
+                if b + 17 > len(body):
+                    raise ValueError("jpeg: DHT header truncated")
                 tc, th = body[b] >> 4, body[b] & 0x0F
                 bits = list(body[b + 1 : b + 17])
                 n = sum(bits)
@@ -426,6 +428,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, list[int]]:
                 )
                 b += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("jpeg: SOF0 segment truncated")
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -443,6 +447,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, list[int]]:
         elif marker == 0xDD:
             raise ValueError("jpeg: restart intervals (DRI) not supported")
         elif marker == 0xDA:  # SOS
+            if len(body) < 6:
+                raise ValueError("jpeg: SOS segment truncated")
             if width == 0:
                 raise ValueError("jpeg: SOS before SOF")
             ns = body[0]

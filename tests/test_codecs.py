@@ -535,6 +535,12 @@ def test_jpeg_decode_rejects_malformed():
     # truncated entropy stream
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg_gray(good[:-3])
+    # short DHT / SOF / SOS bodies must raise ValueError, not IndexError
+    for seg, msg in ((b"\xff\xc4\x00\x05\x00\x01\x02", "DHT header"),
+                     (b"\xff\xc0\x00\x06\x08\x00\x08\x00", "SOF0 segment"),
+                     (b"\xff\xda\x00\x04\x01\x01", "SOS segment")):
+        with pytest.raises(ValueError, match=msg):
+            decode_jpeg_gray(good[:2] + seg + good[2:])
     # APPn and COM segments are skipped fine
     app = good[:2] + b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00" + good[2:]
     com = app[:2] + b"\xff\xfe\x00\x0chello jpeg" + app[2:]
