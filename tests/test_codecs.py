@@ -609,3 +609,49 @@ def test_jpeg_flat_block_exactness_property(bw, bh, crop_x, crop_y, vals):
             s = (2 * 64 * (v - 128) + 8 * q0) // (16 * q0)
             exp.append(min(255, max(0, (s * q0 + 4) // 8 + 128)))
     assert decode_jpeg_gray(encode_jpeg_gray(w, h, px)) == (w, h, exp)
+
+
+def test_all_decoders_fail_closed_under_mutation():
+    """Seeded byte-mutation fuzz across every codec: flips, deletions,
+    and insertions on valid payloads must either decode or raise
+    ValueError — never IndexError/struct.error/zlib.error. At corpus
+    scale corrupt payloads are a certainty, and a leaked exception
+    type is a worker-crash, not a quarantine row."""
+    import random as _random
+
+    from datafusion_streams_spark.codecs.png import decode_png, encode_png
+    from datafusion_streams_spark.codecs.wav import decode_wav, encode_wav
+
+    rng = _random.Random(99)
+    px3 = [(rng.randrange(256),) * 3 for _ in range(48)]
+    payloads = {
+        "bmp": (decode_bmp, encode_bmp(8, 6, px3)),
+        "png": (decode_png, encode_png(8, 6, px3)),
+        "wav": (
+            decode_wav,
+            encode_wav(8000, 2, [rng.randrange(-1000, 1000) for _ in range(64)]),
+        ),
+        "jpeg": (
+            decode_jpeg_gray,
+            encode_jpeg_gray(16, 16, [rng.randrange(256) for _ in range(256)]),
+        ),
+        "snappy": (
+            snappy_decompress,
+            snappy_compress(bytes(rng.randrange(8) for _ in range(300))),
+        ),
+    }
+    for name, (dec, good) in payloads.items():
+        for _ in range(400):
+            b = bytearray(good)
+            for _ in range(rng.randrange(1, 4)):
+                op = rng.randrange(3)
+                if op == 0 and b:
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                elif op == 1 and len(b) > 1:
+                    del b[rng.randrange(len(b))]
+                else:
+                    b.insert(rng.randrange(len(b) + 1), rng.randrange(256))
+            try:
+                dec(bytes(b))
+            except ValueError:
+                pass  # the contract: malformed input -> ValueError
