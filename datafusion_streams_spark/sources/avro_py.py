@@ -82,11 +82,16 @@ def _write_long(buf: io.BytesIO, n: int) -> None:
 def _read_long(buf: io.BufferedReader) -> int:
     shift, acc = 0, 0
     while True:
-        (b,) = buf.read(1)
+        byte = buf.read(1)
+        if not byte:
+            raise ValueError("avro: truncated varint")
+        b = byte[0]
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
             break
         shift += 7
+        if shift > 70:
+            raise ValueError("avro: varint too long")
     return (acc >> 1) ^ -(acc & 1)  # un-zigzag
 
 
@@ -96,7 +101,13 @@ def _write_bytes(buf: io.BytesIO, data: bytes) -> None:
 
 
 def _read_bytes(buf: io.BufferedReader) -> bytes:
-    return buf.read(_read_long(buf))
+    n = _read_long(buf)
+    if n < 0:
+        raise ValueError(f"avro: negative bytes length {n}")
+    data = buf.read(n)
+    if len(data) != n:
+        raise ValueError("avro: bytes value truncated")
+    return data
 
 
 # ---------------------------------------------------------------------------
@@ -121,17 +132,22 @@ def _avro_schema_json(fields: list[tuple[str, str]], name: str = "row") -> str:
 
 
 def _fields_from_avro_json(schema_json: str) -> list[tuple[str, str]]:
-    sch = json.loads(schema_json)
-    out = []
-    for f in sch["fields"]:
-        t = f["type"]
-        if isinstance(t, dict) and t.get("logicalType") == "date":
-            out.append((f["name"], "date"))
-        elif t in ("long", "int"):
-            out.append((f["name"], "long" if t == "long" else "date"))
-        else:
-            out.append((f["name"], t))
-    return out
+    sch = json.loads(schema_json)  # JSONDecodeError is a ValueError
+    try:
+        out = []
+        for f in sch["fields"]:
+            t = f["type"]
+            if isinstance(t, dict) and t.get("logicalType") == "date":
+                out.append((f["name"], "date"))
+            elif t in ("long", "int"):
+                out.append((f["name"], "long" if t == "long" else "date"))
+            else:
+                out.append((f["name"], t))
+        return out
+    except (KeyError, TypeError) as exc:
+        # corrupt metadata must fail closed as ValueError, the decoder
+        # convention every codec here shares
+        raise ValueError(f"avro: malformed schema JSON ({exc!r})") from exc
 
 
 def _encode_value(buf: io.BytesIO, kind: str, v) -> None:
@@ -153,7 +169,10 @@ def _decode_value(buf: io.BufferedReader, kind: str):
     if kind == "date":
         return _EPOCH + timedelta(days=_read_long(buf))
     if kind == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        raw = buf.read(8)
+        if len(raw) != 8:
+            raise ValueError("avro: truncated double")
+        return struct.unpack("<d", raw)[0]
     if kind == "string":
         return _read_bytes(buf).decode("utf-8")
     raise ValueError(f"unsupported avro kind: {kind}")
@@ -183,7 +202,10 @@ def _decompress_block(data: bytes, codec: str) -> bytes:
     if codec == "null":
         return data
     if codec == "deflate":
-        return zlib.decompress(data, -15)
+        try:
+            return zlib.decompress(data, -15)
+        except zlib.error as exc:
+            raise ValueError(f"avro: corrupt deflate block ({exc})") from exc
     if codec == "snappy":
         if len(data) < 4:
             raise ValueError("avro snappy block shorter than its CRC32")
@@ -299,6 +321,10 @@ def read_avro_file(path: str):
             f.seek(-1, 1)
             n_rows = _read_long(f)
             size = _read_long(f)
+            if n_rows < 0 or size < 0:
+                raise ValueError(
+                    f"avro: negative block header ({n_rows} rows, {size} bytes)"
+                )
             block = io.BytesIO(_decompress_block(f.read(size), codec))
             for _ in range(n_rows):
                 yield tuple(_decode_value(block, kind) for _, kind in fields)

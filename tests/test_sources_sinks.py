@@ -383,3 +383,43 @@ def test_avro_py_snappy_codec_roundtrip(tmp_path):
     open(p_bad, "wb").write(bytes(raw))
     with pytest.raises(ValueError, match="CRC32"):
         list(read_avro_file(p_bad))
+
+
+def test_avro_py_reader_fails_closed_under_mutation(tmp_path):
+    """Seeded byte-mutation fuzz over all three codecs: a corrupted
+    container must either decode or raise ValueError — never a leaked
+    KeyError (schema JSON), struct.error (truncated double), or
+    zlib.error (corrupt deflate block). At corpus scale corrupt files
+    are a certainty, and a leaked exception type is a worker crash
+    instead of a quarantinable row."""
+    import random as _random
+
+    from datafusion_streams_spark.sources.avro_py import (
+        read_avro_file,
+        write_avro_file,
+    )
+
+    rng = _random.Random(42)
+    fields = [("k", "long"), ("s", "string"), ("d", "double")]
+    rows = [{"k": i, "s": "payload %d" % i, "d": i / 8} for i in range(50)]
+    pbad = str(tmp_path / "mut.avro")
+    for codec in ("null", "deflate", "snappy"):
+        p = str(tmp_path / (codec + ".avro"))
+        write_avro_file(p, fields, rows, codec=codec)
+        good = open(p, "rb").read()
+        assert len(list(read_avro_file(p))) == 50
+        for _ in range(500):
+            b = bytearray(good)
+            for _ in range(rng.randrange(1, 4)):
+                op = rng.randrange(3)
+                if op == 0 and b:
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                elif op == 1 and len(b) > 1:
+                    del b[rng.randrange(len(b))]
+                else:
+                    b.insert(rng.randrange(len(b) + 1), rng.randrange(256))
+            open(pbad, "wb").write(bytes(b))
+            try:
+                list(read_avro_file(pbad))
+            except ValueError:
+                pass  # the contract: malformed container -> ValueError
