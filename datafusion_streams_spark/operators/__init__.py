@@ -306,18 +306,79 @@ ROTATED_IN_R6: tuple[str, ...] = (
     "sql_lateral_topk",
 )
 
-# Still never driver-checked after the r6 window — the 15-query r7
-# tail. agg_hll_mergeable / agg_approx_top_k are rows-only by design
-# (sketches, pytest accuracy-bounded) — slot them last in r7, after
-# the 13 oracle-backed leftovers and the re-verification keystones for
-# code changed in r6 (greedy BPE, the BIGINT-boolean sweep):
-#   agg_approx_top_k (rows-only), agg_boolean_battery, agg_grouping_id,
-#   agg_hll_mergeable (rows-only), agg_mode_tiebreak,
-#   agg_string_concat_ordered, files_avro_deflate (r6 addition),
-#   files_avro_snappy (r6 addition), join_null_safe,
-#   multimodal_jpeg_decode (r6 addition), multimodal_png_decode
-#   (r6 addition), multimodal_wav_decode (r6 addition),
-#   scalar_map_pack, scalar_regexp_pack, set_ops_all
+# R7 window (r6 verdict item #1): terminal burn-down. The 13
+# never-driver-checked oracle-backed queries lead (the 5 r6 codec
+# additions + 8 older leftovers) — after this round every oracle-backed
+# query in the registry has a driver hash row (the only exceptions are
+# the 2 rows-only sketches agg_hll_mergeable / agg_approx_top_k, which
+# are uncheckable by design and pytest accuracy-bounded; they never
+# burn a slot). The next 23 slots are changed-since-last-green
+# re-verification: queries whose code or oracle changed in r6 (or is
+# touched by the r7 hardening) AFTER their latest driver-green row —
+# the canonical-greedy BPE pair first (r5-green, semantics changed r6),
+# then the boolean→BIGINT sweep (text_contamination /
+# text_repetition_filter / text_gopher_rules / join_full_outer /
+# events_sessionize and the curation suites built on them), the
+# minhash-label-memo consumers (memo hardened r7), the parallelized
+# avro/pysink trips, and the r6 multimodal cache refactor. The final
+# 14 slots refresh the OLDEST evidence: r1/r2-green keystones one per
+# family, so no green row in the registry is more than ~5 rounds
+# stale. Registry growth this round: 0 (freeze, verdict item #4).
+ROTATED_IN_R7: tuple[str, ...] = (
+    # never driver-checked, oracle-backed (13) — closes the backlog
+    "files_avro_deflate",
+    "files_avro_snappy",
+    "multimodal_png_decode",
+    "multimodal_wav_decode",
+    "multimodal_jpeg_decode",
+    "agg_mode_tiebreak",
+    "agg_string_concat_ordered",
+    "agg_grouping_id",
+    "agg_boolean_battery",
+    "join_null_safe",
+    "scalar_map_pack",
+    "scalar_regexp_pack",
+    "set_ops_all",
+    # changed after their last driver-green row (23)
+    "text_bpe_merges",          # r5-green; canonical-greedy rewrite r6
+    "text_bpe_fertility",       # r5-green; rides the same merge table
+    "text_contamination",       # r3-green; boolean→BIGINT r6
+    "text_gopher_rules",        # r4-green; boolean→BIGINT r6
+    "text_repetition_filter",   # r3-green; boolean→BIGINT r6
+    "text_unigram_logprob",     # r3-green; oracle touch-up r6
+    "text_domain_mix",          # r4-green; touch-up r6
+    "text_bm25_search",         # r3-green; lazy-broadcast totals r6
+    "dedup_rewrite_map",        # r4-green; labels join rewritten r6
+    "dedup_components",         # r2-green; minhash_labels memo r6+r7
+    "dedup_component_stats",    # r3-green; minhash_labels memo r6+r7
+    "dedup_minhash_lsh",        # r4-green; shared signature pipeline
+    "pipeline_curation",        # r2-green; curation oracle sweep r6
+    "pipeline_curation_v2",     # r3-green; boolean predicates r6
+    "pipeline_curation_v3",     # r5-green; gopher_pass predicate r6
+    "sample_importance_dsir",   # r5-green; collect()→broadcast r6
+    "join_full_outer",          # r4-green; boolean→BIGINT r6
+    "events_sessionize",        # r4-green; boolean→BIGINT r6
+    "files_avro_roundtrip",     # r5-green; 8-partition parallel r6 + avro int fix r7
+    "files_pysink_manifest",    # r5-green; parallel manifest write r6
+    "streaming_avro_source",    # r5-green; avro_py reader changed r6+r7
+    "multimodal_bmp_decode",    # r5-green; bmp bounds fix r6
+    "multimodal_simhash_neardup",  # r5-green; shared-cache refactor r6+r7
+    # oldest-green freshness keystones, one per family (14)
+    "ref_kafka_pipeline",       # r3 — Tier B reference pipeline
+    "streaming_ref_pipeline",   # r2 — Tier A streaming envelope
+    "q1_pricing_summary",       # r2 — TPC-H agg
+    "q6_revenue_forecast",      # r1 — filter/pushdown
+    "q9_product_profit",        # r2 — multi-join
+    "sql_entry_point",          # r2 — SQL surface
+    "dedup_exact",              # r2 — hash dedup
+    "dedup_simhash",            # r2 — simhash band join
+    "dedup_ngram_jaccard",      # r2 — prefix-filtered AllPairs
+    "similarity_pairs_vectorized",  # r2 — Arrow pairwise
+    "ann_topk_bruteforce",      # r2 — ANN baseline
+    "text_quality_score",       # r2 — text scoring
+    "multimodal_frame_sample",  # r2 — binary mapInPandas
+    "sample_stratified",        # r2 — sampling
+)
 
 # Broken-then-fixed (streaming ts normalization) or re-oracled this
 # round — each needs a fresh driver row; streaming_cdc_upsert has never
@@ -376,11 +437,10 @@ KEYSTONES_R3: tuple[str, ...] = (
     "cluster_kmeans_embeddings",
 )
 
-# r6: the window is exactly the 50-query rotation — no repaired set
-# (nothing driver-red in r5) and no keystones (coverage debt outranks
-# re-verification until the backlog clears; local pytest still sweeps
-# every oracle each session).
-VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R6
+# r7: the window is exactly the 50-query rotation — backlog closure +
+# changed-code re-verification + oldest-evidence refresh (see
+# ROTATED_IN_R7 comment). Nothing was driver-red in r6.
+VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R7
 
 
 def _prioritize() -> None:

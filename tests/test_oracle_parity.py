@@ -45,23 +45,23 @@ def test_registry_complete():
     assert set(o) <= set(q)
 
 
-def test_verified_prefix_is_the_r6_rotation():
+def test_verified_prefix_is_the_r7_rotation():
     """The driver hard-verifies only the first 50 registry slots. The
-    round-6 window (round-5 verdict item #1) nearly closes the
-    never-driver-checked backlog: all 50 slots are queries with no
-    CORRECTNESS row in any prior round, every slot carries a DuckDB
-    oracle (zero expected err rows), no slot wastes itself
-    re-verifying a query that is already driver-green, and the two
-    r6 scale-fixed queries lead so their fixes land driver-checked."""
+    round-7 window (round-6 verdict item #1) is the terminal
+    burn-down: the 13 never-driver-checked oracle-backed queries lead
+    (after this round, every oracle-backed query has a driver hash
+    row), the next 23 slots re-verify queries whose code changed after
+    their last green row (BPE canonical-greedy first), and the last 14
+    refresh the oldest (r1/r2) evidence. Every slot carries a DuckDB
+    oracle — zero expected err rows."""
     import json
     import os
 
-    from datafusion_streams_spark.operators import ROTATED_IN_R6, VERIFIED_FIRST
+    from datafusion_streams_spark.operators import ROTATED_IN_R7, VERIFIED_FIRST
 
     names = list(REGISTRY)
     assert len(VERIFIED_FIRST) == 50
-    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R6)
-    assert names[:2] == ["events_peak_concurrency", "events_pattern_match"]
+    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R7)
 
     window = names[:50]
     # every window slot is hash-checkable — no rows-only queries burn a
@@ -69,18 +69,21 @@ def test_verified_prefix_is_the_r6_rotation():
     rows_only = [n for n in window if REGISTRY[n].oracle is None]
     assert rows_only == [], rows_only
 
-    # no window slot had a driver CORRECTNESS row in any round BEFORE
-    # this window was staged (r1-r5; r6's own run will of course add
-    # rows for exactly these names — that's the point)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked: set = set()
-    for r in ("r01", "r02", "r03", "r04", "r05"):
+    for r in ("r01", "r02", "r03", "r04", "r05", "r06"):
         f = os.path.join(repo, f"CORRECTNESS_{r}.json")
         if os.path.exists(f):
             checked.update(json.load(open(f)).keys())
     if checked:  # absent in a bare checkout
-        wasted = sorted(set(window) & checked)
-        assert wasted == [], f"window slots already driver-checked: {wasted}"
+        # the leading 13 slots are exactly the queries with no driver
+        # row in any prior round...
+        never = [n for n in window if n not in checked]
+        assert never == list(window[:13]), never
+        # ...and after this window runs, the only registered queries
+        # without a driver row anywhere are the two rows-only sketches.
+        remaining = set(REGISTRY) - checked - set(window)
+        assert remaining == {"agg_hll_mergeable", "agg_approx_top_k"}, sorted(remaining)
 
 
 def test_approx_distinct_accuracy(spark, duck):
