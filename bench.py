@@ -258,7 +258,7 @@ def build_compact_line(total, timings, reps, streaming, sf) -> str:
         # headline streaming number, everything else is in the detail file
         slim = {}
         if isinstance(streaming, dict):
-            for k in ("replay_rows_per_sec",):
+            for k in ("events_replay_rows_per_sec",):
                 if k in streaming:
                     slim[k] = streaming[k]
         base["streaming"] = slim
@@ -303,21 +303,33 @@ def _streaming_metrics(spark) -> dict:
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     from pyspark.sql import functions as F
 
-    # min-of-2 like the query timings: the first drain pays one-time
+    # min-of-N like the query timings: the first drain pays one-time
     # MicroBatchExecution/source-listing setup that a steady-state
-    # pipeline amortizes away
-    best = float("inf")
+    # pipeline amortizes away. Three base reps; when the two fastest
+    # still disagree by >10% the moment is ambient-loaded, so take up
+    # to three extra reps — the round-over-round headline should track
+    # the machine's best sustained rate, not the load average during
+    # one invocation (r6 recorded 240.9k mid-round vs 208.1k at the
+    # final run from identical code).
     replay_runs: list[float] = []
-    for _ in range(2):
+
+    def _one_replay() -> None:
         pipe = kafka_like_stream(spark, SF_DIR).select(
             F.col("key").cast("string").alias("key"),
             F.length(F.col("value").cast("string")).alias("len_value"),
         )
         t0 = time.perf_counter()
-        name, _ = run_drain_to_memory(pipe, output_mode="append")
-        elapsed = time.perf_counter() - t0
-        replay_runs.append(round(elapsed, 3))
-        best = min(best, elapsed)
+        run_drain_to_memory(pipe, output_mode="append")
+        replay_runs.append(round(time.perf_counter() - t0, 3))
+
+    for _ in range(3):
+        _one_replay()
+    while len(replay_runs) < 6:
+        fastest, runner_up = sorted(replay_runs)[:2]
+        if runner_up <= fastest * 1.10:
+            break
+        _one_replay()
+    best = min(replay_runs)
     replay_rows_per_sec = round(n_events / best, 1)
 
     # (c) cadence: rate source, 3 partitions, 200 ms trigger; average

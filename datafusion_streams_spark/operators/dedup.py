@@ -484,12 +484,17 @@ def minhash_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed DataFrame (distributed state, not driver rows)."""
     memo = _MINHASH_LABELS_MEMO.get(sf_dir)
     if memo is not None and memo[0] is spark:
-        # localCheckpoint blocks are NOT fault-tolerant: if an executor
-        # died, the stale handle would fail every consumer. Probe one
-        # block (a single-partition take — cheap vs. the fixpoint) and
-        # rebuild on any fetch failure instead of serving a dead handle.
+        # localCheckpoint blocks are NOT fault-tolerant: a lost
+        # executor leaves a handle whose lineage is truncated, so any
+        # consumer action raises instead of recomputing. Probe EVERY
+        # block before serving the handle (count() touches all
+        # partitions — take(1) would miss loss in the untouched ones)
+        # and rebuild from the pair graph on any fetch failure. The
+        # probe is one extra scan of the labels relation, which is
+        # cluster-member-sized (corpus fraction), and every consumer
+        # scans it in full anyway.
         try:
-            memo[1].take(1)
+            memo[1].count()
             return memo[1]
         except Exception:
             _MINHASH_LABELS_MEMO.pop(sf_dir, None)

@@ -299,9 +299,10 @@ def test_pattern_match_bounds_per_user_history(spark, tmp_path):
 
 
 def test_minhash_label_memo_rebuilds_on_dead_handle(spark):
-    """r5 ADVICE: localCheckpoint blocks are not fault-tolerant — if an
-    executor died, the memoized labels handle fails on fetch. The memo
-    must detect a dead handle (probe take(1)) and rebuild instead of
+    """r5/r6 ADVICE: localCheckpoint blocks are not fault-tolerant — if
+    an executor died, the memoized labels handle fails on fetch. The
+    memo must detect a dead handle (full-block count() probe — take(1)
+    would miss loss in untouched partitions) and rebuild instead of
     serving it to the three consumer queries."""
     from datafusion_streams_spark.operators import dedup
     from tests.conftest import SF_DIR
@@ -310,7 +311,7 @@ def test_minhash_label_memo_rebuilds_on_dead_handle(spark):
     n = good.count()
 
     class DeadHandle:
-        def take(self, _):
+        def count(self):
             raise RuntimeError("block fetch failed (simulated lost executor)")
 
     dedup._MINHASH_LABELS_MEMO[SF_DIR] = (spark, DeadHandle())
@@ -319,6 +320,37 @@ def test_minhash_label_memo_rebuilds_on_dead_handle(spark):
     assert rebuilt.count() == n
     # and the memo now holds the live handle again
     assert dedup._MINHASH_LABELS_MEMO[SF_DIR][1] is rebuilt
+
+
+def test_minhash_consumers_survive_real_checkpoint_block_loss(spark):
+    """r6 verdict item #3: kill the ACTUAL localCheckpoint blocks (the
+    faithful lost-executor simulation — lineage is truncated, so a
+    stale handle raises rather than recomputing) and show a consumer
+    query rebuilds the labels and returns the same result."""
+    from datafusion_streams_spark.operators import dedup
+    from datafusion_streams_spark.operators import REGISTRY
+    from tests.conftest import SF_DIR
+
+    labels = dedup.minhash_labels(spark, SF_DIR)
+    before = sorted((r.doc_id, r.canonical_id) for r in labels.collect())
+    assert dedup._MINHASH_LABELS_MEMO[SF_DIR][1] is labels
+
+    # Drop every persisted RDD's blocks through the JVM — this includes
+    # the LocalCheckpointRDD backing the memo handle. Plain .cache()ed
+    # relations recompute from lineage; only the checkpoint handle is
+    # left dead, exactly like losing the executor that held it.
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in jmap.values():
+        jrdd.unpersist(True)
+
+    # The stale handle must now be detected by the probe (not served),
+    # and the consumer must come back with identical labels.
+    stats = REGISTRY["dedup_component_stats"].fn(spark, SF_DIR)
+    assert stats.count() > 0
+    rebuilt = dedup._MINHASH_LABELS_MEMO[SF_DIR][1]
+    assert rebuilt is not labels
+    after = sorted((r.doc_id, r.canonical_id) for r in rebuilt.collect())
+    assert after == before
 
 
 def test_memoized_layout_builds_once_under_concurrency():
