@@ -186,11 +186,13 @@ def main() -> None:
         all_reps[name] = runs
 
     # Post-sweep storage hygiene: a few queries intentionally cache
-    # shared relations (minhash signatures, BPE vocab) with no
-    # unpersist hook; clear them once the sweep is over so the
-    # streaming metrics (and any embedding process) start from clean
-    # executor storage.
-    spark.catalog.clearCache()
+    # shared relations (minhash signatures, BPE vocab, checkpointed
+    # component labels) with no per-query unpersist hook; release them
+    # once the sweep is over so the streaming metrics (and any
+    # embedding process) start from clean executor storage.
+    from datafusion_streams_spark.operators import release_shared_caches
+
+    release_shared_caches(spark)
 
     streaming = _streaming_metrics(spark)
 

@@ -77,6 +77,39 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+def release_shared_caches(spark: SparkSession) -> None:
+    """Free every suite-shared persisted relation for ``spark``.
+
+    A handful of queries intentionally leave relations persisted
+    because their contract returns a LAZY DataFrame (no post-action
+    unpersist hook): the per-doc shingle arrays and simhash signatures
+    (dedup/multimodal), the BPE vocabulary (text), and the
+    localCheckpointed minhash component labels. Spark's CacheManager
+    dedupes the plan-keyed ones, so a single session's storage stays
+    bounded — but a long-lived session running repeated registry
+    sweeps should call this between sweeps (bench.py does) so executor
+    storage returns to zero instead of holding the last sweep's
+    working set.
+
+    Three layers, in order: drop the label memo handles (so consumers
+    rebuild rather than probe dead handles), clear the CacheManager
+    (plan-keyed .cache() relations), then unpersist every still-
+    persisted RDD through the JVM — that last step is what actually
+    frees localCheckpoint blocks, which the catalog API never touches.
+    """
+    from datafusion_streams_spark.operators import dedup
+
+    for key, (sess, _df) in list(dedup._MINHASH_LABELS_MEMO.items()):
+        if sess is spark:
+            dedup._MINHASH_LABELS_MEMO.pop(key, None)
+    spark.catalog.clearCache()
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(True)
+    except Exception:
+        pass  # JVM bridge shape changed — cache cleanup is best-effort
+
+
 def _populate() -> None:
     # Import for side effects: each module registers its queries.
     from datafusion_streams_spark.operators import (  # noqa: F401

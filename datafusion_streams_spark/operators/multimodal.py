@@ -575,7 +575,7 @@ def multimodal_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CacheManager dedupes by canonical plan — repeated sweeps/bench
     # reps in one session re-hit the same O(|docs| * 16B) entry rather
     # than accumulating new ones (one entry per sf_dir; evictable, and
-    # spark.catalog.clearCache() between sweeps reclaims it).
+    # operators.release_shared_caches(spark) between sweeps frees it).
     sig = v.select("doc_id", combine.cast("long").alias("simhash")).cache()
 
     # band rows CARRY the full signature, so the Hamming verify runs

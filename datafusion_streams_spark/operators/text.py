@@ -2384,7 +2384,8 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
     # Intentionally left persisted (same rationale as the simhash sig
     # cache in multimodal.py): lazy-DataFrame contract means no
     # post-action unpersist hook; CacheManager canonical-plan dedup
-    # keeps it to ONE vocabulary-sized entry per sf_dir across sweeps
+    # keeps it to ONE vocabulary-sized entry per sf_dir across sweeps,
+    # and operators.release_shared_caches(spark) frees it between them
     words = (
         docs.select(F.explode(tokens("text")).alias("word"))
         .filter(F.length("word") > 0)

@@ -682,6 +682,45 @@ def test_dsir_selection_tilts_toward_target(spark):
     assert rows[_DSIR_TARGET].selected_share > _DSIR_KEEP_FRAC
 
 
+def test_bpe_registered_oracle_on_run_heavy_corpus(spark, tmp_path):
+    """r6 verdict item #5: pin the canonical-greedy merge application
+    against DuckDB through the REGISTERED oracles (both BPE queries,
+    exactly what the driver runs) on the 'erer'-class corpus: a
+    non-self round-1 winner (e,r) whose merge creates round-2
+    SELF-pair runs 'er er er er' — the overlap shape the pre-r6
+    padded-replace rewrite got wrong."""
+    import duckdb as _duck
+
+    from datafusion_streams_spark.operators import REGISTRY
+    from tests.conftest import assert_frames_match
+
+    rows = [
+        (1, "erererer erererer ererer", "en", "web", 24),
+        (2, "erererer banana erer", "en", "web", 20),
+        (3, "go stop erererer rere", "en", "books", 21),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    merges = REGISTRY["text_bpe_merges"].fn(spark, str(tmp_path)).toPandas()
+    by_round = {int(r.merge_round): r.pair for r in merges.itertuples()}
+    assert by_round[1] == "e r", by_round
+    assert by_round[2] == "er er", by_round  # the run-merge hazard round
+    for name in ("text_bpe_merges", "text_bpe_fertility"):
+        spec = REGISTRY[name]
+        a = spec.fn(spark, str(tmp_path)).toPandas()
+        b = con.execute(spec.oracle).fetchdf()
+        assert_frames_match(a, b, name)
+    con.close()
+
+
 def test_bpe_self_pair_runs_are_canonical(spark, tmp_path, duck):
     """The case the pre-r6 padded replace got wrong: when the winning
     pair is a SELF-pair (x, x), runs like 'a a a a' must merge

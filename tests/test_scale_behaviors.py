@@ -353,6 +353,32 @@ def test_minhash_consumers_survive_real_checkpoint_block_loss(spark):
     assert after == before
 
 
+def test_release_shared_caches_keeps_storage_flat(spark):
+    """r6 verdict item #6: a long-lived session running repeated
+    registry sweeps must not accumulate executor storage. Run the
+    cache-creating queries twice with release_shared_caches between
+    and after; persisted-RDD count returns to zero each time."""
+    from datafusion_streams_spark.operators import REGISTRY, release_shared_caches
+    from tests.conftest import SF_DIR_SMALL
+
+    def persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    release_shared_caches(spark)  # start clean regardless of test order
+    assert persisted() == 0
+    for _ in range(2):
+        # one per shared cache: shingle arrays + labels (dedup),
+        # simhash signatures (multimodal), BPE vocabulary (text)
+        REGISTRY["dedup_components"].fn(spark, SF_DIR_SMALL).count()
+        REGISTRY["multimodal_simhash_neardup"].fn(spark, SF_DIR_SMALL).count()
+        REGISTRY["text_bpe_merges"].fn(spark, SF_DIR_SMALL).count()
+        assert persisted() > 0  # the sweep really did persist state
+        release_shared_caches(spark)
+        assert persisted() == 0
+    # and consumers still work after a release (memo rebuilds)
+    assert REGISTRY["dedup_component_stats"].fn(spark, SF_DIR_SMALL).count() > 0
+
+
 def test_memoized_layout_builds_once_under_concurrency():
     """r5 ADVICE: two concurrent first calls for the same layout key
     must not race the build — exactly one build() runs, both callers
