@@ -389,8 +389,16 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, list[int]]:
             raise ValueError("jpeg: truncated before SOS")
         if payload[pos] != 0xFF:
             raise ValueError(f"jpeg: expected marker at byte {pos}")
-        marker = payload[pos + 1]
-        pos += 2
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them so a spec-valid padded file decodes
+        while pos < len(payload) and payload[pos] == 0xFF:
+            pos += 1
+        if pos >= len(payload):
+            raise ValueError("jpeg: truncated in marker fill bytes")
+        marker = payload[pos]
+        if marker == 0x00:
+            raise ValueError("jpeg: stuffed 0xFF00 outside entropy-coded data")
+        pos += 1
         if marker == 0xD9:
             raise ValueError("jpeg: EOI before any scan")
         (seglen,) = struct.unpack_from(">H", payload, pos)

@@ -41,6 +41,11 @@ _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _COLOR_CHANNELS = {2: 3, 6: 4}  # truecolor, truecolor+alpha
 
+# Fail-closed ceiling on one image's decoded bytes: a crafted IHDR (or
+# a zlib bomb behind a small IDAT) must be rejected before the decoder
+# allocates, not after inflating an unbounded stream in an executor.
+_MAX_DECODED_BYTES = 1 << 27  # 128 MiB
+
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:
     return (
@@ -192,9 +197,22 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
     if interlace != 0:
         raise ValueError("interlaced (Adam7) PNG not supported")
     bpp = _COLOR_CHANNELS[ctype_v]
-    raw = zlib.decompress(bytes(idat))
     stride = width * bpp
-    if len(raw) != height * (1 + stride):
+    expected = height * (1 + stride)
+    # Bound the inflate by the size the declared dimensions imply: a
+    # crafted zlib bomb (or a huge IHDR) must fail closed BEFORE the
+    # allocation, not after inflating an unbounded stream into memory.
+    if expected > _MAX_DECODED_BYTES:
+        raise ValueError(
+            f"declared dimensions {width}x{height} exceed the decode budget"
+        )
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(bytes(idat), expected)
+    if dobj.unconsumed_tail or (not dobj.eof and dobj.decompress(b"", 1)):
+        raise ValueError("IDAT inflates past the declared dimensions")
+    if dobj.unused_data:
+        raise ValueError("trailing bytes after the IDAT zlib stream")
+    if len(raw) != expected:
         raise ValueError("IDAT length does not match dimensions")
     pixels: list[tuple[int, int, int]] = []
     prev = bytes(stride)

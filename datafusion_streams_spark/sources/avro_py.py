@@ -140,7 +140,11 @@ def _fields_from_avro_json(schema_json: str) -> list[tuple[str, str]]:
             if isinstance(t, dict) and t.get("logicalType") == "date":
                 out.append((f["name"], "date"))
             elif t in ("long", "int"):
-                out.append((f["name"], "long" if t == "long" else "date"))
+                # a bare int is wire-identical to long (zigzag varint);
+                # only {"type":"int","logicalType":"date"} means date —
+                # an external file's plain int column must NOT decode
+                # as dates
+                out.append((f["name"], "long"))
             else:
                 out.append((f["name"], t))
         return out

@@ -177,6 +177,48 @@ def test_png_rgba_alpha_dropped_and_ancillary_skipped():
     assert decode_png(payload) == (1, 2, [(10, 20, 30), (11, 22, 33)])
 
 
+def test_png_zlib_bomb_and_oversized_ihdr_fail_before_allocating():
+    """r6 ADVICE: the inflate is bounded by the size the declared
+    dimensions imply. A 1x1 IHDR whose IDAT inflates to megabytes
+    (zlib bomb) and an IHDR declaring absurd dimensions must both
+    fail closed without the decoder allocating the full stream."""
+    import struct
+    import zlib
+
+    from datafusion_streams_spark.codecs.png import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # (a) bomb: 1x1 RGB declares 4 raw bytes but IDAT inflates to 64 MiB
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    bomb = sig + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * (64 << 20), 9)
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="inflates past"):
+        decode_png(bomb)
+    # (b) huge IHDR: 1e9 x 1e9 exceeds the decode budget outright
+    ihdr_huge = struct.pack(">IIBBBBB", 10**9, 10**9, 8, 2, 0, 0, 0)
+    huge = sig + chunk(b"IHDR", ihdr_huge) + chunk(
+        b"IDAT", zlib.compress(b"\x00")
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="decode budget"):
+        decode_png(huge)
+    # (c) trailing bytes after a valid zlib stream also fail closed
+    scan = bytes([0, 1, 2, 3])
+    trailing = sig + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(scan) + b"junk"
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="trailing"):
+        decode_png(trailing)
+
+
 def test_png_decode_rejects_malformed():
     import struct
     import zlib
@@ -217,8 +259,12 @@ def test_png_decode_rejects_malformed():
         decode_png(build(ctype_v=3))
     with pytest.raises(ValueError, match="interlaced"):
         decode_png(build(interlace=1))
-    with pytest.raises(ValueError, match="does not match"):
+    # overshoot is caught by the bounded inflate, undershoot by the
+    # post-inflate length check — both fail closed
+    with pytest.raises(ValueError, match="inflates past"):
         decode_png(build(scan=bytes([0, 1, 2, 3, 4, 5])))
+    with pytest.raises(ValueError, match="does not match"):
+        decode_png(build(scan=bytes([0, 1, 2])))
     with pytest.raises(ValueError, match="filter type"):
         decode_png(build(scan=bytes([7, 1, 2, 3])))
 
@@ -505,6 +551,24 @@ def test_jpeg_byte_stuffing_in_scan():
     assert b"\xff\x00" in scan
     _, _, out = decode_jpeg_gray(payload)
     assert max(abs(a - b) for a, b in zip(px, out)) <= 3
+
+
+def test_jpeg_fill_bytes_before_markers_accepted():
+    """r6 ADVICE: T.81 B.1.1.2 permits any number of 0xFF fill bytes
+    preceding a marker. A spec-valid padded file must decode to the
+    same pixels as the unpadded one (the pre-fix decoder raised
+    'unsupported marker 0xFFFF')."""
+    good = encode_jpeg_gray(8, 8, [128] * 64)
+    base = decode_jpeg_gray(good)
+    # pad before the first DQT marker and before the SOS marker
+    padded = good.replace(b"\xff\xdb", b"\xff\xff\xff\xff\xdb", 1).replace(
+        b"\xff\xda", b"\xff\xff\xff\xda", 1
+    )
+    assert len(padded) == len(good) + 5
+    assert decode_jpeg_gray(padded) == base
+    # a stuffed 0xFF00 OUTSIDE the entropy stream is still malformed
+    with pytest.raises(ValueError, match="stuffed"):
+        decode_jpeg_gray(good.replace(b"\xff\xdb", b"\xff\x00\xff\xdb", 1))
 
 
 def test_jpeg_decode_rejects_malformed():

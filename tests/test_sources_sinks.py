@@ -267,6 +267,56 @@ def test_avro_py_reader_rejects_unknown_codec(tmp_path):
         read_avro_header(str(p))
 
 
+def test_avro_bare_int_field_decodes_as_long_not_date(tmp_path):
+    """r6 ADVICE: an externally written container with a plain "int"
+    column (no logicalType) must decode as integers — only
+    {"type":"int","logicalType":"date"} is a date. Hand-build the
+    container so the schema JSON is exactly what a foreign writer
+    emits (int and long share the zigzag-varint wire format)."""
+    import io
+
+    from datafusion_streams_spark.sources.avro_py import (
+        MAGIC,
+        SYNC,
+        _fields_from_avro_json,
+        _write_long,
+        read_avro_file,
+    )
+
+    schema = (
+        b'{"type":"record","name":"r","fields":['
+        b'{"name":"a","type":"int"},'
+        b'{"name":"d","type":{"type":"int","logicalType":"date"}}]}'
+    )
+    assert _fields_from_avro_json(schema.decode()) == [("a", "long"), ("d", "date")]
+
+    buf = io.BytesIO()
+    buf.write(MAGIC)
+    _write_long(buf, 2)
+    for k, v in ((b"avro.schema", schema), (b"avro.codec", b"null")):
+        _write_long(buf, len(k)); buf.write(k)
+        _write_long(buf, len(v)); buf.write(v)
+    _write_long(buf, 0)
+    buf.write(SYNC)
+    body = io.BytesIO()
+    _write_long(body, -42)      # the bare int column
+    _write_long(body, 19723)    # 2024-01-01 as days-since-epoch
+    _write_long(buf, 1)
+    _write_long(buf, len(body.getvalue()))
+    buf.write(body.getvalue())
+    buf.write(SYNC)
+    p = tmp_path / "ext.avro"
+    p.write_bytes(buf.getvalue())
+
+    rows = list(read_avro_file(str(p)))
+    assert len(rows) == 1
+    a, d = rows[0]
+    assert a == -42 and isinstance(a, int)
+    import datetime
+
+    assert isinstance(d, datetime.date) and d.year == 2024
+
+
 def test_avro_py_deflate_codec_roundtrip(tmp_path):
     """r6: the deflate codec is raw RFC 1951 DEFLATE per block (no
     zlib framing, no checksum — the Avro spec's definition). A
