@@ -222,8 +222,61 @@ def test_kafka_source_fails_without_package(spark):
     source must fail at .load() with the missing-data-source error (not
     silently fall back), documenting the environment gap the emulation
     covers."""
+    import os
+
     import pytest as _pytest
     from datafusion_streams_spark.sources.kafka import kafka_source
 
+    if os.environ.get("KAFKA_HOST"):
+        _pytest.skip("live broker env: the package-absent contract does not apply")
     with _pytest.raises(Exception, match="[kK]afka"):
         kafka_source(spark, "t", "localhost:9092")
+
+
+def test_kafka_live_broker_round_trip(spark):
+    """r6 verdict item #8: the one reference behavior verified by
+    analogy rather than execution, upgraded to a live produce/consume
+    round trip whenever an environment supplies a broker via the
+    KAFKA_HOST override (the reference's tests/utils.rs:61-63 idiom;
+    its own test needs docker-compose.yaml:1-22). Mirrors
+    tests/basic_tests.rs:23-75: populate the topic with 45
+    (Key i, Message i) pairs, run the reference pipeline (cast to
+    utf8 + length) over the real Kafka source, drain-then-stop, and
+    check every row. Skipped (not absent) where no broker exists."""
+    import os
+    import uuid
+
+    import pytest as _pytest
+
+    host = os.environ.get("KAFKA_HOST")
+    if not host:
+        _pytest.skip("no broker in this sandbox (set KAFKA_HOST to enable)")
+
+    from pyspark.sql import functions as F
+
+    from datafusion_streams_spark.sources.kafka import kafka_source, to_reference_schema
+    from datafusion_streams_spark.streaming.microbatch import run_drain_to_memory
+
+    topic = f"__test_{uuid.uuid4().hex[:10]}"  # utils.rs rand_topic idiom
+    rows = [(f"Key {i % 15}", f"Message {i % 15}") for i in range(45)]
+    (
+        spark.createDataFrame(rows, "key string, value string")
+        .selectExpr("CAST(key AS BINARY) AS key", "CAST(value AS BINARY) AS value")
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", host)
+        .option("topic", topic)
+        .save()
+    )
+
+    src = to_reference_schema(kafka_source(spark, topic, host))
+    pipe = src.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        F.length(F.col("value").cast("string")).alias("len_value"),
+    )
+    name, _ = run_drain_to_memory(pipe, output_mode="append")
+    rows_out = spark.table(name).collect()
+    assert len(rows_out) == 45
+    assert {r.key for r in rows_out} == {f"Key {i}" for i in range(15)}
+    assert all(r.len_value == len(r.value) for r in rows_out)
+    assert all(r.value == "Message " + r.key.split(" ")[1] for r in rows_out)
