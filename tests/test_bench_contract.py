@@ -19,7 +19,7 @@ def _line(total, timings, streaming):
 def test_compact_line_fits_budget_with_all_headline_queries():
     timings = {n: 1.234 for n in bench.HEADLINE}
     line = _line(round(sum(timings.values()), 3), timings, {
-        "replay_rows_per_sec": 245444.1,
+        "events_replay_rows_per_sec": 245444.1,
         "microbatch_avg_trigger_ms": 95.6,
         "microbatch_batches": 12,
     })
@@ -36,12 +36,12 @@ def test_compact_line_survives_bloated_streaming_metrics():
     blow the budget with zero queries included — the builder must shed
     detail instead of printing an unparseable line."""
     timings = {n: 1.234 for n in bench.HEADLINE}
-    bloated = {"replay_rows_per_sec": 245444.1}
+    bloated = {"events_replay_rows_per_sec": 245444.1}
     bloated.update({f"extra_metric_{i}": float(i) * 1.111 for i in range(200)})
     line = _line(123.456, timings, bloated)
     assert len(line) <= bench.BUDGET
     obj = json.loads(line)
-    assert obj["streaming"] == {"replay_rows_per_sec": 245444.1}
+    assert obj["streaming"] == {"events_replay_rows_per_sec": 245444.1}
     assert obj["value"] == 123.456
 
 
@@ -60,7 +60,7 @@ def test_compact_line_clamps_instead_of_crashing():
     parseable line within budget."""
     timings = {n: 123456.789 for n in bench.HEADLINE}
     # streaming dict whose single mandatory key is itself enormous
-    monster = {"replay_rows_per_sec": float("1" * 15 + ".5")}
+    monster = {"events_replay_rows_per_sec": float("1" * 15 + ".5")}
     monster.update({f"pad_{i}": "x" * 50 for i in range(100)})
     line = _line(999999.999, timings, monster)
     assert len(line) <= bench.BUDGET
