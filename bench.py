@@ -321,8 +321,14 @@ def _streaming_metrics(spark) -> dict:
             F.length(F.col("value").cast("string")).alias("len_value"),
         )
         t0 = time.perf_counter()
-        run_drain_to_memory(pipe, output_mode="append")
+        sink_name, _ = run_drain_to_memory(pipe, output_mode="append")
         replay_runs.append(round(time.perf_counter() - t0, 3))
+        # each rep's memory sink holds the full replayed table in the
+        # driver: drop it so up-to-6 reps don't retain 6 copies
+        try:
+            spark.catalog.dropTempView(sink_name)
+        except Exception:
+            pass
 
     for _ in range(3):
         _one_replay()

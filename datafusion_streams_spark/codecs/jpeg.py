@@ -401,6 +401,10 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, list[int]]:
         pos += 1
         if marker == 0xD9:
             raise ValueError("jpeg: EOI before any scan")
+        # fill-byte skipping may have consumed the slack the loop-top
+        # guard checked; re-check before the 2-byte length read
+        if pos + 2 > len(payload):
+            raise ValueError("jpeg: truncated before segment length")
         (seglen,) = struct.unpack_from(">H", payload, pos)
         if seglen < 2 or pos + seglen > len(payload):
             raise ValueError("jpeg: segment overruns file")

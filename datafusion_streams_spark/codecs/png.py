@@ -179,6 +179,8 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         # ancillary chunks skipped (CRC still verified above)
     if ihdr is None:
         raise ValueError("missing IHDR")
+    if len(ihdr) != 13:
+        raise ValueError(f"IHDR must be 13 bytes, got {len(ihdr)}")
     if not idat:
         raise ValueError("missing IDAT")
     if not seen_iend:
@@ -208,8 +210,12 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
         )
     dobj = zlib.decompressobj()
     raw = dobj.decompress(bytes(idat), expected)
-    if dobj.unconsumed_tail or (not dobj.eof and dobj.decompress(b"", 1)):
+    if dobj.unconsumed_tail:
         raise ValueError("IDAT inflates past the declared dimensions")
+    if not dobj.eof:
+        # never reached end-of-stream: truncated deflate data, or the
+        # adler32 was never verified — fail closed like full inflate did
+        raise ValueError("IDAT zlib stream truncated")
     if dobj.unused_data:
         raise ValueError("trailing bytes after the IDAT zlib stream")
     if len(raw) != expected:

@@ -137,11 +137,23 @@ def _fields_from_avro_json(schema_json: str) -> list[tuple[str, str]]:
         out = []
         for f in sch["fields"]:
             t = f["type"]
-            if isinstance(t, dict) and t.get("logicalType") == "date":
-                out.append((f["name"], "date"))
+            if isinstance(t, dict):
+                # the spec allows wrapping any type in {"type": ...};
+                # date is ONLY {"type":"int","logicalType":"date"} —
+                # unknown logicalTypes fall back to the base type
+                # (Avro 1.11 §Logical Types), and non-scalar bases
+                # fail closed here rather than desync the decode
+                base = t.get("type")
+                if base == "int" and t.get("logicalType") == "date":
+                    out.append((f["name"], "date"))
+                elif base in ("int", "long"):
+                    out.append((f["name"], "long"))
+                elif base in ("double", "string"):
+                    out.append((f["name"], base))
+                else:
+                    raise ValueError(f"avro: unsupported field type {t!r}")
             elif t in ("long", "int"):
                 # a bare int is wire-identical to long (zigzag varint);
-                # only {"type":"int","logicalType":"date"} means date —
                 # an external file's plain int column must NOT decode
                 # as dates
                 out.append((f["name"], "long"))

@@ -217,6 +217,24 @@ def test_png_zlib_bomb_and_oversized_ihdr_fail_before_allocating():
     ) + chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="trailing"):
         decode_png(trailing)
+    # (d) a TRUNCATED zlib stream (end-of-stream marker and adler32
+    # cut off, chunk CRC valid) must not decode — the bounded-inflate
+    # path has to keep full inflate's integrity check
+    for cut in (1, 3, 5):
+        z = zlib.compress(scan)
+        truncated = sig + chunk(b"IHDR", ihdr) + chunk(
+            b"IDAT", z[: len(z) - cut]
+        ) + chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="truncated|does not match"):
+            decode_png(truncated)
+    # (e) an IHDR of the wrong length with a valid chunk CRC is a
+    # ValueError, never struct.error
+    with pytest.raises(ValueError, match="13 bytes"):
+        decode_png(
+            sig + chunk(b"IHDR", ihdr[:12]) + chunk(
+                b"IDAT", zlib.compress(scan)
+            ) + chunk(b"IEND", b"")
+        )
 
 
 def test_png_decode_rejects_malformed():
@@ -569,6 +587,12 @@ def test_jpeg_fill_bytes_before_markers_accepted():
     # a stuffed 0xFF00 OUTSIDE the entropy stream is still malformed
     with pytest.raises(ValueError, match="stuffed"):
         decode_jpeg_gray(good.replace(b"\xff\xdb", b"\xff\x00\xff\xdb", 1))
+    # a file ending inside fill bytes / right after a padded marker
+    # must still be a ValueError, never struct/IndexError
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_gray(b"\xff\xd8\xff\xff\xff\xdb\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_gray(b"\xff\xd8\xff\xff\xff\xff")
 
 
 def test_jpeg_decode_rejects_malformed():

@@ -316,6 +316,27 @@ def test_avro_bare_int_field_decodes_as_long_not_date(tmp_path):
 
     assert isinstance(d, datetime.date) and d.year == 2024
 
+    # spec-legal wrapped plain types unwrap; unknown logicalTypes fall
+    # back to the base type; non-scalar bases fail closed as ValueError
+    import json as _json
+
+    import pytest as _pytest
+
+    def fields_of(ftypes):
+        return _fields_from_avro_json(_json.dumps({
+            "type": "record", "name": "r",
+            "fields": [{"name": f"c{i}", "type": t} for i, t in enumerate(ftypes)],
+        }))
+
+    assert fields_of([{"type": "long"}, {"type": "int"}]) == [
+        ("c0", "long"), ("c1", "long")]
+    assert fields_of([{"type": "int", "logicalType": "time-millis"}]) == [
+        ("c0", "long")]
+    assert fields_of([{"type": "string", "logicalType": "date"}]) == [
+        ("c0", "string")]  # date requires an int base
+    with _pytest.raises(ValueError, match="unsupported field type"):
+        fields_of([{"type": "array", "items": "long"}])
+
 
 def test_avro_py_deflate_codec_roundtrip(tmp_path):
     """r6: the deflate codec is raw RFC 1951 DEFLATE per block (no
