@@ -51,9 +51,9 @@ from datafusion_streams_spark.codecs import snappy as _snappy
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -272,6 +272,83 @@ def _decode_block_rows(data: bytes, fields: list[tuple[str, str]], n_rows: int):
     return rows
 
 
+def _decode_block_cols(data: bytes, fields: list[tuple[str, str]], n_rows: int):
+    """Columnar twin of ``_decode_block_rows`` for the Arrow read path:
+    returns one python list per field, with date columns as RAW int
+    days-since-epoch (pyarrow date32 takes them directly — no date
+    object is ever constructed). Same wire format, same ValueErrors."""
+    pos, end = 0, len(data)
+    unpack_from = struct.unpack_from
+    kinds = [k for _, k in fields]
+    cols: list[list] = [[] for _ in kinds]
+    for _ in range(n_rows):
+        for j, kind in enumerate(kinds):
+            if kind == "double":
+                if pos + 8 > end:
+                    raise ValueError("avro: truncated double")
+                cols[j].append(unpack_from("<d", data, pos)[0])
+                pos += 8
+                continue
+            shift = acc = 0
+            while True:  # zigzag varint (long/date/string length)
+                if pos >= end:
+                    raise ValueError("avro: truncated varint")
+                b = data[pos]
+                pos += 1
+                acc |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+                if shift > 70:
+                    raise ValueError("avro: varint too long")
+            n = (acc >> 1) ^ -(acc & 1)
+            if kind in ("long", "date"):
+                cols[j].append(n)
+            elif kind == "string":
+                if n < 0:
+                    raise ValueError(f"avro: negative bytes length {n}")
+                if pos + n > end:
+                    raise ValueError("avro: bytes value truncated")
+                cols[j].append(data[pos : pos + n].decode("utf-8"))
+                pos += n
+            else:
+                raise ValueError(f"unsupported avro kind: {kind}")
+    return cols
+
+
+def _encode_cols(cols: list[list], kinds: list[str]) -> bytes:
+    """Columnar twin of ``_encode_block`` for the Arrow write path:
+    ``cols`` holds one python list per field, date columns already as
+    RAW int days-since-epoch. Wire-identical output."""
+    out = bytearray()
+    app = out.append
+    ext = out.extend
+    pack = struct.pack
+
+    def wlong(n: int) -> None:
+        z = (n << 1) ^ (n >> 63)  # zigzag
+        while z > 0x7F:
+            app((z & 0x7F) | 0x80)
+            z >>= 7
+        app(z)
+
+    n_rows = len(cols[0]) if cols else 0
+    for i in range(n_rows):
+        for j, kind in enumerate(kinds):
+            v = cols[j][i]
+            if kind in ("long", "date"):
+                wlong(int(v))
+            elif kind == "double":
+                ext(pack("<d", float(v)))
+            elif kind == "string":
+                b = str(v).encode("utf-8")
+                wlong(len(b))
+                ext(b)
+            else:
+                raise ValueError(f"unsupported avro kind: {kind}")
+    return bytes(out)
+
+
 def _decode_value(buf: io.BufferedReader, kind: str):
     if kind == "long":
         return _read_long(buf)
@@ -326,6 +403,55 @@ def _decompress_block(data: bytes, codec: str) -> bytes:
     raise ValueError(f"unsupported avro codec: {codec!r}")
 
 
+def _write_container_header(f, fields: list[tuple[str, str]], codec: str) -> None:
+    f.write(MAGIC)
+    meta = io.BytesIO()
+    _write_long(meta, 2)
+    _write_bytes(meta, b"avro.schema")
+    _write_bytes(meta, _avro_schema_json(fields).encode("utf-8"))
+    _write_bytes(meta, b"avro.codec")
+    _write_bytes(meta, codec.encode("ascii"))
+    _write_long(meta, 0)  # end of metadata map
+    f.write(meta.getvalue())
+    f.write(SYNC)
+
+
+def _write_block(f, n_rows: int, body: bytes, codec: str) -> None:
+    payload = _compress_block(body, codec)
+    head = io.BytesIO()
+    _write_long(head, n_rows)
+    _write_long(head, len(payload))
+    f.write(head.getvalue())
+    f.write(payload)
+    f.write(SYNC)
+
+
+def write_avro_file_cols(
+    path: str,
+    fields: list[tuple[str, str]],
+    col_blocks,
+    block_rows: int = 4096,
+    codec: str = "null",
+) -> int:
+    """Columnar writer for the Arrow sink path: ``col_blocks`` yields
+    one python list per field (dates as raw int days). Emits the same
+    container layout as ``write_avro_file`` (same header, same 4096-row
+    block granularity)."""
+    if codec not in ("null", "deflate", "snappy"):
+        raise ValueError(f"unsupported avro codec: {codec!r}")
+    kinds = [k for _, k in fields]
+    n = 0
+    with open(path, "wb") as f:
+        _write_container_header(f, fields, codec)
+        for cols in col_blocks:
+            rows_in = len(cols[0]) if cols else 0
+            for off in range(0, rows_in, block_rows):
+                sl = [c[off : off + block_rows] for c in cols]
+                _write_block(f, len(sl[0]), _encode_cols(sl, kinds), codec)
+                n += len(sl[0])
+    return n
+
+
 def write_avro_file(
     path: str,
     fields: list[tuple[str, str]],
@@ -340,29 +466,14 @@ def write_avro_file(
         raise ValueError(f"unsupported avro codec: {codec!r}")
     n = 0
     with open(path, "wb") as f:
-        f.write(MAGIC)
-        meta = io.BytesIO()
-        _write_long(meta, 2)
-        _write_bytes(meta, b"avro.schema")
-        _write_bytes(meta, _avro_schema_json(fields).encode("utf-8"))
-        _write_bytes(meta, b"avro.codec")
-        _write_bytes(meta, codec.encode("ascii"))
-        _write_long(meta, 0)  # end of metadata map
-        f.write(meta.getvalue())
-        f.write(SYNC)
+        _write_container_header(f, fields, codec)
 
         block: list = []
 
         def flush() -> None:
             if not block:
                 return
-            payload = _compress_block(_encode_block(block, fields), codec)
-            head = io.BytesIO()
-            _write_long(head, len(block))
-            _write_long(head, len(payload))
-            f.write(head.getvalue())
-            f.write(payload)
-            f.write(SYNC)
+            _write_block(f, len(block), _encode_block(block, fields), codec)
             block.clear()
 
         for r in rows:
@@ -404,11 +515,9 @@ def read_avro_header(path: str) -> list[tuple[str, str]]:
     return read_avro_meta(path)[0]
 
 
-def read_avro_file(path: str):
-    """Yield tuples in field order from a container file (null,
-    deflate, or snappy codec — blocks are read by their declared byte
-    size and decompressed per the header codec)."""
-    fields, codec = read_avro_meta(path)
+def _iter_decompressed_blocks(path: str, codec: str):
+    """Yield (n_rows, decompressed block bytes) from a container file —
+    the framing shared by the row reader and the Arrow batch reader."""
     with open(path, "rb") as f:
         f.read(4)
         while True:  # skip metadata map again
@@ -430,9 +539,42 @@ def read_avro_file(path: str):
                 raise ValueError(
                     f"avro: negative block header ({n_rows} rows, {size} bytes)"
                 )
-            block = _decompress_block(f.read(size), codec)
-            yield from _decode_block_rows(block, fields, n_rows)
+            yield n_rows, _decompress_block(f.read(size), codec)
             f.read(16)  # sync
+
+
+def read_avro_file(path: str):
+    """Yield tuples in field order from a container file (null,
+    deflate, or snappy codec — blocks are read by their declared byte
+    size and decompressed per the header codec)."""
+    fields, codec = read_avro_meta(path)
+    for n_rows, block in _iter_decompressed_blocks(path, codec):
+        yield from _decode_block_rows(block, fields, n_rows)
+
+
+def read_avro_batches(path: str):
+    """Yield ``pyarrow.RecordBatch`` per container block — the Arrow
+    read path the Spark DataSource uses (dates flow as raw date32 days,
+    no per-value python objects cross into Spark)."""
+    import pyarrow as pa
+
+    fields, codec = read_avro_meta(path)
+    pa_types = {
+        "long": pa.int64(),
+        "date": pa.date32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+    }
+    try:
+        types = [pa_types[k] for _, k in fields]
+    except KeyError as exc:
+        raise ValueError(f"unsupported avro kind: {exc.args[0]}") from exc
+    schema = pa.schema([(n, t) for (n, _), t in zip(fields, types)])
+    for n_rows, block in _iter_decompressed_blocks(path, codec):
+        cols = _decode_block_cols(block, fields, n_rows)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(c, type=t) for c, t in zip(cols, types)], schema=schema
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -457,7 +599,9 @@ class AvroPyReader(DataSourceReader):
         ]
 
     def read(self, split: _FileSplit):
-        yield from read_avro_file(split.path)
+        # Arrow batches instead of per-row tuples: the per-row pickle
+        # hop between the python worker and Spark dominated the scan
+        yield from read_avro_batches(split.path)
 
 
 class AvroPyStreamReader(DataSourceStreamReader):
@@ -507,15 +651,32 @@ class AvroPyCommit(WriterCommitMessage):
         self.rows = rows
 
 
-class AvroPyWriter(DataSourceWriter):
+class AvroPyWriter(DataSourceArrowWriter):
     def __init__(self, options, fields):
         self.path = options["path"]
         self.fields = fields
         self.codec = options.get("codec", "null")
 
     def write(self, iterator):
+        # Arrow batches in, columnar container blocks out — dates are
+        # cast to raw date32 days so no date objects are materialized
+        import pyarrow as pa
+
         part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
-        n = write_avro_file(part, self.fields, iterator, codec=self.codec)
+        kinds = [k for _, k in self.fields]
+
+        def col_blocks():
+            for batch in iterator:
+                yield [
+                    (
+                        batch.column(j).cast(pa.int32()).to_pylist()
+                        if kind == "date"
+                        else batch.column(j).to_pylist()
+                    )
+                    for j, kind in enumerate(kinds)
+                ]
+
+        n = write_avro_file_cols(part, self.fields, col_blocks(), codec=self.codec)
         return AvroPyCommit(part, n)
 
     def commit(self, messages):
