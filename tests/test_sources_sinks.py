@@ -385,6 +385,13 @@ def test_avro_columnar_paths_match_row_paths(tmp_path):
         ]
         assert arrow_vals == row_vals, codec
 
+    # an empty partition writes a header-only container that both
+    # readers handle as zero rows
+    p_empty = str(tmp_path / "empty.avro")
+    assert write_avro_file_cols(p_empty, fields, iter([]), codec="null") == 0
+    assert list(read_avro_file(p_empty)) == []
+    assert list(read_avro_batches(p_empty)) == []
+
 
 def test_avro_py_deflate_codec_roundtrip(tmp_path):
     """r6: the deflate codec is raw RFC 1951 DEFLATE per block (no
