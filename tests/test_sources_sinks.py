@@ -529,12 +529,14 @@ def test_avro_py_reader_fails_closed_under_mutation(tmp_path):
     fields = [("k", "long"), ("s", "string"), ("d", "double")]
     rows = [{"k": i, "s": "payload %d" % i, "d": i / 8} for i in range(50)]
     pbad = str(tmp_path / "mut.avro")
+    from datafusion_streams_spark.sources.avro_py import read_avro_batches
+
     for codec in ("null", "deflate", "snappy"):
         p = str(tmp_path / (codec + ".avro"))
         write_avro_file(p, fields, rows, codec=codec)
         good = open(p, "rb").read()
         assert len(list(read_avro_file(p))) == 50
-        for _ in range(500):
+        for i in range(500):
             b = bytearray(good)
             for _ in range(rng.randrange(1, 4)):
                 op = rng.randrange(3)
@@ -549,3 +551,8 @@ def test_avro_py_reader_fails_closed_under_mutation(tmp_path):
                 list(read_avro_file(pbad))
             except ValueError:
                 pass  # the contract: malformed container -> ValueError
+            if i % 5 == 0:  # the Arrow batch path shares the contract
+                try:
+                    list(read_avro_batches(pbad))
+                except ValueError:
+                    pass
