@@ -61,6 +61,14 @@ from pyspark.sql.datasource import (
 MAGIC = b"Obj\x01"
 SYNC = bytes(range(16))  # deterministic sync marker
 _EPOCH = date(1970, 1, 1)
+# Wire-level value bounds: a 10-byte zigzag varint can carry up to 2**70,
+# beyond what an avro long (int64) or date (int32 days, and further bounded
+# by python's date range) may hold. Decoders must reject out-of-range values
+# with ValueError (fail-closed), never leak OverflowError from downstream
+# pa.array/timedelta construction.
+_INT64_MIN, _INT64_MAX = -(1 << 63), (1 << 63) - 1
+_DATE_DAYS_MIN = (date.min - _EPOCH).days
+_DATE_DAYS_MAX = (date.max - _EPOCH).days
 
 # ---------------------------------------------------------------------------
 # binary primitives (Avro spec §"Binary encoding")
@@ -166,24 +174,11 @@ def _fields_from_avro_json(schema_json: str) -> list[tuple[str, str]]:
         raise ValueError(f"avro: malformed schema JSON ({exc!r})") from exc
 
 
-def _encode_value(buf: io.BytesIO, kind: str, v) -> None:
-    if kind == "long":
-        _write_long(buf, int(v))
-    elif kind == "date":
-        _write_long(buf, (v - _EPOCH).days)
-    elif kind == "double":
-        buf.write(struct.pack("<d", float(v)))
-    elif kind == "string":
-        _write_bytes(buf, str(v).encode("utf-8"))
-    else:
-        raise ValueError(f"unsupported avro kind: {kind}")
-
-
 def _encode_block(rows, fields) -> bytes:
     """Hot path: encode a block of records into one bytes object.
-    Wire-identical to per-value ``_encode_value`` into a BytesIO, but
-    one bytearray with local bindings — the per-value method dispatch
-    dominated the container write at 150k+ rows."""
+    One bytearray with local bindings rather than per-value BytesIO
+    writes — the per-value method dispatch dominated the container
+    write at 150k+ rows."""
     out = bytearray()
     app = out.append
     ext = out.extend
@@ -220,9 +215,9 @@ def _encode_block(rows, fields) -> bytes:
 
 def _decode_block_rows(data: bytes, fields: list[tuple[str, str]], n_rows: int):
     """Hot path: decode ``n_rows`` records from one decompressed block.
-    Same wire format and the same ValueError messages as the per-value
-    ``_decode_value`` over BytesIO, but a position scan over bytes —
-    byte-at-a-time reads cost a method call + allocation per byte."""
+    A position scan over bytes rather than per-value BytesIO reads —
+    byte-at-a-time reads cost a method call + allocation per byte.
+    Out-of-range longs/dates from corrupt varints raise ValueError."""
     pos, end = 0, len(data)
     unpack_from = struct.unpack_from
     kinds = [k for _, k in fields]
@@ -253,8 +248,12 @@ def _decode_block_rows(data: bytes, fields: list[tuple[str, str]], n_rows: int):
                     raise ValueError("avro: varint too long")
             n = (acc >> 1) ^ -(acc & 1)
             if kind == "long":
+                if n > _INT64_MAX or n < _INT64_MIN:
+                    raise ValueError("avro: long out of int64 range")
                 vals.append(n)
             elif kind == "date":
+                if n > _DATE_DAYS_MAX or n < _DATE_DAYS_MIN:
+                    raise ValueError("avro: date out of supported range")
                 d = dcache.get(n)
                 if d is None:
                     d = dcache[n] = _EPOCH + timedelta(days=n)
@@ -302,7 +301,13 @@ def _decode_block_cols(data: bytes, fields: list[tuple[str, str]], n_rows: int):
                 if shift > 70:
                     raise ValueError("avro: varint too long")
             n = (acc >> 1) ^ -(acc & 1)
-            if kind in ("long", "date"):
+            if kind == "long":
+                if n > _INT64_MAX or n < _INT64_MIN:
+                    raise ValueError("avro: long out of int64 range")
+                cols[j].append(n)
+            elif kind == "date":
+                if n > _DATE_DAYS_MAX or n < _DATE_DAYS_MIN:
+                    raise ValueError("avro: date out of supported range")
                 cols[j].append(n)
             elif kind == "string":
                 if n < 0:
@@ -347,21 +352,6 @@ def _encode_cols(cols: list[list], kinds: list[str]) -> bytes:
             else:
                 raise ValueError(f"unsupported avro kind: {kind}")
     return bytes(out)
-
-
-def _decode_value(buf: io.BufferedReader, kind: str):
-    if kind == "long":
-        return _read_long(buf)
-    if kind == "date":
-        return _EPOCH + timedelta(days=_read_long(buf))
-    if kind == "double":
-        raw = buf.read(8)
-        if len(raw) != 8:
-            raise ValueError("avro: truncated double")
-        return struct.unpack("<d", raw)[0]
-    if kind == "string":
-        return _read_bytes(buf).decode("utf-8")
-    raise ValueError(f"unsupported avro kind: {kind}")
 
 
 # ---------------------------------------------------------------------------
@@ -439,6 +429,9 @@ def write_avro_file_cols(
     block granularity)."""
     if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported avro codec: {codec!r}")
+    if not fields:
+        # no columns -> no way to carry the row count columnar-side
+        raise ValueError("avro: zero-field schema; use write_avro_file")
     kinds = [k for _, k in fields]
     n = 0
     with open(path, "wb") as f:
@@ -559,6 +552,16 @@ def read_avro_batches(path: str):
     import pyarrow as pa
 
     fields, codec = read_avro_meta(path)
+    if not fields:
+        # zero-field rows occupy zero bytes: carry the bare block row
+        # counts as column-less batches (struct<> arrays hold a length)
+        for n_rows, block in _iter_decompressed_blocks(path, codec):
+            if block:
+                raise ValueError("avro: zero-field block with trailing bytes")
+            yield pa.RecordBatch.from_struct_array(
+                pa.array([{}] * n_rows, type=pa.struct([]))
+            )
+        return
     pa_types = {
         "long": pa.int64(),
         "date": pa.date32(),
@@ -664,6 +667,16 @@ class AvroPyWriter(DataSourceArrowWriter):
 
         part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
         kinds = [k for _, k in self.fields]
+        if not kinds:
+            # zero-column frame: only the row count survives, and only
+            # the row writer can frame count-only blocks
+            n = write_avro_file(
+                part,
+                self.fields,
+                ({} for batch in iterator for _ in range(batch.num_rows)),
+                codec=self.codec,
+            )
+            return AvroPyCommit(part, n)
 
         def col_blocks():
             for batch in iterator:

@@ -393,6 +393,79 @@ def test_avro_columnar_paths_match_row_paths(tmp_path):
     assert list(read_avro_batches(p_empty)) == []
 
 
+def test_avro_wire_range_checks_fail_closed(tmp_path):
+    """A 10-byte zigzag varint can carry up to 2**70 — beyond int64 and
+    far beyond python's date range. Corrupt containers holding such
+    values must raise ValueError from BOTH readers (the fail-closed
+    contract), never leak OverflowError out of pa.array / timedelta."""
+    import pytest
+
+    from datafusion_streams_spark.sources.avro_py import (
+        _write_block,
+        _write_container_header,
+        read_avro_batches,
+        read_avro_file,
+    )
+
+    def zigzag(n: int) -> bytes:
+        z = n << 1
+        out = bytearray()
+        while z > 0x7F:
+            out.append((z & 0x7F) | 0x80)
+            z >>= 7
+        out.append(z)
+        return bytes(out)
+
+    cases = [
+        (("x", "long"), zigzag(1 << 70), "long out of int64 range"),
+        (("d", "date"), zigzag(1 << 40), "date out of supported range"),
+    ]
+    for field, body, msg in cases:
+        p = str(tmp_path / f"corrupt_{field[1]}.avro")
+        with open(p, "wb") as f:
+            _write_container_header(f, [field], "null")
+            _write_block(f, 1, body, "null")
+        with pytest.raises(ValueError, match=msg):
+            list(read_avro_file(p))
+        with pytest.raises(ValueError, match=msg):
+            list(read_avro_batches(p))
+
+
+def test_avro_zero_field_schema_preserves_row_count(tmp_path):
+    """Zero-field rows occupy zero bytes — only the block headers carry
+    the count. The row writer/reader frame it; the batch reader returns
+    column-less RecordBatches with the right length (struct<> arrays);
+    the columnar writer rejects (its col-block contract has no count);
+    non-empty zero-field block bodies fail closed."""
+    import pytest
+
+    from datafusion_streams_spark.sources.avro_py import (
+        _write_block,
+        _write_container_header,
+        read_avro_batches,
+        read_avro_file,
+        write_avro_file,
+        write_avro_file_cols,
+    )
+
+    p = str(tmp_path / "zerofield.avro")
+    assert write_avro_file(p, [], [{} for _ in range(5)]) == 5
+    assert list(read_avro_file(p)) == [()] * 5
+    batches = list(read_avro_batches(p))
+    assert sum(b.num_rows for b in batches) == 5
+    assert all(b.num_columns == 0 for b in batches)
+
+    with pytest.raises(ValueError, match="zero-field schema"):
+        write_avro_file_cols(str(tmp_path / "zf2.avro"), [], iter([]))
+
+    p_bad = str(tmp_path / "zf_bad.avro")
+    with open(p_bad, "wb") as f:
+        _write_container_header(f, [], "null")
+        _write_block(f, 2, b"\x01", "null")
+    with pytest.raises(ValueError, match="trailing bytes"):
+        list(read_avro_batches(p_bad))
+
+
 def test_avro_py_deflate_codec_roundtrip(tmp_path):
     """r6: the deflate codec is raw RFC 1951 DEFLATE per block (no
     zlib framing, no checksum — the Avro spec's definition). A
