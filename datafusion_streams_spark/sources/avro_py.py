@@ -196,7 +196,10 @@ def _encode_block(rows, fields) -> bytes:
         for name, kind in fields:
             v = r[name]
             if kind == "long":
-                wlong(int(v))
+                v = int(v)
+                if v > _INT64_MAX or v < _INT64_MIN:
+                    raise ValueError("avro: long out of int64 range")
+                wlong(v)
             elif kind == "date":
                 n = dcache.get(v)
                 if n is None:
@@ -342,7 +345,10 @@ def _encode_cols(cols: list[list], kinds: list[str]) -> bytes:
         for j, kind in enumerate(kinds):
             v = cols[j][i]
             if kind in ("long", "date"):
-                wlong(int(v))
+                v = int(v)
+                if v > _INT64_MAX or v < _INT64_MIN:
+                    raise ValueError("avro: long out of int64 range")
+                wlong(v)
             elif kind == "double":
                 ext(pack("<d", float(v)))
             elif kind == "string":

@@ -420,6 +420,19 @@ def test_avro_wire_range_checks_fail_closed(tmp_path):
         (("x", "long"), zigzag(1 << 70), "long out of int64 range"),
         (("d", "date"), zigzag(1 << 40), "date out of supported range"),
     ]
+    # writers enforce the same bound: no container we emit is one our
+    # own readers refuse
+    from datafusion_streams_spark.sources.avro_py import (
+        write_avro_file,
+        write_avro_file_cols,
+    )
+
+    with pytest.raises(ValueError, match="long out of int64 range"):
+        write_avro_file(str(tmp_path / "wbig.avro"), [("x", "long")], [{"x": 1 << 70}])
+    with pytest.raises(ValueError, match="long out of int64 range"):
+        write_avro_file_cols(
+            str(tmp_path / "wbig2.avro"), [("x", "long")], iter([[[1 << 70]]])
+        )
     for field, body, msg in cases:
         p = str(tmp_path / f"corrupt_{field[1]}.avro")
         with open(p, "wb") as f:
