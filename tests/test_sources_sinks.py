@@ -619,7 +619,12 @@ def test_avro_block_codec_property(tmp_path):
 
     fields = [("k", "long"), ("d", "date"), ("p", "double"), ("s", "string")]
     kinds = [k for _, k in fields]
-    longs = st.integers(min_value=-(2**62), max_value=2**62)
+    # the full int64 domain: the min/max boundaries exercise the
+    # 10-byte-varint edge right under the decoders' range rejection
+    longs = st.one_of(
+        st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+        st.sampled_from([-(1 << 63), (1 << 63) - 1, -(1 << 62), (1 << 62)]),
+    )
     days = st.integers(min_value=-100_000, max_value=100_000)
     doubles = st.one_of(
         st.floats(allow_nan=False),  # inf/denormals included
