@@ -485,6 +485,13 @@ def _decode_scan(payload, pos, width, height, quant, dc_table, ac_table):
     reader = _BitReader(payload, pos)
     bw = (width + 7) // 8
     bh = (height + 7) // 8
+    # every decoded block consumes >=2 bits of entropy data (a DC code
+    # and an EOB are each >=1 bit), so declared dims the remaining bytes
+    # cannot back must be rejected BEFORE the width*height allocation —
+    # a ~200-byte file claiming 65535x65535 would otherwise reserve
+    # ~4.3e9 pixels first and fail on truncation only afterwards
+    if bw * bh > 4 * max(0, len(payload) - pos):
+        raise ValueError("jpeg: dimensions exceed entropy data capacity")
     pixels = [0] * (width * height)
     pred = 0
     for by in range(bh):

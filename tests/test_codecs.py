@@ -635,6 +635,26 @@ def test_jpeg_decode_rejects_malformed():
     assert decode_jpeg_gray(com)[2] == decode_jpeg_gray(good)[2]
 
 
+def test_jpeg_dimension_bomb_rejected_before_allocation():
+    """A tiny crafted file whose SOF declares 65535x65535 must be
+    rejected by the entropy-capacity bound (every block needs >=2 bits
+    of scan data) BEFORE the width*height output allocation — the same
+    fail-closed-first discipline as the bounded PNG inflate. The time
+    bound pins the 'before allocation' part: reserving 4.3e9 pixels
+    would take far longer (or OOM)."""
+    import time
+
+    good = encode_jpeg_gray(8, 8, [128] * 64)
+    i = good.index(b"\xff\xc0")
+    bomb = bytearray(good)
+    bomb[i + 5 : i + 7] = b"\xff\xff"  # height
+    bomb[i + 7 : i + 9] = b"\xff\xff"  # width
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="entropy data capacity"):
+        decode_jpeg_gray(bytes(bomb))
+    assert time.monotonic() - t0 < 2.0
+
+
 def test_jpeg_encoder_validates_input():
     with pytest.raises(ValueError, match="dimensions"):
         encode_jpeg_gray(0, 8, [])
