@@ -271,6 +271,8 @@ def _decode_block_rows(data: bytes, fields: list[tuple[str, str]], n_rows: int):
             else:
                 raise ValueError(f"unsupported avro kind: {kind}")
         rows.append(tuple(vals))
+    if pos != end:
+        raise ValueError("avro: block has trailing bytes after declared rows")
     return rows
 
 
@@ -321,6 +323,8 @@ def _decode_block_cols(data: bytes, fields: list[tuple[str, str]], n_rows: int):
                 pos += n
             else:
                 raise ValueError(f"unsupported avro kind: {kind}")
+    if pos != end:
+        raise ValueError("avro: block has trailing bytes after declared rows")
     return cols
 
 
@@ -495,7 +499,12 @@ def read_avro_meta(path: str) -> tuple[list[tuple[str, str]], str]:
             count = _read_long(f)
             if count == 0:
                 break
-            for _ in range(abs(count)):
+            if count < 0:
+                # spec: a negative map-block count is followed by the
+                # block's byte size as a long, then |count| pairs
+                _read_long(f)
+                count = -count
+            for _ in range(count):
                 k = _read_bytes(f)
                 v = _read_bytes(f)
                 if k == b"avro.schema":
@@ -523,7 +532,10 @@ def _iter_decompressed_blocks(path: str, codec: str):
             count = _read_long(f)
             if count == 0:
                 break
-            for _ in range(abs(count)):
+            if count < 0:  # negative count: long byte size precedes pairs
+                _read_long(f)
+                count = -count
+            for _ in range(count):
                 _read_bytes(f)
                 _read_bytes(f)
         f.read(16)  # sync

@@ -444,6 +444,75 @@ def test_avro_wire_range_checks_fail_closed(tmp_path):
             list(read_avro_batches(p))
 
 
+def test_avro_spec_container_conformance_edges(tmp_path):
+    """Two container-walk edges from the Avro 1.11 spec: (a) a NEGATIVE
+    metadata-map block count is followed by a long byte size, then
+    |count| pairs — a reader using abs(count) alone misparses the size
+    long as the first key length; (b) a data block whose body holds
+    bytes beyond its declared row count is corrupt and must be rejected
+    by both readers, not silently accepted."""
+    import io
+    import pytest
+
+    from datafusion_streams_spark.sources.avro_py import (
+        MAGIC,
+        SYNC,
+        _avro_schema_json,
+        _encode_block,
+        _write_block,
+        _write_long,
+        _write_bytes,
+        read_avro_batches,
+        read_avro_file,
+        read_avro_meta,
+    )
+
+    fields = [("x", "long")]
+
+    # (a) negative-count metadata map block
+    p = str(tmp_path / "negmap.avro")
+    meta = io.BytesIO()
+    _write_bytes(meta, b"avro.schema")
+    _write_bytes(meta, _avro_schema_json(fields).encode())
+    _write_bytes(meta, b"avro.codec")
+    _write_bytes(meta, b"null")
+    pairs = meta.getvalue()
+    with open(p, "wb") as f:
+        f.write(MAGIC)
+        head = io.BytesIO()
+        _write_long(head, -2)          # negative count: 2 pairs
+        _write_long(head, len(pairs))  # spec-mandated block byte size
+        f.write(head.getvalue())
+        f.write(pairs)
+        zero = io.BytesIO()
+        _write_long(zero, 0)
+        f.write(zero.getvalue())
+        f.write(SYNC)
+        _write_block(f, 2, _encode_block([{"x": 1}, {"x": 2}], fields), "null")
+    assert read_avro_meta(p) == (fields, "null")
+    assert list(read_avro_file(p)) == [(1,), (2,)]
+    assert [b.num_rows for b in read_avro_batches(p)] == [2]
+
+    # (b) trailing bytes after the declared rows of a block
+    p_bad = str(tmp_path / "trailing.avro")
+    with open(p_bad, "wb") as f:
+        f.write(MAGIC)
+        head = io.BytesIO()
+        _write_long(head, 2)
+        f.write(head.getvalue())
+        f.write(pairs)
+        zero = io.BytesIO()
+        _write_long(zero, 0)
+        f.write(zero.getvalue())
+        f.write(SYNC)
+        body = _encode_block([{"x": 1}], fields) + b"\x02"  # 1 row + junk
+        _write_block(f, 1, body, "null")
+    with pytest.raises(ValueError, match="trailing bytes"):
+        list(read_avro_file(p_bad))
+    with pytest.raises(ValueError, match="trailing bytes"):
+        list(read_avro_batches(p_bad))
+
+
 def test_avro_zero_field_schema_preserves_row_count(tmp_path):
     """Zero-field rows occupy zero bytes — only the block headers carry
     the count. The row writer/reader frame it; the batch reader returns
