@@ -108,14 +108,26 @@ def _write_bytes(buf: io.BytesIO, data: bytes) -> None:
     buf.write(data)
 
 
+def _read_exact(buf, n: int, what: str) -> bytes:
+    """Read exactly ``n`` bytes in bounded chunks: a corrupt huge
+    declared length must fail closed at EOF, not be handed to read()
+    whole (which preallocates an n-sized buffer)."""
+    chunks = []
+    remaining = n
+    while remaining > 0:
+        c = buf.read(min(remaining, 1 << 20))
+        if not c:
+            raise ValueError(f"avro: {what} truncated")
+        chunks.append(c)
+        remaining -= len(c)
+    return b"".join(chunks)
+
+
 def _read_bytes(buf: io.BufferedReader) -> bytes:
     n = _read_long(buf)
     if n < 0:
         raise ValueError(f"avro: negative bytes length {n}")
-    data = buf.read(n)
-    if len(data) != n:
-        raise ValueError("avro: bytes value truncated")
-    return data
+    return _read_exact(buf, n, "bytes value")
 
 
 # ---------------------------------------------------------------------------
@@ -550,7 +562,9 @@ def _iter_decompressed_blocks(path: str, codec: str):
                 raise ValueError(
                     f"avro: negative block header ({n_rows} rows, {size} bytes)"
                 )
-            yield n_rows, _decompress_block(f.read(size), codec)
+            yield n_rows, _decompress_block(
+                _read_exact(f, size, "block body"), codec
+            )
             f.read(16)  # sync
 
 

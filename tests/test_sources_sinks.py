@@ -513,6 +513,69 @@ def test_avro_spec_container_conformance_edges(tmp_path):
         list(read_avro_batches(p_bad))
 
 
+def test_avro_huge_declared_lengths_fail_closed_without_allocation(tmp_path):
+    """A corrupt varint can declare a ~2**60-byte metadata value or
+    block body; handing that to read() preallocates the buffer and
+    raises MemoryError (found by mutation soak). Both declared-length
+    reads are chunked and must fail closed with ValueError at EOF,
+    quickly."""
+    import io
+    import time
+    import pytest
+
+    from datafusion_streams_spark.sources.avro_py import (
+        MAGIC,
+        SYNC,
+        _avro_schema_json,
+        _encode_block,
+        _write_bytes,
+        _write_long,
+        read_avro_batches,
+        read_avro_file,
+        read_avro_meta,
+    )
+
+    fields = [("x", "long")]
+
+    def header(f, key_len_override=None):
+        f.write(MAGIC)
+        meta = io.BytesIO()
+        _write_long(meta, 2)
+        if key_len_override is not None:
+            _write_long(meta, key_len_override)  # huge declared key length
+        else:
+            _write_bytes(meta, b"avro.schema")
+        _write_bytes(meta, _avro_schema_json(fields).encode())
+        _write_bytes(meta, b"avro.codec")
+        _write_bytes(meta, b"null")
+        _write_long(meta, 0)
+        f.write(meta.getvalue())
+        f.write(SYNC)
+
+    p_meta = str(tmp_path / "huge_meta.avro")
+    with open(p_meta, "wb") as f:
+        header(f, key_len_override=1 << 60)
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="truncated"):
+        read_avro_meta(p_meta)
+    assert time.monotonic() - t0 < 2.0
+
+    p_block = str(tmp_path / "huge_block.avro")
+    with open(p_block, "wb") as f:
+        header(f)
+        head = io.BytesIO()
+        _write_long(head, 1)        # one declared row
+        _write_long(head, 1 << 60)  # huge declared block byte size
+        f.write(head.getvalue())
+        f.write(_encode_block([{"x": 1}], fields))
+        f.write(SYNC)
+    for reader in (read_avro_file, read_avro_batches):
+        t0 = time.monotonic()
+        with pytest.raises(ValueError, match="truncated"):
+            list(reader(p_block))
+        assert time.monotonic() - t0 < 2.0
+
+
 def test_avro_zero_field_schema_preserves_row_count(tmp_path):
     """Zero-field rows occupy zero bytes — only the block headers carry
     the count. The row writer/reader frame it; the batch reader returns
