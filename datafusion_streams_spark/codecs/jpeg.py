@@ -492,6 +492,15 @@ def _decode_scan(payload, pos, width, height, quant, dc_table, ac_table):
     # ~4.3e9 pixels first and fail on truncation only afterwards
     if bw * bh > 4 * max(0, len(payload) - pos):
         raise ValueError("jpeg: dimensions exceed entropy data capacity")
+    # the entropy bound scales with payload size, so a multi-MB crafted
+    # file could still demand a ~34 GB pixel list; the python-list
+    # output representation makes >2**26 pixels (a 540 MB list) an
+    # implementation limit regardless of file validity
+    if width * height > 1 << 26:
+        raise ValueError(
+            f"jpeg: {width}x{height} exceeds the supported "
+            f"{1 << 26}-pixel decode limit"
+        )
     pixels = [0] * (width * height)
     pred = 0
     for by in range(bh):

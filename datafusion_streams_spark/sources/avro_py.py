@@ -54,6 +54,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -69,6 +70,12 @@ _EPOCH = date(1970, 1, 1)
 _INT64_MIN, _INT64_MAX = -(1 << 63), (1 << 63) - 1
 _DATE_DAYS_MIN = (date.min - _EPOCH).days
 _DATE_DAYS_MAX = (date.max - _EPOCH).days
+# Zero-field rows occupy zero block bytes, so a block's declared row
+# count is unverifiable against its body; bound it so a corrupt header
+# cannot demand an arbitrarily large allocation (any real writer's
+# block is an in-memory buffer — counts beyond ~1M rows/block do not
+# occur in practice).
+_ZERO_FIELD_MAX_BLOCK_ROWS = 1 << 20
 
 # ---------------------------------------------------------------------------
 # binary primitives (Avro spec §"Binary encoding")
@@ -233,6 +240,15 @@ def _decode_block_rows(data: bytes, fields: list[tuple[str, str]], n_rows: int):
     A position scan over bytes rather than per-value BytesIO reads —
     byte-at-a-time reads cost a method call + allocation per byte.
     Out-of-range longs/dates from corrupt varints raise ValueError."""
+    if not fields:
+        # zero-field rows consume zero bytes: the count is the content
+        if n_rows > _ZERO_FIELD_MAX_BLOCK_ROWS:
+            raise ValueError("avro: zero-field block row count implausible")
+        if data:
+            raise ValueError("avro: block has trailing bytes after declared rows")
+        return [()] * n_rows
+    if n_rows * len(fields) > len(data):  # every field value >= 1 byte
+        raise ValueError("avro: block row count exceeds block size")
     pos, end = 0, len(data)
     unpack_from = struct.unpack_from
     kinds = [k for _, k in fields]
@@ -293,6 +309,8 @@ def _decode_block_cols(data: bytes, fields: list[tuple[str, str]], n_rows: int):
     returns one python list per field, with date columns as RAW int
     days-since-epoch (pyarrow date32 takes them directly — no date
     object is ever constructed). Same wire format, same ValueErrors."""
+    if n_rows * len(fields) > len(data):  # every field value >= 1 byte
+        raise ValueError("avro: block row count exceeds block size")
     pos, end = 0, len(data)
     unpack_from = struct.unpack_from
     kinds = [k for _, k in fields]
@@ -360,10 +378,15 @@ def _encode_cols(cols: list[list], kinds: list[str]) -> bytes:
     for i in range(n_rows):
         for j, kind in enumerate(kinds):
             v = cols[j][i]
-            if kind in ("long", "date"):
+            if kind == "long":
                 v = int(v)
                 if v > _INT64_MAX or v < _INT64_MIN:
                     raise ValueError("avro: long out of int64 range")
+                wlong(v)
+            elif kind == "date":
+                v = int(v)
+                if v > _DATE_DAYS_MAX or v < _DATE_DAYS_MIN:
+                    raise ValueError("avro: date out of supported range")
                 wlong(v)
             elif kind == "double":
                 ext(pack("<d", float(v)))
@@ -588,6 +611,8 @@ def read_avro_batches(path: str):
         # zero-field rows occupy zero bytes: carry the bare block row
         # counts as column-less batches (struct<> arrays hold a length)
         for n_rows, block in _iter_decompressed_blocks(path, codec):
+            if n_rows > _ZERO_FIELD_MAX_BLOCK_ROWS:
+                raise ValueError("avro: zero-field block row count implausible")
             if block:
                 raise ValueError("avro: zero-field block with trailing bytes")
             yield pa.RecordBatch.from_struct_array(
@@ -697,18 +722,9 @@ class AvroPyWriter(DataSourceArrowWriter):
         # cast to raw date32 days so no date objects are materialized
         import pyarrow as pa
 
+        os.makedirs(self.path, exist_ok=True)
         part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
         kinds = [k for _, k in self.fields]
-        if not kinds:
-            # zero-column frame: only the row count survives, and only
-            # the row writer can frame count-only blocks
-            n = write_avro_file(
-                part,
-                self.fields,
-                ({} for batch in iterator for _ in range(batch.num_rows)),
-                codec=self.codec,
-            )
-            return AvroPyCommit(part, n)
 
         def col_blocks():
             for batch in iterator:
@@ -722,6 +738,42 @@ class AvroPyWriter(DataSourceArrowWriter):
                 ]
 
         n = write_avro_file_cols(part, self.fields, col_blocks(), codec=self.codec)
+        return AvroPyCommit(part, n)
+
+    def commit(self, messages):
+        pass  # part files are self-describing; nothing to finalize
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class AvroPyZeroFieldWriter(DataSourceWriter):
+    """Writer for zero-field schemas, via the row protocol.
+
+    KNOWN LIMIT (Spark-side): the Python DataSource channel ships the
+    input to the worker as Arrow batches under BOTH writer protocols,
+    and a zero-column Arrow batch carries no row count — so writes of
+    zero-column frames land as empty containers (measured: 5-row
+    zero-column df -> 0 rows on disk through either protocol). Reads
+    are unaffected: ``read_avro_batches`` yields column-less
+    RecordBatches whose counts Spark preserves (5-row module-written
+    file -> 5 rows back through ``format("avro_py")``)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+        self.codec = options.get("codec", "null")
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.avro")
+        n = write_avro_file(
+            part, [], ({} for _ in iterator), codec=self.codec
+        )
         return AvroPyCommit(part, n)
 
     def commit(self, messages):
@@ -761,8 +813,14 @@ class AvroPyDataSource(DataSource):
         )
         if first is None:
             raise FileNotFoundError(f"no .avro files under {path}")
+        fields = read_avro_header(first)
+        if not fields:
+            # an empty DDL string is invalid; a zero-field StructType is
+            from pyspark.sql.types import StructType
+
+            return StructType([])
         spark_types = {"long": "bigint", "double": "double", "string": "string", "date": "date"}
-        return ", ".join(f"{n} {spark_types[k]}" for n, k in read_avro_header(first))
+        return ", ".join(f"{n} {spark_types[k]}" for n, k in fields)
 
     def reader(self, schema):
         return AvroPyReader(self.options)
@@ -771,7 +829,10 @@ class AvroPyDataSource(DataSource):
         return AvroPyStreamReader(self.options)
 
     def writer(self, schema, overwrite):
-        return AvroPyWriter(self.options, _spark_fields(schema))
+        fields = _spark_fields(schema)
+        if not fields:
+            return AvroPyZeroFieldWriter(self.options)
+        return AvroPyWriter(self.options, fields)
 
 
 def register_avro_py(spark) -> None:

@@ -654,6 +654,15 @@ def test_jpeg_dimension_bomb_rejected_before_allocation():
         decode_jpeg_gray(bytes(bomb))
     assert time.monotonic() - t0 < 2.0
 
+    # the entropy bound scales with payload size, so a multi-MB bomb
+    # (~17 MB of padding "entropy" bytes) passes it — the absolute
+    # pixel cap must reject it before the 4.3e9-slot allocation
+    big_bomb = bytes(bomb) + b"\x00" * (17 << 20)
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="pixel decode limit"):
+        decode_jpeg_gray(big_bomb)
+    assert time.monotonic() - t0 < 2.0
+
 
 def test_jpeg_encoder_validates_input():
     with pytest.raises(ValueError, match="dimensions"):

@@ -433,6 +433,22 @@ def test_avro_wire_range_checks_fail_closed(tmp_path):
         write_avro_file_cols(
             str(tmp_path / "wbig2.avro"), [("x", "long")], iter([[[1 << 70]]])
         )
+    # the columnar writer takes raw date32 days (full int32 range from
+    # an Arrow cast) — days beyond python's date range must fail at
+    # encode, mirroring the decoders, not produce an unreadable file
+    with pytest.raises(ValueError, match="date out of supported range"):
+        write_avro_file_cols(
+            str(tmp_path / "wbig3.avro"), [("d", "date")], iter([[[1 << 40]]])
+        )
+    # a block declaring more rows than its bytes can hold (>= 1 byte
+    # per field value) must be rejected before the decode loop runs
+    p_rc = str(tmp_path / "rowcount.avro")
+    with open(p_rc, "wb") as f:
+        _write_container_header(f, [("x", "long")], "null")
+        _write_block(f, 1 << 40, zigzag(1), "null")
+    for reader in (read_avro_file, read_avro_batches):
+        with pytest.raises(ValueError, match="row count exceeds block size"):
+            list(reader(p_rc))
     for field, body, msg in cases:
         p = str(tmp_path / f"corrupt_{field[1]}.avro")
         with open(p, "wb") as f:
@@ -511,6 +527,27 @@ def test_avro_spec_container_conformance_edges(tmp_path):
         list(read_avro_file(p_bad))
     with pytest.raises(ValueError, match="trailing bytes"):
         list(read_avro_batches(p_bad))
+
+
+def test_avro_zero_field_spark_read_preserves_count(spark, tmp_path):
+    """A zero-field container read through the Spark DataSource yields
+    its row count (column-less RecordBatches survive the channel; the
+    schema() hook must return StructType([]), not an empty DDL string).
+    The WRITE direction cannot be symmetric: Spark ships writer input
+    as Arrow batches under both protocols and a zero-column batch
+    carries no row count — documented on AvroPyZeroFieldWriter."""
+    from datafusion_streams_spark.sources.avro_py import (
+        register_avro_py,
+        write_avro_file,
+    )
+
+    d = tmp_path / "zf"
+    d.mkdir()
+    assert write_avro_file(str(d / "part-0.avro"), [], [{}] * 5) == 5
+    register_avro_py(spark)
+    back = spark.read.format("avro_py").option("path", str(d)).load()
+    assert back.columns == []
+    assert back.count() == 5
 
 
 def test_avro_huge_declared_lengths_fail_closed_without_allocation(tmp_path):
@@ -609,6 +646,23 @@ def test_avro_zero_field_schema_preserves_row_count(tmp_path):
         _write_block(f, 2, b"\x01", "null")
     with pytest.raises(ValueError, match="trailing bytes"):
         list(read_avro_batches(p_bad))
+    with pytest.raises(ValueError, match="trailing bytes"):
+        list(read_avro_file(p_bad))
+
+    # zero-field rows occupy zero bytes, so the declared count is the
+    # only content — a corrupt header demanding 2**40 rows must fail
+    # closed in both readers instead of allocating the row objects
+    import time
+
+    p_bomb = str(tmp_path / "zf_bomb.avro")
+    with open(p_bomb, "wb") as f:
+        _write_container_header(f, [], "null")
+        _write_block(f, 1 << 40, b"", "null")
+    for reader in (read_avro_file, read_avro_batches):
+        t0 = time.monotonic()
+        with pytest.raises(ValueError, match="row count implausible"):
+            list(reader(p_bomb))
+        assert time.monotonic() - t0 < 2.0
 
 
 def test_avro_py_deflate_codec_roundtrip(tmp_path):
