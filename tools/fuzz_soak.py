@@ -74,14 +74,22 @@ def main() -> int:
 
     tmpd = tempfile.mkdtemp(prefix="fuzz_soak_")
     avro_bases = {}
-    fields = [("k", "long"), ("d", "date"), ("s", "string"), ("f", "double")]
-    rows = [{"k": i, "d": datetime.date(2020, 1, 1), "s": f"s{i}", "f": i / 7}
-            for i in range(50)]
+    # schema-shape diversity matters: the zero-field row-count bomb was
+    # invisible to a soak whose corpus always had 4 fields
+    shapes = {
+        "4col": ([("k", "long"), ("d", "date"), ("s", "string"),
+                  ("f", "double")],
+                 [{"k": i, "d": datetime.date(2020, 1, 1), "s": f"s{i}",
+                   "f": i / 7} for i in range(50)]),
+        "1col": ([("s", "string")], [{"s": "x" * (i % 30)} for i in range(80)]),
+        "0col": ([], [{} for _ in range(40)]),
+    }
     for codec in ("null", "deflate", "snappy"):
-        p = os.path.join(tmpd, f"valid_{codec}.avro")
-        avro_py.write_avro_file(p, fields, rows, codec=codec)
-        with open(p, "rb") as f:
-            avro_bases[codec] = f.read()
+        for shape, (fields, rows) in shapes.items():
+            p = os.path.join(tmpd, f"valid_{codec}_{shape}.avro")
+            avro_py.write_avro_file(p, fields, rows, codec=codec)
+            with open(p, "rb") as f:
+                avro_bases[f"{codec}-{shape}"] = f.read()
 
     leaks = 0
 
@@ -104,14 +112,14 @@ def main() -> int:
         print(f"{name}: {args.iters} mutations done", flush=True)
 
     mp = os.path.join(tmpd, "mutant.avro")
-    for codec, base in avro_bases.items():
+    for label, base in avro_bases.items():
         for t in range(args.iters):
             m = _mutate(rng, base)
             with open(mp, "wb") as f:
                 f.write(m)
-            attempt(f"avro-{codec}-rows", t, avro_py.read_avro_file, mp)
-            attempt(f"avro-{codec}-batches", t, avro_py.read_avro_batches, mp)
-        print(f"avro-{codec}: {args.iters} mutations done", flush=True)
+            attempt(f"avro-{label}-rows", t, avro_py.read_avro_file, mp)
+            attempt(f"avro-{label}-batches", t, avro_py.read_avro_batches, mp)
+        print(f"avro-{label}: {args.iters} mutations done", flush=True)
 
     print("soak done; leaks:", leaks)
     return 1 if leaks else 0
