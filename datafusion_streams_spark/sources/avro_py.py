@@ -163,6 +163,9 @@ def _fields_from_avro_json(schema_json: str) -> list[tuple[str, str]]:
     try:
         out = []
         for f in sch["fields"]:
+            name = f["name"]
+            if not isinstance(name, str):
+                raise ValueError(f"avro: non-string field name {name!r}")
             t = f["type"]
             if isinstance(t, dict):
                 # the spec allows wrapping any type in {"type": ...};
@@ -184,8 +187,13 @@ def _fields_from_avro_json(schema_json: str) -> list[tuple[str, str]]:
                 # an external file's plain int column must NOT decode
                 # as dates
                 out.append((f["name"], "long"))
-            else:
+            elif t in ("double", "string"):
                 out.append((f["name"], t))
+            else:
+                # whitelist at parse time: passing an unknown type
+                # through would surface later as a decode-loop error
+                # (or a raw KeyError from the DataSource schema hook)
+                raise ValueError(f"avro: unsupported field type {t!r}")
         return out
     except (KeyError, TypeError) as exc:
         # corrupt metadata must fail closed as ValueError, the decoder

@@ -336,6 +336,21 @@ def test_avro_bare_int_field_decodes_as_long_not_date(tmp_path):
         ("c0", "string")]  # date requires an int base
     with _pytest.raises(ValueError, match="unsupported field type"):
         fields_of([{"type": "array", "items": "long"}])
+    # unknown scalar types are whitelisted OUT at parse time (a type
+    # passed through would surface as a decode-loop error or a raw
+    # KeyError from the DataSource schema hook), and valid-JSON shape
+    # corruption fails closed as ValueError, never TypeError/KeyError
+    for bad in (5, "boolean", "float", "bytes", None):
+        with _pytest.raises(ValueError, match="unsupported field type"):
+            fields_of([bad])
+    with _pytest.raises(ValueError, match="non-string field name"):
+        _fields_from_avro_json(
+            '{"type":"record","fields":[{"name":5,"type":"long"}]}'
+        )
+    for shape in ("[]", "5", "null", "{}", '{"fields":5}', '{"fields":[5]}',
+                  '{"fields":[{}]}', '{"fields":[{"name":"x"}]}'):
+        with _pytest.raises(ValueError):
+            _fields_from_avro_json(shape)
 
 
 def test_avro_columnar_paths_match_row_paths(tmp_path):
