@@ -112,7 +112,15 @@ def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int,
             codes[values[k]] = (length, code)
             code += 1
             k += 1
+        # canonical validity: every code assigned at this length must fit
+        # in `length` bits (code counter <= 2^length after assignment)
+        if code > (1 << length):
+            raise ValueError(
+                "jpeg: Huffman code counts overflow the canonical code space"
+            )
         code <<= 1
+    if len(codes) != k:
+        raise ValueError("jpeg: duplicate symbol in Huffman table")
     return codes
 
 
@@ -432,6 +440,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, list[int]]:
                 tc, th = body[b] >> 4, body[b] & 0x0F
                 bits = list(body[b + 1 : b + 17])
                 n = sum(bits)
+                if n > 256:
+                    raise ValueError("jpeg: DHT declares more than 256 codes")
                 values = list(body[b + 17 : b + 17 + n])
                 if len(values) != n:
                     raise ValueError("jpeg: DHT table truncated")
@@ -451,6 +461,11 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, list[int]]:
                 )
             if width == 0 or height == 0:
                 raise ValueError("jpeg: zero dimension in SOF")
+            h_i, v_i = body[7] >> 4, body[7] & 0x0F
+            if not (1 <= h_i <= 4 and 1 <= v_i <= 4):
+                raise ValueError(
+                    f"jpeg: sampling factors {h_i}x{v_i} outside the spec's 1-4"
+                )
             comp_tq = body[8]  # after component id + sampling factors
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(

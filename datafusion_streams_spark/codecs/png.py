@@ -170,13 +170,20 @@ def decode_png(payload: bytes) -> tuple[int, int, list[tuple[int, int, int]]]:
             raise ValueError(f"bad CRC for chunk {ctype!r}")
         pos += 12 + length
         if ctype == b"IHDR":
+            # spec: IHDR is the first chunk and appears exactly once
+            if ihdr is not None:
+                raise ValueError("duplicate IHDR chunk")
             ihdr = data
+        elif ihdr is None:
+            raise ValueError(f"chunk {ctype!r} before IHDR")
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             seen_iend = True
             break
         # ancillary chunks skipped (CRC still verified above)
+    if seen_iend and pos != len(payload):
+        raise ValueError("trailing bytes after IEND")
     if ihdr is None:
         raise ValueError("missing IHDR")
     if len(ihdr) != 13:

@@ -287,6 +287,48 @@ def test_png_decode_rejects_malformed():
         decode_png(build(scan=bytes([7, 1, 2, 3])))
 
 
+def test_png_chunk_order_and_trailing_bytes_fail_closed():
+    """Structured corruption a random mutator can't reach (the chunks
+    stay individually CRC-valid): duplicate IHDR, data chunks before
+    IHDR, and bytes after IEND are all spec-invalid and must be
+    rejected — while the spec-LEGAL split of one zlib stream across
+    several IDAT chunks must keep decoding (r7 hand-probe findings)."""
+    import struct
+    import zlib
+
+    from datafusion_streams_spark.codecs.png import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+    idat = chunk(b"IDAT", zlib.compress(bytes([0, 1, 2, 3])))
+    iend = chunk(b"IEND", b"")
+
+    with pytest.raises(ValueError, match="duplicate IHDR"):
+        decode_png(sig + ihdr + ihdr + idat + iend)
+    with pytest.raises(ValueError, match="before IHDR"):
+        decode_png(sig + idat + ihdr + iend)
+    with pytest.raises(ValueError, match="trailing bytes after IEND"):
+        decode_png(sig + ihdr + idat + iend + b"XX")
+    # a second CONCATENATED png after IEND is also trailing bytes
+    with pytest.raises(ValueError, match="trailing bytes after IEND"):
+        decode_png(sig + ihdr + idat + iend + sig + ihdr + idat + iend)
+
+    # spec-legal: one zlib stream split across two IDAT chunks
+    z = zlib.compress(bytes([0, 10, 20, 30]))
+    split = (
+        sig + ihdr + chunk(b"IDAT", z[:3]) + chunk(b"IDAT", z[3:]) + iend
+    )
+    assert decode_png(split) == (1, 1, [(10, 20, 30)])
+
+
 # ---------------------------------------------------------------------------
 # WAV (r6)
 # ---------------------------------------------------------------------------
@@ -662,6 +704,47 @@ def test_jpeg_dimension_bomb_rejected_before_allocation():
     with pytest.raises(ValueError, match="pixel decode limit"):
         decode_jpeg_gray(big_bomb)
     assert time.monotonic() - t0 < 2.0
+
+
+def test_jpeg_huffman_and_sof_field_validation():
+    """Structured DHT/SOF corruption a random mutator can't reach (the
+    marker framing stays valid): code counts summing past 256 symbols,
+    counts that overflow the canonical code space (17 codes of length
+    4), duplicated symbols, and sampling factors outside T.81's 1-4
+    must all raise ValueError (r7 hand-probe findings)."""
+    import struct
+
+    good = encode_jpeg_gray(8, 8, [128] * 64)
+
+    counts = [0] * 16
+    counts[7], counts[8] = 255, 45  # 300 codes declared
+    syms = bytes(range(256)) + bytes(44)
+    dht = b"\xff\xc4" + struct.pack(">H", 2 + 17 + 300) + b"\x00" + bytes(counts) + syms
+    with pytest.raises(ValueError, match="more than 256 codes"):
+        decode_jpeg_gray(good[:2] + dht + good[2:])
+
+    counts = [0] * 16
+    counts[3] = 17  # 17 codes of length 4 > the 16 available
+    dht = b"\xff\xc4" + struct.pack(">H", 2 + 17 + 17) + b"\x00" + bytes(counts) + bytes(range(17))
+    with pytest.raises(ValueError, match="canonical code space"):
+        decode_jpeg_gray(good[:2] + dht + good[2:])
+
+    counts = [0] * 16
+    counts[3] = 4
+    dht = b"\xff\xc4" + struct.pack(">H", 2 + 17 + 4) + b"\x00" + bytes(counts) + bytes([7, 7, 8, 9])
+    with pytest.raises(ValueError, match="duplicate symbol"):
+        decode_jpeg_gray(good[:2] + dht + good[2:])
+
+    i = good.index(b"\xff\xc0")
+    for factors in (0x00, 0x50, 0x05, 0x10, 0x01):
+        bad = bytearray(good)
+        bad[i + 11] = factors
+        with pytest.raises(ValueError, match="sampling factors"):
+            decode_jpeg_gray(bytes(bad))
+    # 2x2 is spec-valid for a single-component (non-interleaved) scan
+    ok = bytearray(good)
+    ok[i + 11] = 0x22
+    assert decode_jpeg_gray(bytes(ok))[:2] == (8, 8)
 
 
 def test_jpeg_encoder_validates_input():
