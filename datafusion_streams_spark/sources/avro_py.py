@@ -37,6 +37,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import re
 import struct
 import uuid
 import zlib
@@ -76,6 +77,17 @@ _DATE_DAYS_MAX = (date.max - _EPOCH).days
 # block is an in-memory buffer — counts beyond ~1M rows/block do not
 # occur in practice).
 _ZERO_FIELD_MAX_BLOCK_ROWS = 1 << 20
+# Per-block decoded-bytes budget for the deflate codec: raw DEFLATE can
+# expand ~1032x, so a 65KB crafted block would balloon to 64MB inside
+# an unbounded zlib.decompress BEFORE any row/size validation runs.
+# Real blocks here are 4096 rows (see write_avro_file*), orders of
+# magnitude under this ceiling.
+_MAX_BLOCK_DECODED_BYTES = 1 << 26  # 64 MiB
+# Avro spec §Names: a name must match [A-Za-z_][A-Za-z0-9_]* — enforced
+# at schema-parse time so a crafted name like "a bigint, b" cannot flow
+# into the DDL string the DataSource builds (an injection would surface
+# as an AnalysisException/schema-wire desync instead of fail-closed).
+_AVRO_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
 # ---------------------------------------------------------------------------
 # binary primitives (Avro spec §"Binary encoding")
@@ -166,6 +178,10 @@ def _fields_from_avro_json(schema_json: str) -> list[tuple[str, str]]:
             name = f["name"]
             if not isinstance(name, str):
                 raise ValueError(f"avro: non-string field name {name!r}")
+            if not _AVRO_NAME_RE.match(name):
+                # Avro's own name rule; also blocks DDL-string injection
+                # through the Spark schema hook (see _AVRO_NAME_RE note)
+                raise ValueError(f"avro: invalid field name {name!r}")
             t = f["type"]
             if isinstance(t, dict):
                 # the spec allows wrapping any type in {"type": ...};
@@ -317,6 +333,14 @@ def _decode_block_cols(data: bytes, fields: list[tuple[str, str]], n_rows: int):
     returns one python list per field, with date columns as RAW int
     days-since-epoch (pyarrow date32 takes them directly — no date
     object is ever constructed). Same wire format, same ValueErrors."""
+    if not fields:
+        # a columnar return cannot carry a bare row count (no columns to
+        # hold a length) — callers must branch first, the way
+        # read_avro_batches does with column-less RecordBatches
+        raise ValueError(
+            "avro: zero-field block has no columnar form; "
+            "use _decode_block_rows"
+        )
     if n_rows * len(fields) > len(data):  # every field value >= 1 byte
         raise ValueError("avro: block row count exceeds block size")
     pos, end = 0, len(data)
@@ -431,10 +455,25 @@ def _decompress_block(data: bytes, codec: str) -> bytes:
     if codec == "null":
         return data
     if codec == "deflate":
+        # Bounded inflate (mirrors codecs/png.py): an unbounded
+        # zlib.decompress allocates the full decoded size before any
+        # row/size validation — a crafted block must fail closed at the
+        # budget, not leak a MemoryError past the ValueError contract.
         try:
-            return zlib.decompress(data, -15)
+            d = zlib.decompressobj(-15)
+            out = d.decompress(data, _MAX_BLOCK_DECODED_BYTES)
         except zlib.error as exc:
             raise ValueError(f"avro: corrupt deflate block ({exc})") from exc
+        if d.unconsumed_tail or not d.eof:
+            # capped mid-stream (bomb) or stream never reached its end
+            # (truncated) — both fail closed
+            raise ValueError(
+                "avro: deflate block truncated or exceeds the "
+                f"{_MAX_BLOCK_DECODED_BYTES}-byte decode budget"
+            )
+        if d.unused_data:
+            raise ValueError("avro: trailing bytes after deflate block")
+        return out
     if codec == "snappy":
         if len(data) < 4:
             raise ValueError("avro snappy block shorter than its CRC32")

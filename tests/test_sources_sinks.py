@@ -628,6 +628,96 @@ def test_avro_huge_declared_lengths_fail_closed_without_allocation(tmp_path):
         assert time.monotonic() - t0 < 2.0
 
 
+def test_avro_deflate_bomb_and_name_injection_fail_closed(tmp_path):
+    """r8 hardening (ADVICE): (1) a crafted deflate block that inflates
+    past the per-block budget must fail closed as ValueError BEFORE
+    ballooning (unbounded zlib.decompress allocated the full decoded
+    size pre-check — 65KB -> 64MB); (2) a schema field name like
+    'a bigint, b' must be rejected at parse time, not flow into the
+    DDL string the DataSource schema hook builds; (3) the columnar
+    block decoder rejects zero-field schemas instead of silently
+    losing the row count."""
+    import io
+    import json
+    import zlib
+
+    import pytest
+
+    from datafusion_streams_spark.sources.avro_py import (
+        MAGIC,
+        SYNC,
+        _MAX_BLOCK_DECODED_BYTES,
+        _avro_schema_json,
+        _decode_block_cols,
+        _decompress_block,
+        _fields_from_avro_json,
+        _write_bytes,
+        _write_long,
+        read_avro_batches,
+        read_avro_file,
+    )
+
+    # (1a) real-budget bomb: ~64KB of deflate expanding to budget+1
+    bomb_plain_len = _MAX_BLOCK_DECODED_BYTES + 1
+    c = zlib.compressobj(9, zlib.DEFLATED, -15)
+    bomb = c.compress(b"\x00" * bomb_plain_len) + c.flush()
+    assert len(bomb) < 1 << 17  # the attack: tiny wire, huge decode
+    with pytest.raises(ValueError, match="decode budget"):
+        _decompress_block(bomb, "deflate")
+    # at/under budget still round-trips
+    c = zlib.compressobj(9, zlib.DEFLATED, -15)
+    ok_payload = c.compress(b"ab" * 512) + c.flush()
+    assert _decompress_block(ok_payload, "deflate") == b"ab" * 512
+    # truncated stream and trailing garbage both fail closed
+    with pytest.raises(ValueError):
+        _decompress_block(ok_payload[:-1], "deflate")
+    with pytest.raises(ValueError, match="trailing"):
+        _decompress_block(ok_payload + b"junk", "deflate")
+
+    # (1b) end-to-end: a container whose deflate block is the bomb
+    # raises ValueError from both readers (never MemoryError)
+    fields = [("s", "string")]
+    p = str(tmp_path / "bomb.avro")
+    with open(p, "wb") as f:
+        f.write(MAGIC)
+        meta = io.BytesIO()
+        _write_long(meta, 2)
+        _write_bytes(meta, b"avro.schema")
+        _write_bytes(meta, _avro_schema_json(fields).encode())
+        _write_bytes(meta, b"avro.codec")
+        _write_bytes(meta, b"deflate")
+        _write_long(meta, 0)
+        f.write(meta.getvalue())
+        f.write(SYNC)
+        head = io.BytesIO()
+        _write_long(head, 1)          # declared rows
+        _write_long(head, len(bomb))  # declared (compressed) size
+        f.write(head.getvalue())
+        f.write(bomb)
+        f.write(SYNC)
+    for reader in (read_avro_file, read_avro_batches):
+        with pytest.raises(ValueError, match="decode budget"):
+            list(reader(p))
+
+    # (2) Avro's name rule [A-Za-z_][A-Za-z0-9_]* enforced at parse time
+    def schema_with_name(name):
+        return json.dumps({
+            "type": "record", "name": "r",
+            "fields": [{"name": name, "type": "long"}],
+        })
+
+    for bad in ("a bigint, b", 'a"b', "1x", "", "a-b", "a.b", "a\nb"):
+        with pytest.raises(ValueError, match="invalid field name"):
+            _fields_from_avro_json(schema_with_name(bad))
+    assert _fields_from_avro_json(schema_with_name("_ok_Name9")) == [
+        ("_ok_Name9", "long")]
+
+    # (3) columnar decoder refuses zero-field schemas (its return shape
+    # cannot carry a bare row count); the row decoder remains the path
+    with pytest.raises(ValueError, match="zero-field"):
+        _decode_block_cols(b"", [], 5)
+
+
 def test_avro_zero_field_schema_preserves_row_count(tmp_path):
     """Zero-field rows occupy zero bytes — only the block headers carry
     the count. The row writer/reader frame it; the batch reader returns

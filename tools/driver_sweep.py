@@ -73,8 +73,9 @@ def main() -> int:
             sb = sorted(map(str, b.itertuples(index=False, name=None)))
             ok = cols_ok and sa == sb and len(a) == len(b)
         except Exception as e:
-            ok = False
+            bad.append(name)
             print(f"{i:3d} {name}: EXC {e!r}"[:240], flush=True)
+            continue  # exactly one status line per query
         if not ok:
             bad.append(name)
         print(f"{i:3d} {name}: {'OK' if ok else 'MISMATCH'}", flush=True)
