@@ -746,7 +746,10 @@ class AvroPyStreamReader(DataSourceStreamReader):
         return [_FileSplit(os.path.join(self.path, f)) for f in files]
 
     def read(self, split):
-        yield from read_avro_file(split.path)
+        # Arrow batches per container block, like the batch reader —
+        # the stream protocol ships RecordBatches columnar too (r8;
+        # per-row pickling was the per-message cost before)
+        yield from read_avro_batches(split.path)
 
     def commit(self, end):
         pass  # immutable landing files; nothing to clean up

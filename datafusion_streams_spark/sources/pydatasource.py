@@ -51,19 +51,27 @@ def _event_ids(path: str) -> list[int]:
     return sorted(col.to_pylist())
 
 
-def _rows_for_ids(ids) -> "list[tuple[bytes, bytes, int, int]]":
-    # key "Key {id}" / value "Message {id}" — the reference's generator
-    # (`tests/utils.rs:214-220`); partition = id % N (sticky like a
-    # keyed producer), offset = position within the partition
-    return [
-        (
-            f"Key {i}".encode(),
-            f"Message {i}".encode(),
-            int(i) % N_PARTITIONS,
-            int(i) // N_PARTITIONS,
+def _batches_for_ids(ids, batch_rows: int = 8192):
+    """Arrow RecordBatches for a split's message ids — the DataSource
+    channel ships these columnar instead of pickling per-row tuples
+    (measured 2.4x/1.5x on the avro paths when r7 made the same
+    conversion there). key "Key {id}" / value "Message {id}" — the
+    reference's generator (`tests/utils.rs:214-220`); partition =
+    id % N (sticky like a keyed producer), offset = position within
+    the partition."""
+    import pyarrow as pa
+
+    for off in range(0, len(ids), batch_rows):
+        chunk = ids[off : off + batch_rows]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([f"Key {i}".encode() for i in chunk], type=pa.binary()),
+                pa.array([f"Message {i}".encode() for i in chunk], type=pa.binary()),
+                pa.array([int(i) % N_PARTITIONS for i in chunk], type=pa.int32()),
+                pa.array([int(i) // N_PARTITIONS for i in chunk], type=pa.int64()),
+            ],
+            names=["key", "value", "partition", "offset"],
         )
-        for i in ids
-    ]
 
 
 class _Split(InputPartition):
@@ -86,7 +94,7 @@ class KafkaEmuBatchReader(DataSourceReader):
             for i in _event_ids(self.path)
             if i % N_PARTITIONS == split.part_id and split.start <= i // N_PARTITIONS < split.end
         ]
-        yield from _rows_for_ids(ids)
+        yield from _batches_for_ids(ids)
 
 
 class KafkaEmuStreamReader(DataSourceStreamReader):
@@ -131,7 +139,7 @@ class KafkaEmuStreamReader(DataSourceStreamReader):
             for i in _event_ids(self.path)
             if i % N_PARTITIONS == split.part_id and split.start <= i // N_PARTITIONS < split.end
         ]
-        yield from _rows_for_ids(ids)
+        yield from _batches_for_ids(ids)
 
     def commit(self, end):
         pass  # bounded fixture; nothing to clean up
