@@ -726,53 +726,87 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE vocabulary-sized shuffle, keyed on the shingle, with a
     fully-codegen integer aggregation. Each source gets a bit (sources
     are enumerable — a catalog-sized collect, like a join dim);
-    ``bit_or`` folds each shingle's source-set into a long bitmask with
+    ``bit_or`` folds each shingle's source-set into long bitmasks with
     map-side partial aggregation (plain long XOR-tree — no set objects,
     no ObjectHashAggregate fallback, which made the collect_set variant
     7x slower). The per-shingle masks then broadcast-nested-loop
-    against the sources^2-row pair table (linear scan x 190 bit tests,
+    against the sources^2-row pair table (linear scan x bit tests,
     map-side) and the final count aggregates sources^2-bounded output.
     The original formulation self-joined the (source, shingle)
     vocabulary on shingle — a second full-vocabulary shuffle plus S^2
     row fan-out per hot shingle — the weakest shuffle shape in the
-    dedup suite at 100 TB. Bitmask caps at 64 sources; beyond that,
-    chunk sources into 64-bit groups (mask0, mask1, ...) — same plan
-    shape. Same shingle definition as ``dedup_ngram_jaccard``
+    dedup suite at 100 TB.
+
+    Wide catalogs (r8): sources are chunked 63 per mask (bits 0..62 —
+    bit 63 is the sign bit of Spark's only 64-bit integer type, and
+    ``F.lit(1 << 63)`` has no LongType literal), one ``bit_or`` mask
+    column per chunk in the SAME single aggregation, so a 500-feed
+    catalog costs 8 long columns, not another shuffle. Pair rows carry
+    (chunk, bit) coordinates and the join predicate tests the matching
+    mask column. Same shingle definition as ``dedup_ngram_jaccard``
     (word_shingles k=3), so the report composes with the dedup suite.
     """
     docs = load_documents(spark, sf_dir)
     sources = sorted(r.source for r in docs.select("source").distinct().collect())
-    if len(sources) > 64:
-        raise ValueError(
-            f"dedup_source_overlap: {len(sources)} sources exceed the 64-bit "
-            "mask; chunk sources into multiple mask columns for wider catalogs"
-        )
+    ch = 63  # bits per mask chunk (sign bit excluded)
+    n_chunks = max(1, -(-len(sources) // ch))
+    chunk_of = F.create_map(
+        *[x for i, s in enumerate(sources) for x in (F.lit(s), F.lit(i // ch))]
+    )
     bit_of = F.create_map(
-        *[x for i, s in enumerate(sources) for x in (F.lit(s), F.lit(1 << i))]
+        *[x for i, s in enumerate(sources) for x in (F.lit(s), F.lit(1 << (i % ch)))]
     )
     # reuse the suite-shared cached (doc_id, shingle-array) relation —
     # the regexp+HOF shingle pipeline is the dominant cost and is
     # already materialized by any earlier dedup query in the session
     withsh = _doc_shingle_arrays(spark, sf_dir)
-    src_of = docs.select("doc_id", bit_of[F.col("source")].alias("b"))
-    sh = withsh.join(src_of, "doc_id").select(
-        "b", F.explode("sh").alias("shingle")
+    src_of = docs.select(
+        "doc_id",
+        chunk_of[F.col("source")].alias("chunk"),
+        bit_of[F.col("source")].alias("b"),
     )
-    masks = sh.groupBy("shingle").agg(F.bit_or("b").alias("mask"))
+    sh = withsh.join(src_of, "doc_id").select(
+        "chunk", "b", F.explode("sh").alias("shingle")
+    )
+    masks = sh.groupBy("shingle").agg(
+        *[
+            F.bit_or(
+                F.when(F.col("chunk") == c, F.col("b")).otherwise(F.lit(0))
+            ).alias(f"mask{c}")
+            for c in range(n_chunks)
+        ]
+    )
     pairs = spark.createDataFrame(
         [
-            (sources[i], sources[j], 1 << i, 1 << j)
+            (
+                sources[i],
+                sources[j],
+                i // ch,
+                1 << (i % ch),
+                j // ch,
+                1 << (j % ch),
+            )
             for i in range(len(sources))
             for j in range(i + 1, len(sources))
         ],
-        "src_lo string, src_hi string, bit_lo long, bit_hi long",
+        "src_lo string, src_hi string, "
+        "chunk_lo int, bit_lo long, chunk_hi int, bit_hi long",
     )
+
+    def _hit(chunk_col: str, bit_col: str):
+        # (chunk == c AND mask_c & bit != 0) folded over the chunks —
+        # an integer compare per chunk inside the codegen'd BNL
+        # predicate, no array/element_at materialization per row
+        cond = F.lit(False)
+        for c in range(n_chunks):
+            cond = cond | (
+                (F.col(chunk_col) == c)
+                & (F.col(f"mask{c}").bitwiseAND(F.col(bit_col)) != 0)
+            )
+        return cond
+
     return (
-        masks.join(
-            F.broadcast(pairs),
-            (F.col("mask").bitwiseAND(F.col("bit_lo")) != 0)
-            & (F.col("mask").bitwiseAND(F.col("bit_hi")) != 0),
-        )
+        masks.join(F.broadcast(pairs), _hit("chunk_lo", "bit_lo") & _hit("chunk_hi", "bit_hi"))
         .groupBy("src_lo", "src_hi")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
     )

@@ -459,3 +459,40 @@ def test_pattern_match_carry_spans_three_chunks(spark, tmp_path):
         for r in REGISTRY["events_pattern_match"].fn(spark, str(tmp_path)).collect()
     }
     assert got == {1: (3, 1), 2: (6, 2), 3: (6, 1)}
+
+
+def test_source_overlap_wide_catalog_chunked_masks(spark, tmp_path):
+    """r8 (r7 verdict item 2): dedup_source_overlap must handle
+    catalogs wider than one 64-bit mask. 70 sources span two 63-bit
+    mask chunks (bits are chunked 63-wide — bit 63 is LongType's sign
+    bit); every source shares one boilerplate shingle (cross-chunk
+    pairs exercised) and even sources share a second. Verified against
+    the SAME DuckDB oracle SQL the driver runs, on the synthetic
+    documents table."""
+    import duckdb
+    import pandas as pd
+
+    from datafusion_streams_spark.operators import REGISTRY
+    from tests.conftest import assert_frames_match
+
+    n_sources = 70
+    rows = []
+    for i in range(n_sources):
+        text = f"alpha beta gamma uniq{i}a uniq{i}b uniq{i}c"
+        if i % 2 == 0:
+            text += " shared even phrase tail"
+        rows.append((i, f"src{i:03d}", text))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    p = f"{tmp_path}/documents.parquet"
+    pdf.to_parquet(p)
+
+    spec = REGISTRY["dedup_source_overlap"]
+    a = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}'")
+    b = con.execute(spec.oracle).fetchdf()
+    con.close()
+    # every pair shares "alpha beta gamma"; the result is all C(70,2)
+    # pairs, so both chunks' masks are exercised on both join sides
+    assert len(a) == n_sources * (n_sources - 1) // 2
+    assert_frames_match(a, b, "dedup_source_overlap@70src")
