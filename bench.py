@@ -139,6 +139,34 @@ HEADLINE = [
 ]
 
 
+# Queries whose r7 queries_all_reps showed >=2.4x same-plan spread —
+# short-wall queries that ambient box load distorts hardest. They take
+# a third base rep (min-of-N only converges when N outlasts the noise);
+# every query additionally takes up to 2 extra reps while its two
+# fastest runs still disagree by >30% (the streaming replay's adaptive
+# rule, promoted to the per-query sweep in r8).
+HIGH_VARIANCE = {
+    "join_bucketed",
+    "dedup_rewrite_map",
+    "dedup_minhash_lsh",
+    "files_partitioned_pruning",
+    "join_dpp_prune",
+    "files_pysink_manifest",
+    "files_time_travel",
+    "files_merge_on_read",
+    "cluster_kmeans_embeddings",
+    "ann_topk_bruteforce",
+}
+ADAPTIVE_EXTRA_REPS = 2
+ADAPTIVE_SPREAD = 1.30
+
+
+def base_reps_for(name: str, reps: int) -> int:
+    """Base rep count for one query: tagged high-variance queries take
+    at least 3 (unit-tested in tests/test_bench_contract.py)."""
+    return max(reps, 3) if name in HIGH_VARIANCE else reps
+
+
 def main() -> None:
     spark = get_session(app_name="dfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -172,17 +200,25 @@ def main() -> None:
     all_reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
-        best = float("inf")
         runs: list[float] = []
-        for i in range(reps):
+
+        def _one_run() -> None:
             t0 = time.perf_counter()
             spec.fn(spark, SF_DIR).count()
-            elapsed = time.perf_counter() - t0
-            runs.append(round(elapsed, 3))
-            if i == 0:
-                cold[name] = round(elapsed, 3)
-            best = min(best, elapsed)
-        timings[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+
+        for _ in range(base_reps_for(name, reps)):
+            _one_run()
+        cold[name] = runs[0]
+        # adaptive extras: while the two fastest runs disagree by >30%
+        # the moment is ambient-loaded — take up to 2 more (same rule
+        # as the streaming replay metric, r7)
+        while len(runs) < base_reps_for(name, reps) + ADAPTIVE_EXTRA_REPS:
+            fastest, runner_up = sorted(runs)[:2]
+            if runner_up <= fastest * ADAPTIVE_SPREAD:
+                break
+            _one_run()
+        timings[name] = min(runs)
         all_reps[name] = runs
 
     # Post-sweep storage hygiene: a few queries intentionally cache

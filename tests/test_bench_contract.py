@@ -66,3 +66,19 @@ def test_compact_line_clamps_instead_of_crashing():
     assert len(line) <= bench.BUDGET
     obj = json.loads(line)
     assert obj["value"] == 999999.999
+
+
+def test_high_variance_queries_get_three_base_reps():
+    """r7 verdict item 3: the 10 queries with >=2.4x same-plan rep
+    spread take at least 3 base reps so min-of-N outlasts ambient box
+    load; everything else keeps the configured rep count. The tagged
+    set must stay inside HEADLINE or the tag is dead weight."""
+    assert bench.HIGH_VARIANCE <= set(bench.HEADLINE)
+    assert len(bench.HIGH_VARIANCE) == 10
+    for n in bench.HIGH_VARIANCE:
+        assert bench.base_reps_for(n, 2) == 3
+        assert bench.base_reps_for(n, 5) == 5  # explicit higher wins
+    assert bench.base_reps_for("q1_pricing_summary", 2) == 2
+    # the adaptive-extras rule is bounded: at most 2 beyond base
+    assert bench.ADAPTIVE_EXTRA_REPS == 2
+    assert bench.ADAPTIVE_SPREAD == 1.30
