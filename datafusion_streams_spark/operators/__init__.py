@@ -470,10 +470,78 @@ KEYSTONES_R3: tuple[str, ...] = (
     "cluster_kmeans_embeddings",
 )
 
-# r7: the window is exactly the 50-query rotation — backlog closure +
-# changed-code re-verification + oldest-evidence refresh (see
-# ROTATED_IN_R7 comment). Nothing was driver-red in r6.
-VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R7
+# R8 window (r7 verdict item #1): the stale-first rotation. 6 slots
+# lead with the queries whose code changed this round (avro decode
+# hardening + Arrow stream reads; kafka_emu Arrow batches; the
+# source-overlap chunked masks). 2 slots pin the only never-windowed
+# queries left — the rows-only sketches agg_approx_top_k /
+# agg_hll_mergeable (no oracle BY DESIGN; the driver records their row
+# counts, accuracy stays pytest-bounded — these are the window's only
+# expected non-hash rows). The remaining 42 slots are the entire
+# r1/r2-green tail (40 queries: the TPC-H pack, scalar packs,
+# agg_rollup/cube/pivot/percentiles, ann_lsh_bucketed,
+# dedup_embedding_cosine, streaming_dedup_keys, the text keystones)
+# plus the 2 oldest r3 headline keystones. After this round no driver
+# row in the registry is older than r3 — two full rotations complete.
+# Registry growth this round: 0 (freeze, verdict item #4).
+ROTATED_IN_R8: tuple[str, ...] = (
+    # changed this round (6)
+    "files_avro_roundtrip",          # avro schema-name whitelist + bounded deflate
+    "files_avro_deflate",            # bounded decompressobj inflate path
+    "files_avro_snappy",             # shared schema-parse changes
+    "streaming_avro_source",         # stream read now yields Arrow batches
+    "ref_kafka_datasource_pipeline", # kafka_emu reads now Arrow batches
+    "dedup_source_overlap",          # 63-bit chunked source masks
+    # never-windowed rows-only sketches (2) — row counts pinned
+    "agg_approx_top_k",
+    "agg_hll_mergeable",
+    # the full r1/r2-green tail (40)
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_parts_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "ann_lsh_bucketed",
+    "ann_topk_filtered",
+    "dedup_embedding_cosine",
+    "join_broadcast_dim",
+    "join_range_bands",
+    "scalar_array_pack",
+    "scalar_conditional_pack",
+    "scalar_date_pack",
+    "scalar_math_pack",
+    "set_except",
+    "set_intersect",
+    "sql_grouping_sets",
+    "streaming_dedup_keys",
+    "text_fingerprint",
+    "text_langid",
+    "text_tfidf_topterms",
+    "text_token_stats",
+    # oldest r3 headline keystones (2)
+    "window_topk_per_group",
+    "events_tumbling_hour",
+)
+
+VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R8
 
 
 def _prioritize() -> None:

@@ -45,45 +45,49 @@ def test_registry_complete():
     assert set(o) <= set(q)
 
 
-def test_verified_prefix_is_the_r7_rotation():
+def test_verified_prefix_is_the_r8_rotation():
     """The driver hard-verifies only the first 50 registry slots. The
-    round-7 window (round-6 verdict item #1) is the terminal
-    burn-down: the 13 never-driver-checked oracle-backed queries lead
-    (after this round, every oracle-backed query has a driver hash
-    row), the next 23 slots re-verify queries whose code changed after
-    their last green row (BPE canonical-greedy first), and the last 14
-    refresh the oldest (r1/r2) evidence. Every slot carries a DuckDB
-    oracle — zero expected err rows."""
+    round-8 window (round-7 verdict item #1) is the stale-first
+    rotation: 6 changed-this-round queries lead, the 2 never-windowed
+    rows-only sketches get their row counts pinned (the window's ONLY
+    expected non-hash rows), and the remaining 42 slots are the entire
+    r1/r2-green tail plus the 2 oldest r3 headline keystones — after
+    this round, no driver row anywhere in the registry predates r3."""
     import json
     import os
 
-    from datafusion_streams_spark.operators import ROTATED_IN_R7, VERIFIED_FIRST
+    from datafusion_streams_spark.operators import ROTATED_IN_R8, VERIFIED_FIRST
 
     names = list(REGISTRY)
     assert len(VERIFIED_FIRST) == 50
-    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R7)
+    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R8)
 
     window = names[:50]
-    # every window slot is hash-checkable — no rows-only queries burn a
-    # slot this round (the sketch queries are pytest accuracy-bounded)
+    # exactly the two by-design sketches are rows-only; every other
+    # slot is hash-checkable
     rows_only = [n for n in window if REGISTRY[n].oracle is None]
-    assert rows_only == [], rows_only
+    assert rows_only == ["agg_approx_top_k", "agg_hll_mergeable"], rows_only
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set = set()
-    for r in ("r01", "r02", "r03", "r04", "r05", "r06"):
-        f = os.path.join(repo, f"CORRECTNESS_{r}.json")
+    last_green: dict = {}
+    for rnd in range(1, 8):
+        f = os.path.join(repo, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(f):
-            checked.update(json.load(open(f)).keys())
-    if checked:  # absent in a bare checkout
-        # the leading 13 slots are exactly the queries with no driver
-        # row in any prior round...
-        never = [n for n in window if n not in checked]
-        assert never == list(window[:13]), never
-        # ...and after this window runs, the only registered queries
-        # without a driver row anywhere are the two rows-only sketches.
-        remaining = set(REGISTRY) - checked - set(window)
-        assert remaining == {"agg_hll_mergeable", "agg_approx_top_k"}, sorted(remaining)
+            for name, row in json.load(open(f)).items():
+                if row.get("hash_match"):
+                    last_green[name] = rnd
+    if last_green:  # absent in a bare checkout
+        # the window swallows the whole stale tail: after it runs, every
+        # query hash-green in some round is green no earlier than r3
+        stale = [n for n, r in last_green.items() if r <= 2 and n in REGISTRY]
+        assert set(stale) <= set(window), sorted(set(stale) - set(window))
+        # and the only registered queries with no hash-green row ever
+        # are the four rows-only sketches (two of which are windowed now)
+        never_hash = set(REGISTRY) - set(last_green)
+        assert never_hash == {
+            "agg_approx_distinct", "agg_approx_percentile",
+            "agg_approx_top_k", "agg_hll_mergeable",
+        }, sorted(never_hash)
 
 
 def test_approx_distinct_accuracy(spark, duck):
