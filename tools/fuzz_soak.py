@@ -21,6 +21,7 @@ import argparse
 import datetime
 import os
 import random
+import struct
 import sys
 import tempfile
 
@@ -62,12 +63,49 @@ def main() -> int:
 
     px = [(x % 256, (x * 7) % 256, (x * 13) % 256) for x in range(24 * 16)]
     gray = [((x // 8) * 40) % 256 for x in range(64)]
+
+    # r8: structured marker/chunk corpora. Random byte mutation of a
+    # minimal file cannot REACH the ancillary-chunk and extra-marker
+    # parsing surfaces, so seed bases that already carry them:
+    #  - PNG with gAMA/tEXt/unknown-private chunks before IDAT and a
+    #    tIME trailer after (all CRC-valid; decodes identically)
+    #  - JPEG with APP0(JFIF)+COM segments (decodes identically)
+    #  - the same JPEG with SOF0 flipped to SOF2 (progressive —
+    #    fail-closed by contract) and with a DRI segment (fail-closed)
+    from datafusion_streams_spark.codecs.png import _chunk as _png_chunk
+
+    png_plain = encode_png(24, 16, px)
+    png_anc = (
+        png_plain[:33]  # signature + IHDR
+        + _png_chunk(b"gAMA", struct.pack(">I", 45455))
+        + _png_chunk(b"tEXt", b"Comment\x00fuzz soak")
+        + _png_chunk(b"prIv", bytes(range(16)))
+        + png_plain[33:-12]  # IDAT
+        + _png_chunk(b"tIME", struct.pack(">HBBBBB", 2026, 8, 15, 0, 0, 0))
+        + png_plain[-12:]  # IEND
+    )
+    assert decode_png(png_anc) == decode_png(png_plain)
+
+    jpeg_plain = encode_jpeg_gray(8, 8, gray)
+    app0 = (b"\xFF\xE0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    com = b"\xFF\xFE" + struct.pack(">H", 12) + b"fuzz soak!"
+    dri = b"\xFF\xDD" + struct.pack(">H", 4) + struct.pack(">H", 0)
+    jpeg_marked = jpeg_plain[:2] + app0 + com + jpeg_plain[2:]
+    assert decode_jpeg_gray(jpeg_marked) == decode_jpeg_gray(jpeg_plain)
+    jpeg_progressive = jpeg_marked.replace(b"\xFF\xC0", b"\xFF\xC2", 1)
+    jpeg_dri = jpeg_plain[:2] + dri + jpeg_plain[2:]
+
     surfaces = {
         "bmp": (encode_bmp(24, 16, px), decode_bmp),
-        "png": (encode_png(24, 16, px), decode_png),
+        "png": (png_plain, decode_png),
+        "png-ancillary": (png_anc, decode_png),
         "wav": (encode_wav(8000, 2, [i % 1000 - 500 for i in range(512)]),
                 decode_wav),
-        "jpeg": (encode_jpeg_gray(8, 8, gray), decode_jpeg_gray),
+        "jpeg": (jpeg_plain, decode_jpeg_gray),
+        "jpeg-app-com": (jpeg_marked, decode_jpeg_gray),
+        "jpeg-progressive": (jpeg_progressive, decode_jpeg_gray),
+        "jpeg-dri": (jpeg_dri, decode_jpeg_gray),
         "snappy": (snap.compress(b"the quick brown fox " * 50),
                    snap.decompress),
     }
