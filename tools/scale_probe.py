@@ -1,0 +1,144 @@
+"""Repeatable scale-up probes: re-measure the repo's two headline
+scale claims at HEAD instead of carrying them as historical notes.
+
+  A) avro Arrow round trip (write+read+agg through format("avro_py"))
+     at 1x / 10x / 100x rows — r7 measured 100x data -> 1.29x wall;
+  B) streaming replay (micro-batch drain of the events fixture through
+     the reference cast+length pipeline) at 1x / 10x volume —
+     r7 measured 10x data -> 1.21x wall.
+
+Both claims say the same thing: fixed per-job cost dominates at
+fixture scale and the marginal per-row cost is flat, so the pipelines
+ride partition count at 100 TB. The probe prints ONE JSON line with
+the measured ratios; run after changes to the DataSource protocol
+paths or the streaming drain and paste the line into SCALE_NOTES.md.
+
+    cd /tmp && python /root/repo/tools/scale_probe.py
+    python tools/scale_probe.py --sf-dir /root/testdata/sf0.1   # r7 setup
+
+Numbers are warm min-of-N on whatever this box is doing; the RATIOS
+are the claim, not the absolute seconds.
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _min_of(n: int, fn) -> float:
+    runs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return min(runs)
+
+
+def probe_avro_roundtrip(spark, reps: int) -> dict:
+    """Write+read+count through format("avro_py") at 1x/10x/100x rows
+    (8 write partitions, like files_avro_roundtrip)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_streams_spark.sources.avro_py import register_avro_py
+
+    register_avro_py(spark)
+    sizes = (1_500, 15_000, 150_000)
+    walls = {}
+    for n in sizes:
+        src = spark.range(n).select(
+            F.col("id").alias("k"),
+            F.date_add(F.lit("1997-03-01").cast("date"), (F.col("id") % 365).cast("int")).alias("d"),
+            (F.col("id") / 7.0).alias("p"),
+            F.concat(F.lit("value "), F.col("id").cast("string")).alias("s"),
+        ).repartition(8)
+
+        def trip():
+            out = tempfile.mkdtemp(prefix="scale_probe_avro_")
+            try:
+                src.write.format("avro_py").option("path", out).mode("append").save()
+                assert spark.read.format("avro_py").option("path", out).load().count() == n
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+
+        walls[n] = round(_min_of(reps, trip), 3)
+    return {
+        "rows": sizes,
+        "wall_sec": [walls[n] for n in sizes],
+        "ratio_100x_data": round(walls[sizes[-1]] / walls[sizes[0]], 2),
+    }
+
+
+def probe_events_replay(spark, sf_dir: str, reps: int) -> dict:
+    """Micro-batch drain of the events fixture through the reference
+    cast+length pipeline at 1x and 10x volume (file copies in a
+    landing dir — more rows, same listing shape)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_streams_spark.sources.kafka import kafka_like_stream
+    from datafusion_streams_spark.streaming.microbatch import run_drain_to_memory
+
+    src_file = os.path.join(sf_dir, "events.parquet")
+    out = {}
+    for copies in (1, 10):
+        land = tempfile.mkdtemp(prefix=f"scale_probe_replay_{copies}x_")
+        try:
+            for i in range(copies):
+                shutil.copy(src_file, os.path.join(land, f"events_{i:02d}.parquet"))
+            n_rows = spark.read.parquet(os.path.join(land, "events_*.parquet")).count()
+
+            def drain():
+                pipe = kafka_like_stream(spark, land).select(
+                    F.col("key").cast("string").alias("key"),
+                    F.length(F.col("value").cast("string")).alias("len_value"),
+                )
+                sink, _ = run_drain_to_memory(pipe, output_mode="append")
+                try:
+                    spark.catalog.dropTempView(sink)
+                except Exception:
+                    pass
+
+            wall = _min_of(reps, drain)
+            out[copies] = {"rows": n_rows, "wall_sec": round(wall, 3),
+                           "rows_per_sec": round(n_rows / wall, 1)}
+        finally:
+            shutil.rmtree(land, ignore_errors=True)
+    out["ratio_10x_data"] = round(out[10]["wall_sec"] / out[1]["wall_sec"], 2)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", default="32")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from datafusion_streams_spark import get_session
+
+    spark = get_session(app_name="scale-probe", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the session the way bench.py does (workers, codegen)
+    spark.range(0, 64, 1, 8).count()
+    spark.range(0, 8, 1, 8).mapInPandas(lambda it: it, "id long").count()
+
+    result = {
+        "probe": "scale_up_ratios",
+        "avro_roundtrip": probe_avro_roundtrip(spark, args.reps),
+        "events_replay": probe_events_replay(spark, args.sf_dir, args.reps),
+        "sf_dir": args.sf_dir,
+        "cpus": args.cpus,
+        "reps": args.reps,
+    }
+    print(json.dumps(result, separators=(",", ":")))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
