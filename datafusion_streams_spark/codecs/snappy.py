@@ -118,7 +118,15 @@ def _emit_copy_one(out: bytearray, offset: int, length: int) -> None:
 
 
 def compress(data: bytes) -> bytes:
-    """Compress ``data`` into a self-contained snappy block."""
+    """Compress ``data`` into a self-contained snappy block.
+
+    Perf note (r8): a numpy-vectorized match finder (stable argsort
+    grouping every position by its exact 4-byte value into a
+    nearest-predecessor index) was built and measured AGAINST this
+    loop on the sf0.1 avro bodies: 1.63 s vs 1.19 s — the array
+    prep + per-element emit costs more than the dict probe it saves,
+    so the scalar greedy loop stays.
+    """
     out = bytearray()
     _emit_varint(out, len(data))
     n = len(data)
@@ -138,7 +146,9 @@ def compress(data: bytes) -> bytes:
         key = data[pos : pos + _MIN_MATCH]
         cand = table.get(key)
         table[key] = pos
-        if cand is None or data[cand : cand + _MIN_MATCH] != key:
+        # No verify compare needed: keys are the exact 4 bytes, so a
+        # dict hit IS a byte-equal match at ``cand``.
+        if cand is None:
             misses += 1
             pos += 1 + (misses >> 5)
             continue
