@@ -330,7 +330,9 @@ def files_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             dsum("o_totalprice").alias("sum_total"),
         )
-        # materialize while the conf is off (the plan executes lazily)
+        # materialize while the conf is off (the plan executes lazily);
+        # the collect is group-cardinality-bounded — one row per
+        # o_orderpriority value plus <CORRUPT> (~6 rows), never data-sized
         result = spark.createDataFrame(
             result.collect(), schema=result.schema
         )
