@@ -274,7 +274,7 @@ def _decode_block_rows(data: bytes, fields: list[tuple[str, str]], n_rows: int):
     if n_rows * len(fields) > len(data):  # every field value >= 1 byte
         raise ValueError("avro: block row count exceeds block size")
     pos, end = 0, len(data)
-    unpack_from = struct.unpack_from
+    unpack_d = struct.Struct("<d").unpack_from
     kinds = [k for _, k in fields]
     rows = []
     # real tables hold few distinct dates relative to rows — memoize
@@ -286,21 +286,31 @@ def _decode_block_rows(data: bytes, fields: list[tuple[str, str]], n_rows: int):
             if kind == "double":
                 if pos + 8 > end:
                     raise ValueError("avro: truncated double")
-                vals.append(unpack_from("<d", data, pos)[0])
+                vals.append(unpack_d(data, pos)[0])
                 pos += 8
                 continue
-            shift = acc = 0
-            while True:  # zigzag varint (long/date/string length)
-                if pos >= end:
-                    raise ValueError("avro: truncated varint")
-                b = data[pos]
-                pos += 1
-                acc |= (b & 0x7F) << shift
-                if not b & 0x80:
-                    break
-                shift += 7
-                if shift > 70:
-                    raise ValueError("avro: varint too long")
+            # zigzag varint (long/date/string length); single-byte
+            # values skip the shift loop entirely (most lengths/dates)
+            if pos >= end:
+                raise ValueError("avro: truncated varint")
+            b = data[pos]
+            pos += 1
+            if b < 0x80:
+                acc = b
+            else:
+                acc = b & 0x7F
+                shift = 7
+                while True:
+                    if pos >= end:
+                        raise ValueError("avro: truncated varint")
+                    b = data[pos]
+                    pos += 1
+                    acc |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                    if shift > 70:
+                        raise ValueError("avro: varint too long")
             n = (acc >> 1) ^ -(acc & 1)
             if kind == "long":
                 if n > _INT64_MAX or n < _INT64_MIN:
@@ -344,45 +354,58 @@ def _decode_block_cols(data: bytes, fields: list[tuple[str, str]], n_rows: int):
     if n_rows * len(fields) > len(data):  # every field value >= 1 byte
         raise ValueError("avro: block row count exceeds block size")
     pos, end = 0, len(data)
-    unpack_from = struct.unpack_from
+    unpack_d = struct.Struct("<d").unpack_from
     kinds = [k for _, k in fields]
     cols: list[list] = [[] for _ in kinds]
+    # flatten the per-value dispatch: bound appends and the (j, kind)
+    # walk once per block, and take the single-byte varint fast path
+    # (most string lengths and dates) without entering the shift loop
+    plan = [(k, c.append) for k, c in zip(kinds, cols)]
     for _ in range(n_rows):
-        for j, kind in enumerate(kinds):
+        for kind, ap in plan:
             if kind == "double":
                 if pos + 8 > end:
                     raise ValueError("avro: truncated double")
-                cols[j].append(unpack_from("<d", data, pos)[0])
+                ap(unpack_d(data, pos)[0])
                 pos += 8
                 continue
-            shift = acc = 0
-            while True:  # zigzag varint (long/date/string length)
-                if pos >= end:
-                    raise ValueError("avro: truncated varint")
-                b = data[pos]
-                pos += 1
-                acc |= (b & 0x7F) << shift
-                if not b & 0x80:
-                    break
-                shift += 7
-                if shift > 70:
-                    raise ValueError("avro: varint too long")
+            # zigzag varint (long/date/string length)
+            if pos >= end:
+                raise ValueError("avro: truncated varint")
+            b = data[pos]
+            pos += 1
+            if b < 0x80:
+                acc = b
+            else:
+                acc = b & 0x7F
+                shift = 7
+                while True:
+                    if pos >= end:
+                        raise ValueError("avro: truncated varint")
+                    b = data[pos]
+                    pos += 1
+                    acc |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                    if shift > 70:
+                        raise ValueError("avro: varint too long")
             n = (acc >> 1) ^ -(acc & 1)
-            if kind == "long":
-                if n > _INT64_MAX or n < _INT64_MIN:
-                    raise ValueError("avro: long out of int64 range")
-                cols[j].append(n)
-            elif kind == "date":
-                if n > _DATE_DAYS_MAX or n < _DATE_DAYS_MIN:
-                    raise ValueError("avro: date out of supported range")
-                cols[j].append(n)
-            elif kind == "string":
+            if kind == "string":
                 if n < 0:
                     raise ValueError(f"avro: negative bytes length {n}")
                 if pos + n > end:
                     raise ValueError("avro: bytes value truncated")
-                cols[j].append(data[pos : pos + n].decode("utf-8"))
+                ap(data[pos : pos + n].decode("utf-8"))
                 pos += n
+            elif kind == "long":
+                if n > _INT64_MAX or n < _INT64_MIN:
+                    raise ValueError("avro: long out of int64 range")
+                ap(n)
+            elif kind == "date":
+                if n > _DATE_DAYS_MAX or n < _DATE_DAYS_MIN:
+                    raise ValueError("avro: date out of supported range")
+                ap(n)
             else:
                 raise ValueError(f"unsupported avro kind: {kind}")
     if pos != end:
