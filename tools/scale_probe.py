@@ -5,7 +5,11 @@ scale claims at HEAD instead of carrying them as historical notes.
      at 1x / 10x / 100x rows — r7 measured 100x data -> 1.29x wall;
   B) streaming replay (micro-batch drain of the events fixture through
      the reference cast+length pipeline) at 1x / 10x volume —
-     r7 measured 10x data -> 1.21x wall.
+     r7 measured 10x data -> 1.21x wall;
+  C) MinHash-LSH dedup at 1x / 4x / 16x corpus volume (token-suffixed
+     copies keep cross-copy shingles disjoint, so the dup structure
+     scales k-fold, never quadratically) — the banded-LSH
+     sub-quadratic claim as a measured wall ratio.
 
 Both claims say the same thing: fixed per-job cost dominates at
 fixture scale and the marginal per-row cost is flat, so the pipelines
@@ -112,6 +116,72 @@ def probe_events_replay(spark, sf_dir: str, reps: int) -> dict:
     return out
 
 
+def probe_minhash_scaleup(spark, sf_dir: str, reps: int) -> dict:
+    """dedup_minhash_lsh wall at 1x/4x/16x corpus volume.
+
+    Naively duplicating documents would be adversarial: identical
+    copies collide in every LSH band and the pair count grows
+    quadratically in the copy count — that measures dup structure, not
+    corpus growth. Instead every token in copy i gets suffix ``q<i>``
+    (regexp_replace on non-space runs), making cross-copy shingles
+    disjoint: the near-dup structure scales k-fold and the measured
+    wall isolates corpus-volume growth. The claim under test is the
+    banded-LSH sub-quadratic property at HEAD: the 16x wall ratio
+    stays in the O(k) regime, nowhere near the 256x an all-pairs
+    formulation would show (property-tested in
+    tests/test_scale_behaviors.py; this probe puts a measured number
+    on it)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_streams_spark.operators import REGISTRY
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    fn = REGISTRY["dedup_minhash_lsh"].fn
+    out = {}
+    for copies in (1, 4, 16):
+        land = tempfile.mkdtemp(prefix=f"scale_probe_minhash_{copies}x_")
+        try:
+            parts = [
+                docs.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    F.regexp_replace(
+                        F.col("text"), r"(\S+)", rf"$1q{i}"
+                    ).alias("text"),
+                    "lang",
+                    "source",
+                    "n_chars",
+                )
+                for i in range(copies)
+            ]
+            scaled = parts[0]
+            for p in parts[1:]:
+                scaled = scaled.unionAll(p)
+            scaled.write.mode("overwrite").parquet(
+                os.path.join(land, "documents.parquet")
+            )
+            n_docs = spark.read.parquet(
+                os.path.join(land, "documents.parquet")
+            ).count()
+            pairs = {}
+
+            def run():
+                pairs["n"] = fn(spark, land).count()
+                # each call caches a fresh shingle relation — drop it so
+                # reps and larger sizes don't stack executor storage
+                spark.catalog.clearCache()
+
+            wall = _min_of(reps, run)
+            out[copies] = {
+                "docs": n_docs,
+                "pairs": pairs["n"],
+                "wall_sec": round(wall, 3),
+            }
+        finally:
+            shutil.rmtree(land, ignore_errors=True)
+    out["ratio_16x_data"] = round(out[16]["wall_sec"] / out[1]["wall_sec"], 2)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -132,6 +202,7 @@ def main() -> int:
         "probe": "scale_up_ratios",
         "avro_roundtrip": probe_avro_roundtrip(spark, args.reps),
         "events_replay": probe_events_replay(spark, args.sf_dir, args.reps),
+        "minhash_lsh": probe_minhash_scaleup(spark, args.sf_dir, args.reps),
         "sf_dir": args.sf_dir,
         "cpus": args.cpus,
         "reps": args.reps,
