@@ -198,6 +198,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
+    # ambient-load context for the detail file: same-plan rep spreads
+    # up to 17x have been recorded on this box, so round-over-round
+    # totals are only interpretable next to what else the machine was
+    # doing (1/5/15-min load averages, 32 hardware threads)
+    load_start = tuple(round(x, 2) for x in os.getloadavg())
     for name in HEADLINE:
         spec = REGISTRY[name]
         runs: list[float] = []
@@ -261,6 +266,8 @@ def main() -> None:
                 "reps": reps,
                 "streaming": streaming,
                 "sf": sf,
+                "loadavg_start": load_start,
+                "loadavg_end": tuple(round(x, 2) for x in os.getloadavg()),
             },
             f,
             indent=1,
