@@ -496,3 +496,31 @@ def test_source_overlap_wide_catalog_chunked_masks(spark, tmp_path):
     # pairs, so both chunks' masks are exercised on both join sides
     assert len(a) == n_sources * (n_sources - 1) // 2
     assert_frames_match(a, b, "dedup_source_overlap@70src")
+
+
+def test_source_overlap_chunk_boundary_widths(spark, tmp_path):
+    """Chunk-boundary widths for the 63-bit source masks: 63 (exactly
+    one full chunk), 64 (the historical overflow point — first source
+    in a second chunk), 127 (three chunks, the last holding one bit).
+    Every source shares one boilerplate shingle, so the expected
+    answer is all C(n,2) pairs with identical share counts — any
+    dropped/doubled (chunk, bit) coordinate shows up as a missing or
+    duplicated pair."""
+    import pandas as pd
+
+    from datafusion_streams_spark.operators import REGISTRY
+
+    spec = REGISTRY["dedup_source_overlap"]
+    for n_sources in (63, 64, 127):
+        rows = [
+            (i, f"src{i:03d}", f"alpha beta gamma uniq{i}a uniq{i}b")
+            for i in range(n_sources)
+        ]
+        sub = tmp_path / f"w{n_sources}"
+        sub.mkdir()
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"]).to_parquet(
+            f"{sub}/documents.parquet"
+        )
+        a = spec.fn(spark, str(sub)).toPandas()
+        assert len(a) == n_sources * (n_sources - 1) // 2, n_sources
+        assert set(a["n_shared_shingles"]) == {1}, n_sources
