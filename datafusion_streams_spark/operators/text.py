@@ -2187,13 +2187,27 @@ per_doc AS (
         CAST(COUNT(*) AS BIGINT) AS n_terms,
         CAST(SUM(w_milli) AS BIGINT) AS sum_milli
     FROM weighted GROUP BY doc_id
+),
+-- score rounded to 6 dp in EXACT integer arithmetic (half away from
+-- zero): score = sum_milli / (1000 * n_terms), so score*1e6 =
+-- sum_milli*1000 / n_terms. Rounding the DOUBLE instead splits
+-- engines on exact halves (5165/80000 = .0645625: Spark HALF_UPs its
+-- shortest-decimal rendering, DuckDB rounds the binary value) —
+-- caught by the sf0.1 sweep, invisible at sf0.01.
+q AS (
+    SELECT doc_id, n_terms, sum_milli,
+        CASE WHEN sum_milli >= 0
+             THEN (2 * sum_milli * 1000 + n_terms) // (2 * n_terms)
+             ELSE -((2 * (-sum_milli) * 1000 + n_terms) // (2 * n_terms))
+        END AS score6
+    FROM per_doc
 )
 SELECT doc_id, n_terms,
-    round(CAST(sum_milli AS DOUBLE) / (1000.0 * n_terms), 6) AS score,
-    round(1.0 / (1.0 + exp(-(CAST(sum_milli AS DOUBLE) / (1000.0 * n_terms)))), 6)
+    CAST(score6 AS DOUBLE) / 1000000.0 AS score,
+    round(1.0 / (1.0 + exp(-(CAST(score6 AS DOUBLE) / 1000000.0))), 6)
         AS p_keep,
     CAST(CASE WHEN sum_milli > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
-FROM per_doc
+FROM q
 """
 
 
@@ -2212,9 +2226,15 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Float parity: per-token weights are exact INTEGER milli-units, so
     the per-document sum is order-independent exact arithmetic — no
-    fold discipline needed; score and sigmoid are each one IEEE
-    expression over two exact integers, rounded to 6 dp. The keep flag
-    compares the integer sum, not a float.
+    fold discipline needed. The 6-dp score is rounded in EXACT integer
+    arithmetic (half away from zero: score*1e6 = sum_milli*1000 /
+    n_terms, integer `div` on the doubled-and-offset numerator), never
+    on the double — rounding the double splits engines on exact halves
+    like 5165/80000 = .0645625 (Spark HALF_UPs its shortest-decimal
+    rendering, DuckDB rounds the true binary value; surfaced by the
+    r8 sf0.1 full sweep, invisible at sf0.01). The sigmoid then takes
+    the identical 6-dp score on both sides. The keep flag compares the
+    integer sum, not a float.
 
     Scale: tokenize + hash + weight lookup are map-only (the "model"
     is broadcast state of O(dim), never a join); the only exchange is
@@ -2246,11 +2266,16 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w_milli").cast("long").alias("sum_milli"),
         )
     )
-    score = F.col("sum_milli").cast("double") / (F.lit(1000.0) * F.col("n_terms"))
+    # integer half-away-from-zero: score6 = round(sum_milli*1000 /
+    # n_terms); operands made non-negative so long `div` (truncation)
+    # IS floor, then the sign is restored
+    q6m = F.expr("(2 * abs(sum_milli * 1000) + n_terms) div (2 * n_terms)")
+    score6 = F.when(F.col("sum_milli") >= 0, q6m).otherwise(-q6m)
+    score = score6.cast("double") / F.lit(1000000.0)
     return per_doc.select(
         "doc_id",
         "n_terms",
-        F.round(score, 6).alias("score"),
+        score.alias("score"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("p_keep"),
         (F.col("sum_milli") > 0).cast("long").alias("keep"),
     )
