@@ -123,6 +123,83 @@ def minhash_halves(shingle: Column) -> tuple[Column, Column]:
     return h1, h2
 
 
+def round6_ratio(numer_sql: str, denom_sql: str) -> Column:
+    """``round(numer/denom, 6)`` computed in EXACT integer arithmetic
+    (half away from zero), for integral ``numer``/``denom`` SQL
+    expressions with ``denom > 0``.
+
+    Rounding the DOUBLE ratio instead splits engines whenever the
+    exact value lands on a 6th-decimal half (e.g. 5165/80000 =
+    .0645625): Spark's ``round`` HALF_UPs the double's
+    shortest-decimal rendering while DuckDB rounds the true binary
+    value — one goes up, the other down. Caught live by the r8 sf0.1
+    full-registry sweep on ``text_classifier_score``; every
+    ratio-of-integers 6-dp site now routes through this helper and its
+    oracle twin ``sql_round6_ratio`` so both engines round the SAME
+    exact integer.
+
+    The arithmetic runs WIDE — numerator cast to DECIMAL(38,0) here,
+    HUGEINT in the DuckDB twin — so ``2 * |numer| * 1e6`` cannot
+    overflow even for DECIMAL(38,0)-exact cent sums at cluster scale
+    (int32/int64 inputs would overflow at *1e6 otherwise). These
+    expressions evaluate on RESULT-sized rows (post-aggregation), so
+    the wide types cost nothing. ``div`` on non-negative operands is
+    floor division, so ``(2*|n|*1e6 + d) div (2*d)`` is round-half-up
+    of ``|n|*1e6/d``; the sign is restored afterwards (= half away
+    from zero, matching what both engines' round() does for exact
+    decimal inputs). Domain bound: the scaled quotient ``ratio*1e6``
+    must stay under 2^53 for the final double to be exact (and under
+    int64 for ``div``), i.e. |numer/denom| < ~9e9 — satisfied by every
+    quantity for which 6 decimal places are meaningful (shares,
+    averages, scores, prices); property-checked against exact Fraction
+    rounding over adversarial 2^a·5^b denominators in
+    tests/test_properties.py.
+    """
+    return F.expr(
+        f"CAST({_micro_sql(numer_sql, denom_sql, 'DECIMAL(38,0)', 'div')}"
+        " AS DOUBLE) / 1000000.0"
+    )
+
+
+def round6_micro(numer_sql: str, denom_sql: str) -> Column:
+    """``round(numer/denom, 6) * 1e6`` as the exact BIGINT micro
+    integer — for intermediates that feed FURTHER integer arithmetic
+    (variance differences, micro-error sums). Never reconstruct this
+    by multiplying :func:`round6_ratio`'s double back by 1e6: q/1e6 is
+    not an exact double, and the round trip truncates in Spark while
+    DuckDB rounds — a one-ulp class of the very bug this family
+    exists to kill."""
+    return F.expr(
+        f"CAST({_micro_sql(numer_sql, denom_sql, 'DECIMAL(38,0)', 'div')}"
+        " AS BIGINT)"
+    )
+
+
+def _micro_sql(numer_sql: str, denom_sql: str, wide: str, intdiv: str) -> str:
+    n = f"CAST(({numer_sql}) AS {wide})"
+    d = f"CAST(({denom_sql}) AS {wide})"
+    q = f"((2 * abs({n}) * 1000000 + {d}) {intdiv} (2 * {d}))"
+    return f"(CASE WHEN {n} >= 0 THEN {q} ELSE -{q} END)"
+
+
+def sql_round6_ratio(numer_sql: str, denom_sql: str) -> str:
+    """DuckDB twin of :func:`round6_ratio` (``//`` is BIGINT floor
+    division there); emit this in oracle SQL wherever the Spark side
+    uses the helper."""
+    return (
+        f"CAST({_micro_sql(numer_sql, denom_sql, 'HUGEINT', '//')}"
+        " AS DOUBLE) / 1000000.0"
+    )
+
+
+def sql_round6_micro(numer_sql: str, denom_sql: str) -> str:
+    """DuckDB twin of :func:`round6_micro` (exact BIGINT micros)."""
+    return (
+        f"CAST({_micro_sql(numer_sql, denom_sql, 'HUGEINT', '//')}"
+        " AS BIGINT)"
+    )
+
+
 def minhash_expr(h1: Column, h2: Column, seed: int) -> Column:
     """MinHash family member seed s via Kirsch–Mitzenmacher double
     hashing: ``h_s = h1 + s*h2`` (Kirsch & Mitzenmacher, ESA 2006 —

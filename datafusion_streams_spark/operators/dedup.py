@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_streams_spark.functions import minhash_expr, minhash_halves, word_shingles
+from datafusion_streams_spark.functions import (
+    minhash_expr,
+    minhash_halves,
+    round6_ratio,
+    sql_round6_ratio,
+    word_shingles,
+)
 from datafusion_streams_spark.catalog import load_documents
 from datafusion_streams_spark.operators import query
 
@@ -888,7 +894,7 @@ per_doc AS (
     GROUP BY sh.doc_id
 )
 SELECT doc_id, n_shingles, n_novel,
-    round(CAST(n_novel AS DOUBLE) / n_shingles, 6) AS novelty
+    {sql_round6_ratio("n_novel", "n_shingles")} AS novelty
 FROM per_doc
 """
 
@@ -922,7 +928,8 @@ def dedup_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_shingles",
         "n_novel",
-        F.round(F.col("n_novel").cast("double") / F.col("n_shingles"), 6).alias("novelty"),
+        # exact-integer 6-dp rounding (see functions.round6_ratio)
+        round6_ratio("n_novel", "n_shingles").alias("novelty"),
     )
 
 
@@ -938,14 +945,22 @@ _MINHASH_ERROR_ORACLE = f"""
 WITH {minhash_ctes()},
 est AS (
     SELECT c.a_id, c.b_id,
+        CAST({_EST_TERMS_SQL} AS BIGINT) AS matches,
         ({_EST_TERMS_SQL}) / 16 AS est_jaccard
     FROM cand c
     JOIN sig sa ON c.a_id = sa.doc_id
     JOIN sig sb ON c.b_id = sb.doc_id
 )
 SELECT e.a_id, e.b_id, e.est_jaccard, p.jaccard,
-    round(abs(e.est_jaccard - p.jaccard), 6) AS abs_err
-FROM est e JOIN pairs p ON e.a_id = p.a_id AND e.b_id = p.b_id
+    {sql_round6_ratio(
+        "abs(e.matches * (sa.n_sh + sb.n_sh - i.n_inter) - 16 * i.n_inter)",
+        "16 * (sa.n_sh + sb.n_sh - i.n_inter)",
+    )} AS abs_err
+FROM est e
+JOIN pairs p ON e.a_id = p.a_id AND e.b_id = p.b_id
+JOIN inter i ON e.a_id = i.a_id AND e.b_id = i.b_id
+JOIN sizes sa ON e.a_id = sa.doc_id
+JOIN sizes sb ON e.b_id = sb.doc_id
 """
 
 
@@ -981,7 +996,7 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = (
         cand.join(sa, F.col("a_id") == F.col("sa.doc_id"))
         .join(sb, F.col("b_id") == F.col("sb.doc_id"))
-        .select("a_id", "b_id", (matches / F.lit(16)).alias("est_jaccard"))
+        .select("a_id", "b_id", matches.alias("matches"))
     )
     szs = withsh.select("doc_id", F.col("sh").alias("arr"))
     a_arr = szs.select(F.col("doc_id").alias("a_id"), F.col("arr").alias("a_sh"))
@@ -992,23 +1007,26 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "a_id",
             "b_id",
-            "est_jaccard",
+            "matches",
+            F.size(F.array_intersect("a_sh", "b_sh")).alias("n_inter"),
             (
-                F.size(F.array_intersect("a_sh", "b_sh"))
-                / (
-                    F.size("a_sh")
-                    + F.size("b_sh")
-                    - F.size(F.array_intersect("a_sh", "b_sh"))
-                )
-            ).alias("jaccard"),
+                F.size("a_sh")
+                + F.size("b_sh")
+                - F.size(F.array_intersect("a_sh", "b_sh"))
+            ).alias("n_union"),
         )
     )
+    # abs_err = |m/16 - inter/union| = |m*union - 16*inter| / (16*union):
+    # 6-dp rounded in exact integer arithmetic (functions.round6_ratio);
+    # est/jaccard stay the same identically-computed IEEE divisions
     return exact.select(
         "a_id",
         "b_id",
-        "est_jaccard",
-        "jaccard",
-        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
+        (F.col("matches") / F.lit(16)).alias("est_jaccard"),
+        (F.col("n_inter") / F.col("n_union")).alias("jaccard"),
+        round6_ratio(
+            "abs(matches * n_union - 16 * n_inter)", "16 * n_union"
+        ).alias("abs_err"),
     )
 
 

@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_streams_spark.catalog import load_events, load_events_us
-from datafusion_streams_spark.functions import dsum
+from datafusion_streams_spark.functions import (
+    dsum,
+    round6_micro,
+    round6_ratio,
+    sql_round6_micro,
+    sql_round6_ratio,
+)
 from datafusion_streams_spark.operators import query
 
 # ---------------------------------------------------------------------------
@@ -1455,7 +1461,7 @@ def events_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # audience overlap: Jaccard between event-type user populations
 # ---------------------------------------------------------------------------
 
-_AUDIENCE_OVERLAP_ORACLE = """
+_AUDIENCE_OVERLAP_ORACLE = f"""
 WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
 sizes AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY event_type),
 inter AS (
@@ -1467,7 +1473,7 @@ SELECT i.type_a, i.type_b,
        CAST(i.n_both AS BIGINT) AS n_both,
        CAST(sa.n AS BIGINT) AS n_a,
        CAST(sb.n AS BIGINT) AS n_b,
-       round(i.n_both * 1.0 / (sa.n + sb.n - i.n_both), 6) AS jaccard
+       {sql_round6_ratio("i.n_both", "sa.n + sb.n - i.n_both")} AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.event_type = i.type_a
 JOIN sizes sb ON sb.event_type = i.type_b
@@ -1516,11 +1522,8 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_both").cast("long").alias("n_both"),
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),
-            F.round(
-                F.col("n_both") * F.lit(1.0)
-                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
-                6,
-            ).alias("jaccard"),
+            # exact-integer 6-dp rounding (see functions.round6_ratio)
+            round6_ratio("n_both", "n_a + n_b - n_both").alias("jaccard"),
         )
     )
 
@@ -1829,7 +1832,7 @@ def timeseries_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFra
 # seasonal-naive forecast backtest (round 4)
 # ---------------------------------------------------------------------------
 
-_FORECAST_BACKTEST_ORACLE = """
+_FORECAST_BACKTEST_ORACLE = f"""
 WITH daily AS (
     SELECT event_type, CAST(ts AS DATE) AS day,
         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
@@ -1852,18 +1855,13 @@ fc AS (
 ),
 scored AS (
     SELECT event_type,
-        CAST(round(abs(CAST(cents AS DOUBLE)
-                       - CAST(hist_sum AS DOUBLE) / CAST(hist_n AS DOUBLE))
-                   * 1000000, 0) AS BIGINT) AS abs_err_u,
-        CAST(round((CAST(cents AS DOUBLE)
-                    - CAST(hist_sum AS DOUBLE) / CAST(hist_n AS DOUBLE))
-                   * 1000000, 0) AS BIGINT) AS err_u
+        {sql_round6_micro("cents * hist_n - hist_sum", "hist_n")} AS err_u
     FROM fc WHERE hist_n > 0
 )
 SELECT event_type,
     CAST(COUNT(*) AS BIGINT) AS n_scored,
-    round(CAST(SUM(abs_err_u) AS DOUBLE) / 1000000 / COUNT(*), 6) AS mae_cents,
-    round(CAST(SUM(err_u) AS DOUBLE) / 1000000 / COUNT(*), 6) AS bias_cents
+    {sql_round6_ratio("SUM(abs(err_u))", "1000000 * COUNT(*)")} AS mae_cents,
+    {sql_round6_ratio("SUM(err_u)", "1000000 * COUNT(*)")} AS bias_cents
 FROM scored
 GROUP BY event_type
 """
@@ -1908,19 +1906,17 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).alias("hist_sum"),
         F.count(F.lit(1)).over(w).alias("hist_n"),
     ).filter(F.col("hist_n") > 0)
-    forecast = F.col("hist_sum").cast("double") / F.col("hist_n").cast("double")
-    err = F.col("cents").cast("double") - forecast
+    # err = cents - hist_sum/hist_n = (cents*hist_n - hist_sum)/hist_n:
+    # micro-cent error rounded in exact integer arithmetic (the double
+    # round splits engines on exact halves — hist_n = 2 makes them
+    # common; see functions.round6_ratio), then exact-integer rounding
+    # again for the cross-day means
     scored = fc.select(
         "event_type",
-        F.round(F.abs(err) * 1000000, 0).cast("long").alias("abs_err_u"),
-        F.round(err * 1000000, 0).cast("long").alias("err_u"),
+        round6_micro("cents * hist_n - hist_sum", "hist_n").alias("err_u"),
     )
     return scored.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_scored"),
-        F.round(
-            F.sum("abs_err_u").cast("double") / 1000000 / F.count(F.lit(1)), 6
-        ).alias("mae_cents"),
-        F.round(
-            F.sum("err_u").cast("double") / 1000000 / F.count(F.lit(1)), 6
-        ).alias("bias_cents"),
+        round6_ratio("sum(abs(err_u))", "1000000 * count(*)").alias("mae_cents"),
+        round6_ratio("sum(err_u)", "1000000 * count(*)").alias("bias_cents"),
     )

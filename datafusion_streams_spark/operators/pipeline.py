@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_streams_spark.functions import tokens
+from datafusion_streams_spark.functions import round6_ratio, sql_round6_ratio, tokens
 from datafusion_streams_spark.operators import query
 from datafusion_streams_spark.operators.dedup import minhash_ctes, minhash_pairs
 
@@ -371,7 +371,7 @@ SELECT lang,
     CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
     CAST(MIN(doc_id) AS BIGINT) AS first_doc,
     CAST(MAX(doc_id) AS BIGINT) AS last_doc,
-    round(CAST(SUM(n_tok) AS DOUBLE) / {PACK_BUDGET}, 6) AS fill_ratio
+    {sql_round6_ratio("SUM(n_tok)", str(PACK_BUDGET))} AS fill_ratio
 FROM binned GROUP BY lang, bin
 """
 
@@ -416,7 +416,8 @@ def pipeline_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("total_tokens"),
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
-        F.round(F.sum("n_tok").cast("double") / PACK_BUDGET, 6).alias("fill_ratio"),
+        # exact-integer 6-dp rounding (see functions.round6_ratio)
+        round6_ratio("sum(n_tok)", str(PACK_BUDGET)).alias("fill_ratio"),
     )
 
 
@@ -782,7 +783,7 @@ agg AS (
     FROM keyed GROUP BY lang
 )
 SELECT lang, n_docs, rate, kept,
-    round(CAST(kept AS DOUBLE) / CAST(SUM(kept) OVER () AS DOUBLE), 6) AS kept_share
+    {sql_round6_ratio("kept", "SUM(kept) OVER ()")} AS kept_share
 FROM agg
 """
 
@@ -829,12 +830,17 @@ def sample_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    share = F.round(
-        F.col("kept").cast("double")
-        / F.sum("kept").over(Window.partitionBy()).cast("double"),
-        6,
+    withtot = agg.withColumn(
+        "total_kept", F.sum("kept").over(Window.partitionBy())
     )
-    return agg.select("lang", "n_docs", "rate", "kept", share.alias("kept_share"))
+    return withtot.select(
+        "lang",
+        "n_docs",
+        "rate",
+        "kept",
+        # exact-integer 6-dp rounding (see functions.round6_ratio)
+        round6_ratio("kept", "total_kept").alias("kept_share"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1403,7 +1409,7 @@ per_doc AS (
 ),
 scored AS (
     SELECT doc_id, source,
-        round(CAST(sum_micro AS DOUBLE) / 1000000 / n_tok, 6) AS avg_lr
+        {sql_round6_ratio("sum_micro", "1000000 * n_tok")} AS avg_lr
     FROM per_doc
 ),
 ranked AS (
@@ -1416,8 +1422,11 @@ SELECT source,
     CAST(COUNT(*) AS BIGINT) AS n_docs,
     CAST(SUM(CASE WHEN rn <= CAST(ceil({_DSIR_KEEP_FRAC} * n_total) AS BIGINT)
         THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
-    round(CAST(SUM(CASE WHEN rn <= CAST(ceil({_DSIR_KEEP_FRAC} * n_total) AS BIGINT)
-        THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS selected_share
+    {sql_round6_ratio(
+        f"SUM(CASE WHEN rn <= CAST(ceil({_DSIR_KEEP_FRAC} * n_total) AS BIGINT) "
+        "THEN 1 ELSE 0 END)",
+        "COUNT(*)",
+    )} AS selected_share
 FROM ranked GROUP BY source
 """
 
@@ -1492,9 +1501,10 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = per_doc.select(
         "doc_id",
         "source",
-        F.round(
-            F.col("sum_micro").cast("double") / 1000000 / F.col("n_tok"), 6
-        ).alias("avg_lr"),
+        # exact-integer 6-dp rounding — avg_lr feeds the global top-20%
+        # rank, so a half-split here would flip the kept SET, not just
+        # a printed digit (see functions.round6_ratio)
+        round6_ratio("sum_micro", "1000000 * n_tok").alias("avg_lr"),
     )
     import math
 
@@ -1509,7 +1519,8 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(sel).cast("long").alias("n_selected"),
-        F.round(F.sum(sel).cast("double") / F.count(F.lit(1)), 6).alias(
-            "selected_share"
-        ),
+        # exact-integer 6-dp rounding (see functions.round6_ratio)
+        round6_ratio(
+            f"sum(CASE WHEN rn <= {k} THEN 1 ELSE 0 END)", "count(*)"
+        ).alias("selected_share"),
     )

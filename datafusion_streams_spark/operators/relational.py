@@ -23,7 +23,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_streams_spark.catalog import load_events, load_tables
-from datafusion_streams_spark.functions import davg, dec, disc_price, charged_price, dsum
+from datafusion_streams_spark.functions import (
+    davg,
+    dec,
+    disc_price,
+    charged_price,
+    dsum,
+    round6_ratio,
+    sql_round6_ratio,
+)
 from datafusion_streams_spark.operators import query
 
 # SQL fragment mirroring functions.disc_price / charged_price exactly.
@@ -1781,7 +1789,7 @@ def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MOMENTS_ORACLE = """
+_MOMENTS_ORACLE = f"""
 WITH p AS (
     SELECT l_returnflag,
         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
@@ -1790,6 +1798,7 @@ WITH p AS (
 s AS (
     SELECT l_returnflag,
         CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(y AS DECIMAL(38,0))) AS s1i,
         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS s1,
         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS s2,
         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y * y) AS DOUBLE) AS s3,
@@ -1813,12 +1822,12 @@ c AS (
             - 3.0 * m1 * m1 * m1 * m1 AS mu4
     FROM m
 )
-SELECT l_returnflag, n,
-    round(m1 / 100.0, 6) AS mean_price,
+SELECT c.l_returnflag, c.n,
+    {sql_round6_ratio("s.s1i", "100 * c.n")} AS mean_price,
     round(sqrt(mu2) / 100.0, 6) AS stddev_pop_price,
     round(mu3 / (sqrt(mu2) * sqrt(mu2) * sqrt(mu2)), 6) AS skewness,
     round(mu4 / (mu2 * mu2) - 3.0, 6) AS excess_kurtosis
-FROM c
+FROM c JOIN s ON c.l_returnflag = s.l_returnflag
 """
 
 
@@ -1843,6 +1852,7 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     y2 = (F.col("y").cast(d38) * F.col("y")).cast(d38)
     s = p.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y").cast(d38)).alias("s1i"),
         F.sum(F.col("y").cast(d38)).cast("double").alias("s1"),
         F.sum(F.col("y").cast(d38) * F.col("y")).cast("double").alias("s2"),
         F.sum(F.col("y").cast(d38) * F.col("y") * F.col("y")).cast("double").alias("s3"),
@@ -1861,7 +1871,8 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n",
-        F.round(m1 / 100.0, 6).alias("mean_price"),
+        # exact-integer 6-dp rounding of s1/(100n) (functions.round6_ratio)
+        round6_ratio("s1i", "100 * n").alias("mean_price"),
         F.round(F.sqrt(mu2) / 100.0, 6).alias("stddev_pop_price"),
         F.round(mu3 / (F.sqrt(mu2) * F.sqrt(mu2) * F.sqrt(mu2)), 6).alias("skewness"),
         F.round(mu4 / (mu2 * mu2) - F.lit(3.0), 6).alias("excess_kurtosis"),

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_streams_spark.catalog import load_events
-from datafusion_streams_spark.functions import dsum
+from datafusion_streams_spark.functions import dsum, round6_ratio, sql_round6_ratio
 from datafusion_streams_spark.operators import query
 
 # ---------------------------------------------------------------------------
@@ -225,7 +225,7 @@ _HH_SUPPORT = 0.0005  # report keys holding >= 0.05% of all events
 _HH_ORACLE = f"""
 SELECT user_id,
        CAST(n_events AS BIGINT) AS n_events,
-       round(n_events * 1.0 / total, 6) AS share
+       {sql_round6_ratio("n_events", "total")} AS share
 FROM (
     SELECT user_id, COUNT(*) AS n_events,
            (SELECT COUNT(*) FROM events) AS total
@@ -287,7 +287,8 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id",
         F.col("n_events").cast("long").alias("n_events"),
-        F.round(F.col("n_events") * F.lit(1.0) / F.col("total"), 6).alias("share"),
+        # exact-integer 6-dp rounding (see functions.round6_ratio)
+        round6_ratio("n_events", "total").alias("share"),
     )
 
 

@@ -25,7 +25,15 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datafusion_streams_spark.functions import as_double_array, cosine, dot
+from datafusion_streams_spark.functions import (
+    as_double_array,
+    cosine,
+    dot,
+    round6_micro,
+    round6_ratio,
+    sql_round6_micro,
+    sql_round6_ratio,
+)
 from datafusion_streams_spark.operators import query
 
 EMBED_DIM = 64
@@ -1031,7 +1039,7 @@ nrm AS (
 ),
 stats AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        round(CAST(SUM(CAST(round(l2 * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*), 6) AS mean_l2
+        {sql_round6_ratio("SUM(CAST(round(l2 * 1000000, 0) AS BIGINT))", "1000000 * COUNT(*)")} AS mean_l2
     FROM nrm
 )
 SELECT nrm.vec_id, nrm.l2,
@@ -1065,11 +1073,9 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.round(F.sqrt(dot(F.col("v"), F.col("v"))), 6).alias("l2")
     )
     stats = nrm.agg(
-        F.round(
-            F.sum(F.round(F.col("l2") * 1000000, 0).cast("long")).cast("double")
-            / 1000000
-            / F.count(F.lit(1)),
-            6,
+        # exact-integer 6-dp rounding (see functions.round6_ratio)
+        round6_ratio(
+            "sum(cast(round(l2 * 1000000, 0) as long))", "1000000 * count(*)"
         ).alias("mean_l2"),
     )
     return nrm.crossJoin(F.broadcast(stats)).select(
@@ -1208,7 +1214,7 @@ def embedding_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-dimension embedding health audit (round 4)
 # ---------------------------------------------------------------------------
 
-_DIM_STATS_ORACLE = """
+_DIM_STATS_ORACLE = f"""
 WITH v AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
@@ -1220,20 +1226,25 @@ el AS (
 agg AS (
     SELECT dim,
         CAST(COUNT(*) AS BIGINT) AS n_vals,
-        CAST(SUM(CAST(round(val * 1000000, 0) AS BIGINT)) AS DOUBLE) AS s1,
-        CAST(SUM(CAST(round(val * val * 1000000000000, 0) AS BIGINT)) AS DOUBLE) AS s2,
+        SUM(CAST(round(val * 1000000, 0) AS BIGINT)) AS s1i,
+        SUM(CAST(round(val * val * 1000000000000, 0) AS BIGINT)) AS s2i,
         MIN(val) AS min_val,
         MAX(val) AS max_val
     FROM el GROUP BY dim
+),
+w AS (
+    SELECT dim, n_vals, min_val, max_val,
+        {sql_round6_micro("s1i", "1000000 * n_vals")} AS m_u,
+        {sql_round6_micro("s2i", "1000000000000 * n_vals")} AS e_u
+    FROM agg
 )
 SELECT dim, n_vals,
-    round(s1 / 1000000 / n_vals, 6) AS mean_val,
+    CAST(m_u AS DOUBLE) / 1000000.0 AS mean_val,
     round(sqrt(greatest(
-        round(round(s2 / 1000000000000 / n_vals, 6)
-              - round(s1 / 1000000 / n_vals, 6) * round(s1 / 1000000 / n_vals, 6), 6),
+        {sql_round6_ratio("e_u * 1000000 - m_u * m_u", "1000000000000")},
         0)), 6) AS std_val,
     min_val, max_val
-FROM agg
+FROM w
 """
 
 
@@ -1264,20 +1275,36 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = el.groupBy("dim").agg(
         F.count(F.lit(1)).cast("long").alias("n_vals"),
-        F.sum(F.round(F.col("val") * 1000000, 0).cast("long")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("val") * 1000000, 0).cast("long")).alias("s1i"),
         F.sum(F.round(F.col("val") * F.col("val") * 1000000000000, 0).cast("long"))
-        .cast("double")
-        .alias("s2"),
+        .alias("s2i"),
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
-    mean = F.round(F.col("s1") / 1000000 / F.col("n_vals"), 6)
-    ex2 = F.round(F.col("s2") / 1000000000000 / F.col("n_vals"), 6)
-    return agg.select(
+    # 6-dp mean and E[x^2] as exact micro integers, then the variance
+    # difference rounded on exact integers too — every double round in
+    # the old chain could split engines on exact halves (round6_ratio)
+    w = agg.select(
         "dim",
         "n_vals",
-        mean.alias("mean_val"),
-        F.round(F.sqrt(F.greatest(F.round(ex2 - mean * mean, 6), F.lit(0.0))), 6).alias("std_val"),
+        "min_val",
+        "max_val",
+        round6_micro("s1i", "1000000 * n_vals").alias("m_u"),
+        round6_micro("s2i", "1000000000000 * n_vals").alias("e_u"),
+    )
+    return w.select(
+        "dim",
+        "n_vals",
+        (F.col("m_u").cast("double") / 1000000.0).alias("mean_val"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    round6_ratio("e_u * 1000000 - m_u * m_u", "1000000000000"),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("std_val"),
         "min_val",
         "max_val",
     )

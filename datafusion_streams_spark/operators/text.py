@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datafusion_streams_spark.functions import tokens
+from datafusion_streams_spark.functions import round6_ratio, sql_round6_ratio, tokens
 from datafusion_streams_spark.catalog import load_documents
 from datafusion_streams_spark.operators import query
 
@@ -766,7 +766,7 @@ def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unigram-LM quality proxy (perplexity-style filtering signal)
 # ---------------------------------------------------------------------------
 
-_UNIGRAM_LP_ORACLE = r"""
+_UNIGRAM_LP_ORACLE = rf"""
 WITH tok AS (
     SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
     FROM documents
@@ -782,7 +782,7 @@ scored AS (
 )
 SELECT doc_id,
     CAST(COUNT(*) AS BIGINT) AS n_tokens,
-    round(CAST(SUM(CAST(round(nll * 1000000, 0) AS BIGINT)) AS DOUBLE) / 1000000 / COUNT(*), 6)
+    {sql_round6_ratio("SUM(CAST(round(nll * 1000000, 0) AS BIGINT))", "1000000 * COUNT(*)")}
         AS avg_neg_logprob
 FROM scored GROUP BY doc_id
 """
@@ -820,11 +820,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.round(
-            F.sum(F.round(F.col("nll") * 1000000, 0).cast("long")).cast("double")
-            / 1000000
-            / F.count(F.lit(1)),
-            6,
+        # exact-integer 6-dp rounding of sum_micro/(1e6*count) — the
+        # double round splits engines on exact halves (round6_ratio)
+        round6_ratio(
+            "sum(cast(round(nll * 1000000, 0) as long))",
+            "1000000 * count(*)",
         ).alias("avg_neg_logprob"),
     )
 
@@ -945,7 +945,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus mixture report (round 3)
 # ---------------------------------------------------------------------------
 
-_MIX_ORACLE = r"""
+_MIX_ORACLE = rf"""
 WITH per_doc AS (
     SELECT lang, source,
         CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -957,7 +957,7 @@ SELECT lang, source,
     CAST(COUNT(*) AS BIGINT) AS n_docs,
     CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
     CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-    round(CAST(SUM(n_tokens) AS DOUBLE) / (SELECT corpus_tokens FROM tot), 6)
+    {sql_round6_ratio("SUM(n_tokens)", "(SELECT corpus_tokens FROM tot)")}
         AS token_share
 FROM per_doc GROUP BY lang, source
 """
@@ -970,8 +970,9 @@ def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     to rebalance training data (the decision input for
     ``sample_stratified`` / ``sample_topk_per_stratum``).
 
-    Float parity: shares are one integer/integer IEEE division rounded
-    to 6 dp; token totals are exact integers. Scale: one shuffle on the
+    Float parity: shares round to 6 dp in EXACT integer arithmetic
+    (functions.round6_ratio — the double round splits engines on exact
+    halves); token totals are exact integers. Scale: one shuffle on the
     (lang, source) keyspace; the corpus-total is a broadcast scalar.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -986,16 +987,15 @@ def text_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
-    tot = per_doc.agg(F.sum("n_tokens").cast("double").alias("corpus_tokens"))
+    tot = per_doc.agg(F.sum("n_tokens").cast("long").alias("corpus_tokens"))
     return cells.crossJoin(F.broadcast(tot)).select(
         "lang",
         "source",
         "n_docs",
         "total_tokens",
         "total_chars",
-        F.round(
-            F.col("total_tokens").cast("double") / F.col("corpus_tokens"), 6
-        ).alias("token_share"),
+        # exact-integer 6-dp rounding (see functions.round6_ratio)
+        round6_ratio("total_tokens", "corpus_tokens").alias("token_share"),
     )
 
 
@@ -1849,8 +1849,8 @@ scored AS (
 )
 SELECT lang, bucket,
     CAST(COUNT(*) AS BIGINT) AS n_docs,
-    round(CAST(SUM(CAST(round(avg_neg_logprob * 1000000, 0) AS BIGINT)) AS DOUBLE)
-          / 1000000 / COUNT(*), 6) AS mean_nll,
+    {sql_round6_ratio("SUM(CAST(round(avg_neg_logprob * 1000000, 0) AS BIGINT))", "1000000 * COUNT(*)")}
+        AS mean_nll,
     MIN(avg_neg_logprob) AS min_nll,
     MAX(avg_neg_logprob) AS max_nll
 FROM scored GROUP BY lang, bucket
@@ -1890,11 +1890,10 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.round(
-            F.sum(F.round(F.col("avg_neg_logprob") * 1000000, 0).cast("long")).cast("double")
-            / 1000000
-            / F.count(F.lit(1)),
-            6,
+        # exact-integer 6-dp rounding (see functions.round6_ratio)
+        round6_ratio(
+            "sum(cast(round(avg_neg_logprob * 1000000, 0) as long))",
+            "1000000 * count(*)",
         ).alias("mean_nll"),
         F.min("avg_neg_logprob").alias("min_nll"),
         F.max("avg_neg_logprob").alias("max_nll"),
@@ -2008,13 +2007,15 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lang_confusion_oracle() -> str:
     return f"""
-WITH pred AS ({_langid_oracle()})
-SELECT lang, pred_lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       round(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6)
+WITH pred AS ({_langid_oracle()}),
+conf AS (
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang, pred_lang
+)
+SELECT lang, pred_lang, n_docs,
+       {sql_round6_ratio("n_docs", "SUM(n_docs) OVER (PARTITION BY lang)")}
            AS share_of_actual
-FROM pred
-GROUP BY lang, pred_lang
+FROM conf
 """
 
 
@@ -2041,13 +2042,15 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     w = Window.partitionBy("lang")
-    return conf.select(
-        "lang",
-        "pred_lang",
-        "n_docs",
-        F.round(
-            F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w), 6
-        ).alias("share_of_actual"),
+    return (
+        conf.withColumn("lang_total", F.sum("n_docs").over(w))
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            # exact-integer 6-dp rounding (see functions.round6_ratio)
+            round6_ratio("n_docs", "lang_total").alias("share_of_actual"),
+        )
     )
 
 
@@ -2055,7 +2058,7 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bigram LM scoring (round 4)
 # ---------------------------------------------------------------------------
 
-_BIGRAM_LP_ORACLE = r"""
+_BIGRAM_LP_ORACLE = rf"""
 WITH toks AS (
     SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk FROM documents
 ),
@@ -2081,8 +2084,8 @@ lm AS (
 )
 SELECT big.doc_id,
     CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-    round(CAST(SUM(CAST(round(nll * 1000000, 0) AS BIGINT)) AS DOUBLE)
-          / 1000000 / COUNT(*), 6) AS avg_neg_logprob
+    {sql_round6_ratio("SUM(CAST(round(nll * 1000000, 0) AS BIGINT))", "1000000 * COUNT(*)")}
+        AS avg_neg_logprob
 FROM big JOIN lm ON big.bg = lm.bg
 GROUP BY big.doc_id
 """
@@ -2146,11 +2149,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = big.join(F.broadcast(lm), "bg")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.round(
-            F.sum(F.round(F.col("nll") * 1000000, 0).cast("long")).cast("double")
-            / 1000000
-            / F.count(F.lit(1)),
-            6,
+        # exact-integer 6-dp rounding (see functions.round6_ratio)
+        round6_ratio(
+            "sum(cast(round(nll * 1000000, 0) as long))",
+            "1000000 * count(*)",
         ).alias("avg_neg_logprob"),
     )
 
@@ -2500,8 +2502,8 @@ SELECT l.lang,
     CAST(SUM(l.fl) AS BIGINT) AS n_words,
     CAST(SUM(l.fl * len(l.word)) AS BIGINT) AS total_chars,
     CAST(SUM(l.fl * f.n_sym) AS BIGINT) AS total_tokens,
-    round(CAST(SUM(l.fl * f.n_sym) AS DOUBLE) / SUM(l.fl), 6) AS fertility,
-    round(CAST(SUM(l.fl * len(l.word)) AS DOUBLE) / SUM(l.fl * f.n_sym), 6)
+    {sql_round6_ratio("SUM(l.fl * f.n_sym)", "SUM(l.fl)")} AS fertility,
+    {sql_round6_ratio("SUM(l.fl * len(l.word))", "SUM(l.fl * f.n_sym)")}
         AS chars_per_token
 FROM lw l JOIN fin f ON l.word = f.word
 GROUP BY l.lang
@@ -2552,12 +2554,9 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fl").cast("long").alias("n_words"),
         F.sum(F.col("fl") * F.length("word")).cast("long").alias("total_chars"),
         F.sum(F.col("fl") * F.col("n_sym")).cast("long").alias("total_tokens"),
-        F.round(
-            F.sum(F.col("fl") * F.col("n_sym")).cast("double") / F.sum("fl"), 6
-        ).alias("fertility"),
-        F.round(
-            F.sum(F.col("fl") * F.length("word")).cast("double")
-            / F.sum(F.col("fl") * F.col("n_sym")),
-            6,
+        # exact-integer 6-dp rounding (see functions.round6_ratio)
+        round6_ratio("sum(fl * n_sym)", "sum(fl)").alias("fertility"),
+        round6_ratio(
+            "sum(fl * length(word))", "sum(fl * n_sym)"
         ).alias("chars_per_token"),
     )

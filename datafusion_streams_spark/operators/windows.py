@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_streams_spark.catalog import load_events
-from datafusion_streams_spark.functions import dec, dsum
+from datafusion_streams_spark.functions import (
+    dec,
+    dsum,
+    round6_ratio,
+    sql_round6_ratio,
+)
 from datafusion_streams_spark.operators import query
 
 # ---------------------------------------------------------------------------
@@ -875,7 +880,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gaps & islands: consecutive same-state runs per user
 # ---------------------------------------------------------------------------
 
-_ISLANDS_ORACLE = """
+_ISLANDS_ORACLE = f"""
 WITH ordered AS (
     SELECT user_id, event_type,
         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -890,7 +895,7 @@ islands AS (
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_islands,
        CAST(MAX(island_len) AS BIGINT) AS max_len,
-       round(SUM(island_len) * 1.0 / COUNT(*), 6) AS avg_len
+       {sql_round6_ratio("SUM(island_len)", "COUNT(*)")} AS avg_len
 FROM islands
 GROUP BY event_type
 """
@@ -932,9 +937,9 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return islands.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_islands"),
         F.max("island_len").cast("long").alias("max_len"),
-        F.round(
-            F.sum("island_len") * F.lit(1.0) / F.count(F.lit(1)), 6
-        ).alias("avg_len"),
+        # exact-integer 6-dp rounding: the double round splits engines
+        # on exact halves (see functions.round6_ratio)
+        round6_ratio("sum(island_len)", "count(*)").alias("avg_len"),
     )
 
 
@@ -996,7 +1001,7 @@ def window_equidepth_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # robust outliers: median / MAD control limits
 # ---------------------------------------------------------------------------
 
-_MAD_ORACLE = """
+_MAD_ORACLE = f"""
 WITH med AS (
     SELECT event_type, quantile_cont(value, 0.5) AS med
     FROM events GROUP BY event_type
@@ -1014,7 +1019,7 @@ SELECT
     any_value(ma.mad) AS mad,
     CAST(COUNT(*) AS BIGINT) AS n_events,
     CAST(COUNT(CASE WHEN d.d > 4.4478 * ma.mad THEN 1 END) AS BIGINT) AS n_outliers,
-    round(COUNT(CASE WHEN d.d > 4.4478 * ma.mad THEN 1 END) * 1.0 / COUNT(*), 6)
+    {sql_round6_ratio("COUNT(CASE WHEN d.d > 4.4478 * ma.mad THEN 1 END)", "COUNT(*)")}
         AS outlier_rate
 FROM dev d JOIN mad ma ON d.event_type = ma.event_type
 GROUP BY d.event_type
@@ -1058,11 +1063,8 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("d") > F.lit(4.4478) * F.col("mad"), 1))
         .cast("long")
         .alias("n_outliers"),
-        F.round(
-            F.count(F.when(F.col("d") > F.lit(4.4478) * F.col("mad"), 1))
-            * F.lit(1.0)
-            / F.count(F.lit(1)),
-            6,
+        round6_ratio(
+            "count(CASE WHEN d > 4.4478 * mad THEN 1 END)", "count(*)"
         ).alias("outlier_rate"),
     )
 

@@ -870,3 +870,75 @@ def test_pattern_match_chunking_matches_whole_history(spark, tmp_path, data):
         if n > 0:
             expected[u] = (len(seq), n)
     assert got == expected
+
+
+def test_round6_helpers_match_exact_fraction_rounding(spark):
+    """r8: the exact-integer 6-dp rounding family (functions.round6_ratio
+    / round6_micro and their DuckDB twins) must equal round-half-away-
+    from-zero of the TRUE rational numer/denom — including the exact-half
+    cases (2^a*5^b denominators) where rounding the double instead splits
+    Spark (HALF_UP on the shortest rendering) from DuckDB (rounds the
+    binary value); 5165/80000 is the live case the sf0.1 sweep caught in
+    text_classifier_score. Both engines, 600+ adversarial ratios."""
+    import random
+
+    from fractions import Fraction
+
+    import duckdb
+    import pandas as pd
+
+    from datafusion_streams_spark.functions import (
+        round6_micro,
+        round6_ratio,
+        sql_round6_micro,
+        sql_round6_ratio,
+    )
+
+    rng = random.Random(8)
+    rows = []
+    for _ in range(600):
+        d = rng.choice(
+            [1, 2, 4, 5, 8, 16, 32, 64, 80, 125, 128, 160,
+             16000, 80000, 1 << 17, 10 ** 6, 3, 7, 11, 997, 10 ** 9]
+        )
+        # domain: |ratio| <= 1e6 (shares, averages, scores, prices)
+        bound = min(10 ** 6 * d, 10 ** 15)
+        rows.append((rng.randint(-bound, bound), d))
+    rows += [(5165, 80000), (-1023, 16000), (1, 128), (-1, 128), (0, 7),
+             (999999999999999, 10 ** 9), (-999999999999999, 10 ** 9)]
+    pdf = pd.DataFrame(rows, columns=["n", "d"])
+
+    out = (
+        spark.createDataFrame(pdf)
+        .select(
+            "n",
+            "d",
+            round6_ratio("n", "d").alias("r"),
+            round6_micro("n", "d").alias("u"),
+        )
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    odf = con.execute(
+        f"SELECT n, d, {sql_round6_ratio('n', 'd')} AS r,"
+        f" {sql_round6_micro('n', 'd')} AS u FROM t"
+    ).fetchdf()
+    con.close()
+
+    def expected_micro(n: int, d: int) -> int:
+        q = Fraction(abs(n), d) * 10 ** 6
+        fl = q.numerator // q.denominator
+        r6 = fl + (1 if q - fl >= Fraction(1, 2) else 0)
+        return (-1 if n < 0 else 1) * r6
+
+    m = out.merge(odf, on=["n", "d"], suffixes=("_s", "_o"))
+    assert len(m) == len(rows)
+    for _, r in m.iterrows():
+        e_u = expected_micro(int(r["n"]), int(r["d"]))
+        assert int(r["u_s"]) == e_u, (r["n"], r["d"], r["u_s"], e_u)
+        assert int(r["u_o"]) == e_u, (r["n"], r["d"], r["u_o"], e_u)
+        # the double form is the exact micro integer divided by 1e6,
+        # identical across engines bit-for-bit
+        assert r["r_s"] == r["r_o"], (r["n"], r["d"], r["r_s"], r["r_o"])
+        assert r["r_s"] == e_u / 10 ** 6, (r["n"], r["d"], r["r_s"], e_u)
