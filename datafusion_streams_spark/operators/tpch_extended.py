@@ -326,7 +326,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part value held by one nation's suppliers,
     kept only above a fraction of that nation's total (scalar
     subquery). The per-part aggregate is computed once and reused for
-    the total via a second tiny aggregation — no rescan.
+    the total via a second tiny aggregation — no rescan, and the
+    1-row total broadcasts back into the SAME DAG rather than being
+    pulled to the driver (the eager ``.first()`` this replaced crashed
+    on float(None) when the nation holds no stock — live at sf0.001,
+    where the oracle correctly returns 0 rows — and cost an extra
+    job at plan time).
     """
     t = load_tables(spark, sf_dir)
     nat_sup = (
@@ -341,9 +346,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("p_key"))
         .agg(dsum("l_extendedprice").alias("part_value"))
     )
-    total = per_part.agg(F.sum(dec("part_value", 38, 2))).first()[0]
-    threshold = float(total) * 0.001
-    return per_part.filter(F.col("part_value") > threshold)
+    total = per_part.agg(F.sum(dec("part_value", 38, 2)).alias("nation_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value")
+            > F.col("nation_total").cast("double") * F.lit(0.001)
+        )
+        .select("p_key", "part_value")
+    )
 
 
 # ---------------------------------------------------------------------------
