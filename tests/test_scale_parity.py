@@ -128,3 +128,39 @@ def test_integer_ratio_rounding_holds_at_sf01(spark, duck_sf01, name):
     spark_pdf = spec.fn(spark, SF01_DIR).toPandas()
     oracle_pdf = duck_sf01.execute(spec.oracle).fetchdf()
     assert_frames_match(spark_pdf, oracle_pdf, f"{name}@sf0.1")
+
+
+# r8: queries whose threshold comes from a scalar aggregate of a
+# possibly-EMPTY relation (TPC-H Q11/Q15/Q22 shapes). At sf0.001 the
+# q11 nation holds no stock: the eager .first() scalar pull crashed on
+# float(None) while the oracle returned 0 rows (caught by the first
+# full-registry sweep at that scale; fixed by broadcasting the 1-row
+# total into the same DAG). This gate re-runs the family at sf0.001 so
+# the empty edge stays covered by pytest, not just by ad-hoc sweeps.
+SCALAR_THRESHOLD_FAMILY = (
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q22_sales_opportunity",
+)
+
+SF0001_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck_sf0001():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF0001_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SCALAR_THRESHOLD_FAMILY)
+def test_scalar_threshold_queries_survive_empty_inputs(spark, duck_sf0001, name):
+    spec = REGISTRY[name]
+    assert spec.oracle is not None
+    spark_pdf = spec.fn(spark, SF0001_DIR).toPandas()
+    oracle_pdf = duck_sf0001.execute(spec.oracle).fetchdf()
+    assert_frames_match(spark_pdf, oracle_pdf, f"{name}@sf0.001")
