@@ -176,6 +176,21 @@ def round6_micro(numer_sql: str, denom_sql: str) -> Column:
 
 
 def _micro_sql(numer_sql: str, denom_sql: str, wide: str, intdiv: str) -> str:
+    """The helper's OWN scaling (``2*|n|*1e6``) runs wide, but a
+    caller-supplied expression like ``cents * hist_n - hist_sum`` is
+    evaluated in its native BIGINT *before* the outer CAST — and on
+    int64 overflow non-ANSI Spark wraps silently while DuckDB raises,
+    turning a scale-up into a silent parity split. Callers whose
+    internal products/sums can approach 2^63 at cluster scale mark the
+    operands to widen with a ``{W}`` placeholder (e.g.
+    ``CAST(cents AS {W}) * hist_n - hist_sum``), which expands to
+    DECIMAL(38,0) on the Spark side and HUGEINT in the DuckDB twin —
+    both ~1e38, unreachable. Unmarked expressions must document why
+    their domain stays under int64 (plain row counts are always safe:
+    2^63 rows is not a table). Cross-engine equality of the widened
+    path beyond int64 is pinned in tests/test_properties.py."""
+    numer_sql = numer_sql.replace("{W}", wide)
+    denom_sql = denom_sql.replace("{W}", wide)
     n = f"CAST(({numer_sql}) AS {wide})"
     d = f"CAST(({denom_sql}) AS {wide})"
     q = f"((2 * abs({n}) * 1000000 + {d}) {intdiv} (2 * {d}))"

@@ -541,7 +541,78 @@ ROTATED_IN_R8: tuple[str, ...] = (
     "events_tumbling_hour",
 )
 
-VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R8
+# R9 window (r8 verdict items #1 + #2): semantics-changed-first. The 4
+# approximate sketches lead — rewritten this round from rows-only to
+# BOUND-AS-DATA oracles (exact values + within-bound flags the oracle
+# pins to literal 1), so for the first time every registered query is
+# hash-checkable and these 4 never-green rows MUST come back green.
+# Next the 20 ROUNDING_HALF_SENSITIVE conversions from r8 (exact
+# wide-integer 6-dp rounding; several additionally got {W} overflow
+# widening this round) plus q11's broadcast-total rewrite, the chunked
+# source-overlap masks, and the 4 avro queries (r8 write-path +
+# decode-fast-path) — all sweep-green but their last driver rows
+# predate the change. The remaining 20 slots drain the r3-stale tail
+# (similarity_recall_lsh first: its 1-row crossJoins got explicit
+# broadcasts this round), leaving 13 r3-stale rows for the r10 window.
+# Registry growth this round: 0 (freeze, verdict item #4).
+ROTATED_IN_R9: tuple[str, ...] = (
+    # never-green sketches, now bound-as-data oracle-backed (4)
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_approx_top_k",
+    "agg_hll_mergeable",
+    # r8 rounding conversions (20; 7 also {W}-widened this round)
+    "text_classifier_score",
+    "window_gaps_islands",
+    "events_anomaly_mad",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_lang_confusion",
+    "text_perplexity_buckets",
+    "text_domain_mix",
+    "text_bpe_fertility",
+    "dedup_novelty_curve",
+    "dedup_minhash_estimate_error",
+    "agg_heavy_hitters",
+    "agg_skew_kurtosis",
+    "events_forecast_backtest",
+    "events_audience_overlap",
+    "embedding_norm_audit",
+    "embedding_dim_stats",
+    "pipeline_token_packing",
+    "sample_temperature_rebalance",
+    "sample_importance_dsir",
+    # r8-changed plans whose driver rows predate the change (6)
+    "q11_important_stock",
+    "dedup_source_overlap",
+    "files_avro_roundtrip",
+    "files_avro_deflate",
+    "files_avro_snappy",
+    "streaming_avro_source",
+    # r3-stale drain (20; recall_lsh changed this round)
+    "similarity_recall_lsh",
+    "agg_salted_skew",
+    "ann_ivf_probe",
+    "ann_pq_adc",
+    "dedup_containment",
+    "dedup_semantic_clusters",
+    "events_anomaly_zscore",
+    "events_funnel",
+    "events_session_window",
+    "events_sliding_window",
+    "filter_project_pushdown",
+    "join_left_anti",
+    "join_left_outer_agg",
+    "join_left_semi",
+    "lateral_explode_tokens",
+    "multimodal_audio_windows",
+    "sample_deterministic",
+    "scalar_json_extract",
+    "set_union",
+    "sql_window_functions",
+)
+
+VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R9
 
 
 def _prioritize() -> None:

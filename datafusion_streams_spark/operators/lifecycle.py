@@ -1855,13 +1855,13 @@ fc AS (
 ),
 scored AS (
     SELECT event_type,
-        {sql_round6_micro("cents * hist_n - hist_sum", "hist_n")} AS err_u
+        {sql_round6_micro("CAST(cents AS {W}) * hist_n - hist_sum", "hist_n")} AS err_u
     FROM fc WHERE hist_n > 0
 )
 SELECT event_type,
     CAST(COUNT(*) AS BIGINT) AS n_scored,
-    {sql_round6_ratio("SUM(abs(err_u))", "1000000 * COUNT(*)")} AS mae_cents,
-    {sql_round6_ratio("SUM(err_u)", "1000000 * COUNT(*)")} AS bias_cents
+    {sql_round6_ratio("SUM(CAST(abs(err_u) AS {W}))", "CAST(1000000 AS {W}) * COUNT(*)")} AS mae_cents,
+    {sql_round6_ratio("SUM(CAST(err_u AS {W}))", "CAST(1000000 AS {W}) * COUNT(*)")} AS bias_cents
 FROM scored
 GROUP BY event_type
 """
@@ -1911,12 +1911,19 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round splits engines on exact halves — hist_n = 2 makes them
     # common; see functions.round6_ratio), then exact-integer rounding
     # again for the cross-day means
+    # {W}-widened operands (see functions._micro_sql): cents*hist_n and
+    # the micro-error sums would pass 2^63 on a cluster-scale history,
+    # where Spark wraps silently but DuckDB raises
     scored = fc.select(
         "event_type",
-        round6_micro("cents * hist_n - hist_sum", "hist_n").alias("err_u"),
+        round6_micro("CAST(cents AS {W}) * hist_n - hist_sum", "hist_n").alias("err_u"),
     )
     return scored.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_scored"),
-        round6_ratio("sum(abs(err_u))", "1000000 * count(*)").alias("mae_cents"),
-        round6_ratio("sum(err_u)", "1000000 * count(*)").alias("bias_cents"),
+        round6_ratio(
+            "sum(CAST(abs(err_u) AS {W}))", "CAST(1000000 AS {W}) * count(*)"
+        ).alias("mae_cents"),
+        round6_ratio(
+            "sum(CAST(err_u AS {W}))", "CAST(1000000 AS {W}) * count(*)"
+        ).alias("bias_cents"),
     )

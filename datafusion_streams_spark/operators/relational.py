@@ -19,7 +19,7 @@ Scale notes appear per-query. Common posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_streams_spark.catalog import load_events, load_tables
@@ -674,15 +674,38 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None, tags=("agg", "approx", "scale"))
+_APPROX_DISTINCT_ORACLE = """
+SELECT o_orderpriority,
+    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+    CAST(1 AS BIGINT) AS within_bound
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query("agg_approx_distinct", oracle=_APPROX_DISTINCT_ORACLE, tags=("agg", "approx", "scale"))
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-count — THE cardinality operator at 100 TB
     (fixed memory per group vs. the unbounded set an exact distinct
-    shuffles). Approximate by design, so no value oracle; accuracy is
-    bounded against the exact count in tests/test_oracle_parity.py."""
+    shuffles).
+
+    The estimate itself has no DuckDB twin, so the ACCURACY CONTRACT is
+    emitted as data (r8 verdict item #2, the `similarity_recall_lsh`
+    pattern): per group, the exact count plus `within_bound` — computed
+    Spark-side as |est − exact| ≤ 5%·exact (rsd=0.02, so 5% is 2.5σ) —
+    which the oracle pins to literal 1. A hash match therefore PROVES
+    the sketch met its bound on this data; the raw estimate stays in
+    tests/test_oracle_parity.py's accuracy test."""
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count_distinct("o_custkey").cast("long").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_est"),
+    ).select(
+        "o_orderpriority",
+        "exact_customers",
+        (
+            F.abs(F.col("_est") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).cast("long").alias("within_bound"),
     )
 
 
@@ -1129,20 +1152,79 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile", oracle=None, tags=("agg", "approx", "scale"))
+_APPROX_PCTL_ORACLE = """
+WITH ranked AS (
+    SELECT l_returnflag, l_extendedprice,
+        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+)
+SELECT l_returnflag,
+    CAST(MAX(n) AS BIGINT) AS n_rows,
+    MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN l_extendedprice END) AS exact_p50,
+    MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN l_extendedprice END) AS exact_p90,
+    CAST(1 AS BIGINT) AS bound_ok_50,
+    CAST(1 AS BIGINT) AS bound_ok_90
+FROM ranked GROUP BY l_returnflag
+"""
+
+
+@query("agg_approx_percentile", oracle=_APPROX_PCTL_ORACLE, tags=("agg", "approx", "scale"))
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based quantiles (Greenwald-Khanna with relative error
-    1e-4) — the fixed-memory companion to ``agg_percentiles``' exact
-    formulation, which must sort the full column per group. At 100 TB
-    the sketch mergeable-summary shape is the only viable one.
-    Approximate by design, so no value oracle; accuracy is bounded
-    against the exact interpolated percentile in
-    tests/test_oracle_parity.py (same pattern as agg_approx_distinct).
-    """
+    """Sketch-based quantiles (Greenwald-Khanna with relative rank
+    error 1e-4) — the fixed-memory companion to ``agg_percentiles``'
+    exact formulation, which must sort the full column per group. At
+    100 TB the sketch mergeable-summary shape is the only viable one.
+
+    The GK estimate has no DuckDB twin, so the ACCURACY CONTRACT is
+    emitted as data (r8 verdict item #2): per group, the exact
+    DISCRETE percentiles (the data value at rank ceil(p·n) — an actual
+    parquet double, bit-identical across engines, no interpolation
+    arithmetic) plus ``bound_ok_*`` flags computed Spark-side: the GK
+    value must lie between the data values at ranks ceil((p∓0.01)·n)
+    — a ±1%-rank corridor, 100× wider than the sketch's guaranteed
+    1e-4 rank error, so the flag is DETERMINISTICALLY 1 and the oracle
+    pins it to literal 1. Rank targets use exact integer arithmetic
+    ((p·100·n + 99) div 100 = ceil) in both engines. The raw estimate
+    stays in tests/test_oracle_parity.py's accuracy test."""
+    from pyspark.sql import Window
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("ap50_price"),
-        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("ap90_price"),
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def at_rank(rank_sql: str) -> Column:
+        # clamp to [1, n]: the corridor edges can step outside at the
+        # extremes of small groups
+        tgt = F.expr(f"greatest(1L, least(n, {rank_sql}))")
+        return F.max(F.when(F.col("rn") == tgt, F.col("l_extendedprice")))
+
+    agg = ranked.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        at_rank("(50 * n + 99) div 100").alias("exact_p50"),
+        at_rank("(90 * n + 99) div 100").alias("exact_p90"),
+        at_rank("(49 * n + 99) div 100").alias("_lo50"),
+        at_rank("(51 * n + 99) div 100").alias("_hi50"),
+        at_rank("(89 * n + 99) div 100").alias("_lo90"),
+        at_rank("(91 * n + 99) div 100").alias("_hi90"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("_ap50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("_ap90"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "exact_p50",
+        "exact_p90",
+        ((F.col("_ap50") >= F.col("_lo50")) & (F.col("_ap50") <= F.col("_hi50")))
+        .cast("long").alias("bound_ok_50"),
+        ((F.col("_ap90") >= F.col("_lo90")) & (F.col("_ap90") <= F.col("_hi90")))
+        .cast("long").alias("bound_ok_90"),
     )
 
 

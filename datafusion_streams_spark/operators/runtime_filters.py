@@ -297,11 +297,48 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def hll_merged_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, est_users, n_days) — the per-day DataSketches HLL
+    sketches union-merged per event type. Shared by `agg_hll_mergeable`
+    (which hash-checks the bound as data) and the accuracy/partition-
+    invariance property tests (which inspect the raw estimate)."""
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sketch"))
+    )
+    return daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch, false))").alias("est_users"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+
+
+_HLL_MERGEABLE_ORACLE = """
+WITH d AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+)
+SELECT event_type,
+    CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+    CAST(1 AS BIGINT) AS within_bound
+FROM d GROUP BY event_type
+"""
+
+
 @query(
     "agg_hll_mergeable",
-    oracle=None,  # Spark's DataSketches HLL estimates have no DuckDB
-    # twin; accuracy (est within 5% of exact) and partition-invariance
-    # are pinned in tests/test_properties.py instead
+    # Spark's DataSketches HLL estimate has no DuckDB twin, so the
+    # ACCURACY CONTRACT rides as data (r8 verdict item #2): the oracle
+    # recomputes n_days + the exact distinct and pins within_bound —
+    # |est − exact| ≤ 5%·exact, computed Spark-side — to literal 1.
+    # The raw estimate and partition-invariance stay pinned in
+    # tests/test_properties.py
+    oracle=_HLL_MERGEABLE_ORACLE,
     tags=("agg", "approx", "scale", "distinct"),
 )
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,40 +355,55 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     union is commutative, associative and idempotent, so the estimate
     is invariant to partitioning, merge order, and even duplicated
     sketch delivery (at-least-once pipelines). The exact distinct and
-    absolute error ride alongside to make the tradeoff visible.
+    the 5%-bound flag ride alongside as the hash-checked accuracy
+    contract (see the oracle note above).
     """
     ev = load_events(spark, sf_dir)
-    daily = (
-        ev.select(
-            "event_type",
-            F.date_format("ts", "yyyy-MM-dd").alias("day"),
-            "user_id",
-        )
-        .groupBy("event_type", "day")
-        .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sketch"))
-    )
-    merged = daily.groupBy("event_type").agg(
-        F.expr("hll_sketch_estimate(hll_union_agg(sketch, false))").alias("est_users"),
-        F.count(F.lit(1)).cast("long").alias("n_days"),
-    )
+    merged = hll_merged_estimates(spark, sf_dir)
     exact = ev.select("event_type", "user_id").distinct().groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("exact_users")
     )
+    # the 5% bound (lgConfigK=12 → rel. std error ~1.6%, so 5% ≈ 3σ)
+    # becomes DATA the oracle pins to literal 1 — a hash match proves
+    # the merged sketch met its bound; the raw estimate stays in
+    # tests/test_properties.py
     return merged.join(exact, "event_type").select(
         "event_type",
         "n_days",
-        F.col("est_users").cast("long").alias("est_users"),
         "exact_users",
-        (F.col("est_users").cast("long") - F.col("exact_users"))
-        .cast("long")
-        .alias("abs_err"),
+        (
+            F.abs(F.col("est_users").cast("long") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).cast("long").alias("within_bound"),
     )
+
+
+_APPROX_TOP_K_ORACLE = """
+WITH exact AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+),
+r AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rank, n FROM exact
+)
+SELECT CAST(rank AS BIGINT) AS rank,
+    n AS n_events,
+    CAST(1 AS BIGINT) AS sketch_exact
+FROM r WHERE rank <= 10
+"""
 
 
 @query(
     "agg_approx_top_k",
-    oracle=None,  # sketch output; exactness under full tracking is
-    # pinned in tests/test_properties.py
+    # the sketch's top-k ITEM IDENTITY is tie-order-undefined, but the
+    # descending COUNT SEQUENCE is deterministic and — under full
+    # tracking — exactly the true top-10 counts. So the hash-checked
+    # output is per-RANK (r8 verdict item #2): the kth-largest exact
+    # count (recomputed by plain groupBy, engine-identical) plus
+    # sketch_exact = [sketch's kth count == exact kth count], which the
+    # oracle pins to literal 1. Property-level exactness stays in
+    # tests/test_properties.py
+    oracle=_APPROX_TOP_K_ORACLE,
     tags=("agg", "approx", "topk", "scale"),
 )
 def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,13 +421,45 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape is safe for heavy-hitter reporting. Exact two-phase
     recounting (agg_heavy_hitters) is the companion when error bars
     are unacceptable.
+
+    Output is per RANK, not per item (see the oracle note): the count
+    sequence is tie-invariant where the tied items' order is not.
     """
+    from pyspark.sql import Window
+
     ev = load_events(spark, sf_dir)
-    return (
+    sk = (
         ev.agg(F.expr("approx_top_k(user_id, 10, 8192)").alias("top"))
         .select(F.explode("top").alias("e"))
+        .select(F.col("e.count").cast("long").alias("sk_count"))
         .select(
-            F.col("e.item").cast("long").alias("user_id"),
-            F.col("e.count").cast("long").alias("n_events"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("sk_count")))
+            .cast("long")
+            .alias("rank"),
+            "sk_count",
         )
+    )
+    # exact top-10 via orderBy+limit → TakeOrderedAndProject (per-
+    # partition heaps + driver merge of 10-row partials, never a global
+    # sort/window over the full key space); the global row_number then
+    # ranks a 10-row relation
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(10)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_events"), "user_id"))
+            .cast("long")
+            .alias("rank"),
+            "n_events",
+        )
+    )
+    # both sides are ≤10-row relations — broadcast the seam
+    return exact.join(F.broadcast(sk), "rank").select(
+        "rank",
+        "n_events",
+        (F.col("sk_count") == F.col("n_events")).cast("long").alias("sketch_exact"),
     )

@@ -942,8 +942,8 @@ def similarity_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     common = lsh.join(exact, ["a_id", "b_id"])
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
-        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
-        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+        .crossJoin(F.broadcast(lsh.agg(F.count(F.lit(1)).alias("n_lsh"))))
+        .crossJoin(F.broadcast(common.agg(F.count(F.lit(1)).alias("n_common"))))
         .select(
             "n_exact",
             "n_lsh",
@@ -1039,7 +1039,7 @@ nrm AS (
 ),
 stats AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-        {sql_round6_ratio("SUM(CAST(round(l2 * 1000000, 0) AS BIGINT))", "1000000 * COUNT(*)")} AS mean_l2
+        {sql_round6_ratio("SUM(CAST(round(l2 * 1000000, 0) AS {W}))", "CAST(1000000 AS {W}) * COUNT(*)")} AS mean_l2
     FROM nrm
 )
 SELECT nrm.vec_id, nrm.l2,
@@ -1073,9 +1073,11 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.round(F.sqrt(dot(F.col("v"), F.col("v"))), 6).alias("l2")
     )
     stats = nrm.agg(
-        # exact-integer 6-dp rounding (see functions.round6_ratio)
+        # exact-integer 6-dp rounding (functions.round6_ratio); {W}
+        # widens the micro sum past int64 (a trillion-vector corpus
+        # would wrap the long sum silently in Spark, not in DuckDB)
         round6_ratio(
-            "sum(cast(round(l2 * 1000000, 0) as long))", "1000000 * count(*)"
+            "sum(cast(round(l2 * 1000000, 0) as {W}))", "CAST(1000000 AS {W}) * count(*)"
         ).alias("mean_l2"),
     )
     return nrm.crossJoin(F.broadcast(stats)).select(
@@ -1234,14 +1236,14 @@ agg AS (
 ),
 w AS (
     SELECT dim, n_vals, min_val, max_val,
-        {sql_round6_micro("s1i", "1000000 * n_vals")} AS m_u,
-        {sql_round6_micro("s2i", "1000000000000 * n_vals")} AS e_u
+        {sql_round6_micro("s1i", "CAST(1000000 AS {W}) * n_vals")} AS m_u,
+        {sql_round6_micro("s2i", "CAST(1000000000000 AS {W}) * n_vals")} AS e_u
     FROM agg
 )
 SELECT dim, n_vals,
     CAST(m_u AS DOUBLE) / 1000000.0 AS mean_val,
     round(sqrt(greatest(
-        {sql_round6_ratio("e_u * 1000000 - m_u * m_u", "1000000000000")},
+        {sql_round6_ratio("CAST(e_u AS {W}) * 1000000 - CAST(m_u AS {W}) * m_u", "1000000000000")},
         0)), 6) AS std_val,
     min_val, max_val
 FROM w
@@ -1273,11 +1275,19 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     el = e.select(F.posexplode("v").alias("pos", "val")).select(
         (F.col("pos") + 1).cast("long").alias("dim"), "val"
     )
+    # sums widened to DECIMAL(38,0): DuckDB's SUM(BIGINT) is already
+    # HUGEINT, so Spark's wrapping long sum was the silent-split side
+    # (s2i alone passes 2^63 near ~1e7 elements/dim); the {W} operands
+    # below widen the caller-side products the same way (_micro_sql)
     agg = el.groupBy("dim").agg(
         F.count(F.lit(1)).cast("long").alias("n_vals"),
-        F.sum(F.round(F.col("val") * 1000000, 0).cast("long")).alias("s1i"),
-        F.sum(F.round(F.col("val") * F.col("val") * 1000000000000, 0).cast("long"))
-        .alias("s2i"),
+        F.sum(F.round(F.col("val") * 1000000, 0).cast("long").cast("decimal(38,0)"))
+        .alias("s1i"),
+        F.sum(
+            F.round(F.col("val") * F.col("val") * 1000000000000, 0)
+            .cast("long")
+            .cast("decimal(38,0)")
+        ).alias("s2i"),
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
@@ -1289,8 +1299,8 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vals",
         "min_val",
         "max_val",
-        round6_micro("s1i", "1000000 * n_vals").alias("m_u"),
-        round6_micro("s2i", "1000000000000 * n_vals").alias("e_u"),
+        round6_micro("s1i", "CAST(1000000 AS {W}) * n_vals").alias("m_u"),
+        round6_micro("s2i", "CAST(1000000000000 AS {W}) * n_vals").alias("e_u"),
     )
     return w.select(
         "dim",
@@ -1299,7 +1309,10 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sqrt(
                 F.greatest(
-                    round6_ratio("e_u * 1000000 - m_u * m_u", "1000000000000"),
+                    round6_ratio(
+                        "CAST(e_u AS {W}) * 1000000 - CAST(m_u AS {W}) * m_u",
+                        "1000000000000",
+                    ),
                     F.lit(0.0),
                 )
             ),

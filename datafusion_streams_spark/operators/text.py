@@ -11,7 +11,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from datafusion_streams_spark.functions import round6_ratio, sql_round6_ratio, tokens
+from datafusion_streams_spark.functions import (
+    round6_micro,
+    round6_ratio,
+    sql_round6_micro,
+    sql_round6_ratio,
+    tokens,
+)
 from datafusion_streams_spark.catalog import load_documents
 from datafusion_streams_spark.operators import query
 
@@ -782,7 +788,7 @@ scored AS (
 )
 SELECT doc_id,
     CAST(COUNT(*) AS BIGINT) AS n_tokens,
-    {sql_round6_ratio("SUM(CAST(round(nll * 1000000, 0) AS BIGINT))", "1000000 * COUNT(*)")}
+    {sql_round6_ratio("SUM(CAST(round(nll * 1000000, 0) AS {W}))", "CAST(1000000 AS {W}) * COUNT(*)")}
         AS avg_neg_logprob
 FROM scored GROUP BY doc_id
 """
@@ -823,8 +829,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact-integer 6-dp rounding of sum_micro/(1e6*count) — the
         # double round splits engines on exact halves (round6_ratio)
         round6_ratio(
-            "sum(cast(round(nll * 1000000, 0) as long))",
-            "1000000 * count(*)",
+            "sum(cast(round(nll * 1000000, 0) as {W}))",
+            "CAST(1000000 AS {W}) * count(*)",
         ).alias("avg_neg_logprob"),
     )
 
@@ -1849,7 +1855,7 @@ scored AS (
 )
 SELECT lang, bucket,
     CAST(COUNT(*) AS BIGINT) AS n_docs,
-    {sql_round6_ratio("SUM(CAST(round(avg_neg_logprob * 1000000, 0) AS BIGINT))", "1000000 * COUNT(*)")}
+    {sql_round6_ratio("SUM(CAST(round(avg_neg_logprob * 1000000, 0) AS {W}))", "CAST(1000000 AS {W}) * COUNT(*)")}
         AS mean_nll,
     MIN(avg_neg_logprob) AS min_nll,
     MAX(avg_neg_logprob) AS max_nll
@@ -1892,8 +1898,8 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         # exact-integer 6-dp rounding (see functions.round6_ratio)
         round6_ratio(
-            "sum(cast(round(avg_neg_logprob * 1000000, 0) as long))",
-            "1000000 * count(*)",
+            "sum(cast(round(avg_neg_logprob * 1000000, 0) as {W}))",
+            "CAST(1000000 AS {W}) * count(*)",
         ).alias("mean_nll"),
         F.min("avg_neg_logprob").alias("min_nll"),
         F.max("avg_neg_logprob").alias("max_nll"),
@@ -2084,7 +2090,7 @@ lm AS (
 )
 SELECT big.doc_id,
     CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-    {sql_round6_ratio("SUM(CAST(round(nll * 1000000, 0) AS BIGINT))", "1000000 * COUNT(*)")}
+    {sql_round6_ratio("SUM(CAST(round(nll * 1000000, 0) AS {W}))", "CAST(1000000 AS {W}) * COUNT(*)")}
         AS avg_neg_logprob
 FROM big JOIN lm ON big.bg = lm.bg
 GROUP BY big.doc_id
@@ -2151,8 +2157,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         # exact-integer 6-dp rounding (see functions.round6_ratio)
         round6_ratio(
-            "sum(cast(round(nll * 1000000, 0) as long))",
-            "1000000 * count(*)",
+            "sum(cast(round(nll * 1000000, 0) as {W}))",
+            "CAST(1000000 AS {W}) * count(*)",
         ).alias("avg_neg_logprob"),
     )
 
@@ -2192,16 +2198,12 @@ per_doc AS (
 ),
 -- score rounded to 6 dp in EXACT integer arithmetic (half away from
 -- zero): score = sum_milli / (1000 * n_terms), so score*1e6 =
--- sum_milli*1000 / n_terms. Rounding the DOUBLE instead splits
--- engines on exact halves (5165/80000 = .0645625: Spark HALF_UPs its
--- shortest-decimal rendering, DuckDB rounds the binary value) —
--- caught by the sf0.1 sweep, invisible at sf0.01.
+-- sum_milli*1000 / n_terms — via the centralized sql_round6_micro
+-- twin (rounding the DOUBLE instead splits engines on exact halves
+-- like 5165/80000; caught by the r8 sf0.1 sweep)
 q AS (
     SELECT doc_id, n_terms, sum_milli,
-        CASE WHEN sum_milli >= 0
-             THEN (2 * sum_milli * 1000 + n_terms) // (2 * n_terms)
-             ELSE -((2 * (-sum_milli) * 1000 + n_terms) // (2 * n_terms))
-        END AS score6
+        {sql_round6_micro("sum_milli", "CAST(1000 AS {W}) * n_terms")} AS score6
     FROM per_doc
 )
 SELECT doc_id, n_terms,
@@ -2268,11 +2270,10 @@ def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w_milli").cast("long").alias("sum_milli"),
         )
     )
-    # integer half-away-from-zero: score6 = round(sum_milli*1000 /
-    # n_terms); operands made non-negative so long `div` (truncation)
-    # IS floor, then the sign is restored
-    q6m = F.expr("(2 * abs(sum_milli * 1000) + n_terms) div (2 * n_terms)")
-    score6 = F.when(F.col("sum_milli") >= 0, q6m).otherwise(-q6m)
+    # score6 = round(sum_milli*1000 / n_terms) via the centralized
+    # exact-integer helper (round6_micro) — same arithmetic the oracle
+    # CTE emits through sql_round6_micro, one definition for both
+    score6 = round6_micro("sum_milli", "CAST(1000 AS {W}) * n_terms")
     score = score6.cast("double") / F.lit(1000000.0)
     return per_doc.select(
         "doc_id",
@@ -2554,7 +2555,9 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("fl").cast("long").alias("n_words"),
         F.sum(F.col("fl") * F.length("word")).cast("long").alias("total_chars"),
         F.sum(F.col("fl") * F.col("n_sym")).cast("long").alias("total_tokens"),
-        # exact-integer 6-dp rounding (see functions.round6_ratio)
+        # exact-integer 6-dp rounding (see functions.round6_ratio).
+        # No {W} widening needed: these sums are corpus token/char
+        # counts (~2.5e13 at 100 TB), 5 orders under int64
         round6_ratio("sum(fl * n_sym)", "sum(fl)").alias("fertility"),
         round6_ratio(
             "sum(fl * length(word))", "sum(fl * n_sym)"

@@ -483,6 +483,14 @@ def _encode_cols(cols: list[list], kinds: list[str]) -> bytes:
         encoded.append(enc)
     if len(encoded) == 1:
         return b"".join(encoded[0])
+    # zip(*encoded) would silently truncate to the shortest column on a
+    # ragged caller bug — fail loudly instead of emitting a short-but-
+    # valid block
+    n_rows = len(encoded[0])
+    if any(len(e) != n_rows for e in encoded[1:]):
+        raise ValueError(
+            f"ragged column lengths: {[len(e) for e in encoded]}"
+        )
     join = b"".join
     return join([join(row) for row in zip(*encoded)])
 

@@ -463,32 +463,69 @@ def test_heavy_hitters_candidate_superset_any_partitioning(spark):
 def test_hll_mergeable_accuracy_and_partition_invariance(spark):
     """agg_hll_mergeable: lgConfigK=12 keeps relative error ~1.6%
     (assert 5%), and the register-max union makes the estimate
-    invariant under repartitioning of the raw events."""
+    invariant under repartitioning of the raw events.
+
+    r9: the registered query hash-checks the bound AS DATA (the oracle
+    pins within_bound to 1), so the raw estimate comes from the shared
+    hll_merged_estimates helper here."""
+    from datafusion_streams_spark.catalog import load_events
     from datafusion_streams_spark.operators import REGISTRY
+    from datafusion_streams_spark.operators.runtime_filters import (
+        hll_merged_estimates,
+    )
     from tests.conftest import SF_DIR
 
-    pdf = REGISTRY["agg_hll_mergeable"].fn(spark, SF_DIR).toPandas()
-    assert len(pdf) > 0
-    assert (abs(pdf.est_users - pdf.exact_users) <= 0.05 * pdf.exact_users).all(), pdf
+    reg = REGISTRY["agg_hll_mergeable"].fn(spark, SF_DIR).toPandas()
+    assert len(reg) > 0
+    assert (reg.within_bound == 1).all(), reg
+
+    est = hll_merged_estimates(spark, SF_DIR).toPandas()
+    exact = {
+        r.event_type: r.n
+        for r in load_events(spark, SF_DIR)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est.event_type) == set(exact)
+    for r in est.itertuples():
+        assert abs(r.est_users - exact[r.event_type]) <= 0.05 * exact[r.event_type]
+
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "5")
     try:
-        alt = REGISTRY["agg_hll_mergeable"].fn(spark, SF_DIR).toPandas()
+        alt = hll_merged_estimates(spark, SF_DIR).toPandas()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    a = pdf.sort_values("event_type").reset_index(drop=True)
+    a = est.sort_values("event_type").reset_index(drop=True)
     b = alt.sort_values("event_type").reset_index(drop=True)
     assert a.equals(b), "HLL union must be partition-invariant"
 
 
 def test_approx_top_k_exact_under_full_tracking(spark):
     """With maxItemsTracked >= distinct keys, approx_top_k degrades to
-    the exact top-k: same items, same counts as the groupBy answer."""
+    the exact top-k: same items, same counts as the groupBy answer.
+
+    r9: the registered query hash-checks the per-rank count agreement
+    AS DATA (sketch_exact pinned to 1 by the oracle); the item-level
+    exactness is asserted here on the raw sketch."""
     from datafusion_streams_spark.operators import REGISTRY
     from tests.conftest import SF_DIR
 
-    got = REGISTRY["agg_approx_top_k"].fn(spark, SF_DIR).toPandas()
+    reg = REGISTRY["agg_approx_top_k"].fn(spark, SF_DIR).toPandas()
+    assert len(reg) == 10
+    assert (reg.sketch_exact == 1).all(), reg
+
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = (
+        ev.agg(F.expr("approx_top_k(user_id, 10, 8192)").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").cast("long").alias("user_id"),
+            F.col("e.count").cast("long").alias("n_events"),
+        )
+        .toPandas()
+    )
     exact = (
         ev.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").limit(10)
     ).toPandas()
@@ -502,6 +539,10 @@ def test_approx_top_k_exact_under_full_tracking(spark):
     for uid, c in got_map.items():
         assert ex_all[uid] == c, f"count for {uid} not exact: {c} vs {ex_all[uid]}"
     assert min(got_map.values()) >= min(exact_map.values())
+    # and the registered per-rank count sequence IS the exact sequence
+    assert list(reg.sort_values("rank").n_events) == sorted(
+        exact["count"].tolist(), reverse=True
+    )
 
 
 def test_bitmap_distinct_equals_count_distinct_any_partitioning(spark):
@@ -942,3 +983,76 @@ def test_round6_helpers_match_exact_fraction_rounding(spark):
         # identical across engines bit-for-bit
         assert r["r_s"] == r["r_o"], (r["n"], r["d"], r["r_s"], r["r_o"])
         assert r["r_s"] == e_u / 10 ** 6, (r["n"], r["d"], r["r_s"], e_u)
+
+
+def test_round6_wide_operands_survive_int64_overflow(spark):
+    """r9 (ADVICE): caller-supplied numerator/denominator arithmetic
+    like ``cents * hist_n - hist_sum`` used to evaluate in BIGINT before
+    _micro_sql's outer CAST — past 2^63 non-ANSI Spark wraps silently
+    while DuckDB raises, a silent parity split at cluster scale. The
+    ``{W}`` placeholder now widens marked operands to DECIMAL(38,0) /
+    HUGEINT. This pins: (a) both engines agree with exact Fraction
+    rounding when the inner products exceed int64, and (b) the
+    unwidened form really does raise in DuckDB (the loud half of the
+    old split)."""
+    from fractions import Fraction
+
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    from datafusion_streams_spark.functions import (
+        round6_micro,
+        round6_ratio,
+        sql_round6_micro,
+        sql_round6_ratio,
+    )
+
+    # a*b = 1.6e19 > 2^63; denominator product 10000*c = 2e19 > 2^63
+    rows = [
+        (4_000_000_000_000_000_000, 4, 2_000_000_000_000_000),
+        (-4_000_000_000_000_000_000, 4, 2_000_000_000_000_000),
+        (9_000_000_000_000_000_000, 3, 1_350_000_000_000_000),
+        (1_234_567_890_123_456_789, 13, 7_777_777_777_777_777),
+    ]
+    pdf = pd.DataFrame(rows, columns=["a", "b", "c"])
+    numer = "CAST(a AS {W}) * b"
+    denom = "CAST(10000 AS {W}) * c"
+
+    out = (
+        spark.createDataFrame(pdf)
+        .select(
+            "a",
+            round6_ratio(numer, denom).alias("r"),
+            round6_micro(numer, denom).alias("u"),
+        )
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    odf = con.execute(
+        f"SELECT a, {sql_round6_ratio(numer, denom)} AS r,"
+        f" {sql_round6_micro(numer, denom)} AS u FROM t"
+    ).fetchdf()
+    # the unwidened form overflows BIGINT loudly in DuckDB -- this is
+    # the failure mode the widening exists to remove
+    with pytest.raises(duckdb.OutOfRangeException):
+        con.execute(f"SELECT {sql_round6_ratio('a * b', 'c')} FROM t").fetchdf()
+    con.close()
+
+    def expected_micro(a: int, b: int, c: int) -> int:
+        q = Fraction(abs(a * b), 10000 * c) * 10 ** 6
+        fl = q.numerator // q.denominator
+        r6 = fl + (1 if q - fl >= Fraction(1, 2) else 0)
+        return (-1 if a < 0 else 1) * r6
+
+    m = out.merge(odf, on="a", suffixes=("_s", "_o"))
+    assert len(m) == len(rows)
+    # itertuples, not iterrows: iterrows coerces the mixed row to
+    # float64, shredding the >2^53 int64 keys
+    for r in m.itertuples():
+        a, b, c = next(t for t in rows if t[0] == int(r.a))
+        e_u = expected_micro(a, b, c)
+        assert int(r.u_s) == e_u, (a, r.u_s, e_u)
+        assert int(r.u_o) == e_u, (a, r.u_o, e_u)
+        assert r.r_s == r.r_o == e_u / 10 ** 6, (a, r.r_s, r.r_o)

@@ -166,9 +166,18 @@ def probe_minhash_scaleup(spark, sf_dir: str, reps: int) -> dict:
 
             def run():
                 pairs["n"] = fn(spark, land).count()
-                # each call caches a fresh shingle relation — drop it so
-                # reps and larger sizes don't stack executor storage
-                spark.catalog.clearCache()
+                # each call caches a fresh shingle + pair relation for
+                # this land dir — drop exactly those two (re-deriving
+                # the same canonical plans addresses the same cache
+                # entries), NOT clearCache(), which would evict every
+                # relation session-wide and perturb other probes' walls
+                from datafusion_streams_spark.operators.dedup import (
+                    _doc_shingle_arrays,
+                    minhash_pairs,
+                )
+
+                minhash_pairs(spark, land).unpersist()
+                _doc_shingle_arrays(spark, land).unpersist()
 
             wall = _min_of(reps, run)
             out[copies] = {
