@@ -21,11 +21,12 @@ def test_query_matches_oracle(spark, duck, name):
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_query_runs(spark, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, SF_DIR)
-    assert df.count() >= 0
+def test_no_rows_only_queries_remain():
+    """r9 milestone: the four approximate sketches were the last
+    rows-only queries; their bound-as-data rewrite makes every
+    registered query oracle-backed. New queries must ship with an
+    oracle (or consciously revisit this invariant)."""
+    assert ROWS_ONLY_QUERIES == [], ROWS_ONLY_QUERIES
 
 
 def test_entry_smoke(spark):

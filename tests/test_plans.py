@@ -266,3 +266,33 @@ def test_peak_concurrency_sweep_is_distributed(spark):
         assert spec.split(",")[0].lstrip().startswith("day#"), (
             f"global window over a non-days relation:\n{spec}"
         )
+
+
+def test_bound_as_data_sketch_plan_shapes(spark):
+    """r9: the four bound-as-data sketch rewrites must keep the plans
+    we'd want at 100 TB — the sketch sides ride the same exchanges as
+    their exact companions, the top-k exact side compiles to
+    TakeOrderedAndProject (per-partition heaps, never a global
+    sort/window over the key space), and the 10-row seam join is a
+    broadcast."""
+    def hash_exchanges(plan: str) -> int:
+        return plan.count("Arguments: hashpartitioning")
+
+    plan = formatted_plan(REGISTRY["agg_approx_percentile"].fn(spark, SF_DIR))
+    # one hash exchange for the per-flag sort; the rank extractions AND
+    # the GK aggregate all reuse the window's partitioning
+    assert hash_exchanges(plan) == 1, plan
+    plan = formatted_plan(REGISTRY["agg_approx_top_k"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # the only hash exchange is the user_id groupBy; the global
+    # row_number windows run on <=10-row relations
+    assert hash_exchanges(plan) == 1, plan
+    plan = formatted_plan(REGISTRY["agg_approx_distinct"].fn(spark, SF_DIR))
+    # the exact COUNT(DISTINCT) expand costs the second exchange; the
+    # HLL estimate adds none of its own
+    assert hash_exchanges(plan) <= 2, plan
+    plan = formatted_plan(REGISTRY["agg_hll_mergeable"].fn(spark, SF_DIR))
+    # two-level sketch rollup (2) + exact distinct (2); the 5-row seam
+    # join must not shuffle the merged side again
+    assert hash_exchanges(plan) <= 4, plan
