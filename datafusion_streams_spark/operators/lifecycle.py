@@ -1900,10 +1900,18 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # the window sum widens to DECIMAL(38,0) BEFORE accumulating:
+    # hist_sum has the same magnitude as cents*hist_n, so a LongType
+    # window sum would wrap at exactly the scale the {W} widening below
+    # protects (DuckDB's window SUM(BIGINT) is already HUGEINT — the
+    # unwidened Spark side was the silent half of the split). The daily
+    # `cents` itself is one day's volume per (type, day) group —
+    # ~2 orders under int64 even at cluster scale — and is documented
+    # rather than widened (functions._micro_sql contract)
     fc = dowd.select(
         "event_type",
         "cents",
-        F.sum("cents").over(w).alias("hist_sum"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(w).alias("hist_sum"),
         F.count(F.lit(1)).over(w).alias("hist_n"),
     ).filter(F.col("hist_n") > 0)
     # err = cents - hist_sum/hist_n = (cents*hist_n - hist_sum)/hist_n:

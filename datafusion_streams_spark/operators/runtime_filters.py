@@ -413,14 +413,21 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters per partition and merges them, so memory is O(tracked),
     not O(distinct).
 
-    Here maxItemsTracked (8192) exceeds the fixture's user cardinality,
-    which makes the sketch provably exact (every key gets a counter —
-    the property test asserts equality with the exact groupBy top-k);
-    at 100 TB cardinalities the same query returns estimates whose
-    error concentrates on the tail, never the head — the reason the
-    shape is safe for heavy-hitter reporting. Exact two-phase
-    recounting (agg_heavy_hitters) is the companion when error bars
-    are unacceptable.
+    Here maxItemsTracked (1e6, the engine maximum) exceeds the fixture family's user
+    cardinality by >600x (the fixtures scale distinct users 10x per sf
+    decade: 15 / 150 / 1,500 at sf0.001-0.1, so ~15,000 at sf1 and
+    ~150,000 at sf10 — all under full tracking), which makes the
+    sketch provably exact: every key gets a counter, so the oracle may
+    pin sketch_exact to literal 1. This is a documented CLIFF, not a
+    sigma bound: past 1e6 distinct keys the counts become estimates
+    and the flag would legitimately read 0 — at that point the query's
+    contract (and the oracle) must switch to a rank-error bound.
+    1M tracked counters is still O(MB) bounded memory, the property
+    the sketch exists for; at genuinely open-ended cardinalities the
+    same query returns estimates whose error concentrates on the tail,
+    never the head — the reason the shape is safe for heavy-hitter
+    reporting. Exact two-phase recounting (agg_heavy_hitters) is the
+    companion when error bars are unacceptable.
 
     Output is per RANK, not per item (see the oracle note): the count
     sequence is tie-invariant where the tied items' order is not.
@@ -429,7 +436,7 @@ def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_events(spark, sf_dir)
     sk = (
-        ev.agg(F.expr("approx_top_k(user_id, 10, 8192)").alias("top"))
+        ev.agg(F.expr("approx_top_k(user_id, 10, 1000000)").alias("top"))
         .select(F.explode("top").alias("e"))
         .select(F.col("e.count").cast("long").alias("sk_count"))
         .select(

@@ -518,7 +518,7 @@ def test_approx_top_k_exact_under_full_tracking(spark):
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     got = (
-        ev.agg(F.expr("approx_top_k(user_id, 10, 8192)").alias("top"))
+        ev.agg(F.expr("approx_top_k(user_id, 10, 1000000)").alias("top"))
         .select(F.explode("top").alias("e"))
         .select(
             F.col("e.item").cast("long").alias("user_id"),
