@@ -109,3 +109,28 @@ def test_streaming_and_batch_events_ts_agree(spark):
     )
     # sanity: timestamps are in a plausible modern range, not 1970
     assert batch.mn.year >= 2000, f"events ts decoded into the past: {batch.mn}"
+
+
+def test_sketch_full_tracking_margin(spark):
+    """r9 review finding: agg_approx_top_k's oracle pins sketch_exact=1,
+    which holds only under full tracking (distinct user_id <=
+    maxItemsTracked = 1e6, the engine maximum). The fixture family
+    scales distinct users 10x per sf decade (15 / 150 / 1,500 at
+    sf0.001-0.1), so this pins >=10x headroom at every LOCAL scale and
+    fails loudly here — instead of as a driver hash mismatch — if a
+    future fixture generation breaks the cardinality contract."""
+    from pyspark.sql import functions as F
+
+    from datafusion_streams_spark.catalog import load_events
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
+        n = (
+            load_events(spark, sf_dir)
+            .agg(F.countDistinct("user_id").alias("n"))
+            .first()["n"]
+        )
+        assert n * 10 <= 1_000_000, (
+            f"{sf_dir}: {n} distinct users — within 10x of the approx_top_k "
+            "full-tracking cliff; revisit the agg_approx_top_k oracle contract"
+        )

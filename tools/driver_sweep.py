@@ -34,6 +34,14 @@ def main() -> int:
     ap.add_argument("--window", action="store_true",
                     help="only the VERIFIED_FIRST 50-slot driver window")
     ap.add_argument("--cpus", default="8")
+    ap.add_argument("--ansi", action="store_true",
+                    help="run the Spark side with spark.sql.ansi.enabled=true: "
+                    "arithmetic that silently wraps/nulls under the default "
+                    "non-ANSI mode raises instead, so a green ANSI sweep "
+                    "proves no query result depends on silent overflow at "
+                    "this scale (the failure class the r9 {W} widening "
+                    "removed). DuckDB always raises, so ANSI is the "
+                    "symmetric failure mode.")
     args = ap.parse_args()
 
     import duckdb
@@ -44,6 +52,8 @@ def main() -> int:
 
     spark = get_session(app_name="driver-sweep", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    if args.ansi:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
     q, o = contract.queries(), contract.oracle_sql()
     con = duckdb.connect()
     for t in TABLES:
