@@ -612,6 +612,14 @@ ROTATED_IN_R9: tuple[str, ...] = (
     "sql_window_functions",
 )
 
+# r10 window plan (write the rotation there, not here): lead with any
+# query whose code changes in r10, then drain the LAST 13 r3-stale rows
+# — events_retention, sample_topk_per_stratum, sample_uniform_topk,
+# similarity_pairs, sql_correlated_subquery, streaming_topk_users,
+# text_chunking, text_dup_span_stats, text_ngram_stats, text_pii_scrub,
+# window_distribution, window_lag_delta, window_running_total — after
+# which no driver row anywhere predates r4 and the steady-state cadence
+# is changed-first + oldest-green fill.
 VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R9
 
 
