@@ -238,6 +238,21 @@ def main() -> None:
     streaming = _streaming_metrics(spark)
 
     total = round(sum(timings.values()), 3)
+    load_end = tuple(round(x, 2) for x in os.getloadavg())
+    # Worst same-plan rep spread this run: the single best ambient-load
+    # indicator besides the load averages themselves (r9: the driver
+    # artifact recorded 87 s vs the true 65 s and the forensics had to
+    # come from commit archaeology — now the printed line carries both).
+    def _spread(runs: list[float]) -> float:
+        lo = min(runs)
+        return max(runs) / lo if lo > 0 else 1.0
+
+    worst_q = max(all_reps, key=lambda n: _spread(all_reps[n]))
+    worst_spread = {
+        "q": worst_q,
+        "min": min(all_reps[worst_q]),
+        "max": max(all_reps[worst_q]),
+    }
     # tolerate data dirs not named sf<N>: never lose timings to a parse
     # error after all queries have already run
     raw_sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -273,19 +288,36 @@ def main() -> None:
             indent=1,
         )
 
-    print(build_compact_line(total, timings, reps, streaming, sf))
+    print(
+        build_compact_line(
+            total,
+            timings,
+            reps,
+            streaming,
+            sf,
+            load=[*load_start, *load_end],
+            spread=worst_spread,
+        )
+    )
 
 
 BUDGET = 1900  # driver captures only the LAST 2000 bytes of stdout
 
 
-def build_compact_line(total, timings, reps, streaming, sf) -> str:
+def build_compact_line(total, timings, reps, streaming, sf, load=None, spread=None) -> str:
     """Compact single line, truncation-proof: emit per-query timings in
     HEADLINE order until the serialized line would exceed the budget,
     then record how many were folded into the detail file. The BASE
     object (streaming metrics and all) is itself budget-checked — if it
     alone overflows, detail fields are shed (they live in
-    BENCH_DETAIL.json) so the printed line NEVER exceeds BUDGET."""
+    BENCH_DETAIL.json) so the printed line NEVER exceeds BUDGET.
+
+    ``load`` is ``[1m,5m,15m]`` loadavg at sweep start + the same
+    triple at sweep end (6 floats); ``spread`` is the worst same-plan
+    rep spread ``{"q": name, "min": s, "max": s}``. Both make the
+    persisted driver artifact ambient-load-adjudicable without commit
+    forensics (r9 verdict item 2) — they are part of the never-shed
+    base, sized <~90 bytes together."""
     base = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
@@ -297,6 +329,10 @@ def build_compact_line(total, timings, reps, streaming, sf) -> str:
         "sf": sf,
         "detail": "BENCH_DETAIL.json",
     }
+    if load is not None:
+        base["load"] = load
+    if spread is not None:
+        base["spread"] = spread
     compact = lambda obj: json.dumps(obj, separators=(",", ":"))  # noqa: E731
     if len(compact(base)) > BUDGET:
         # base alone overflows (streaming detail grew): keep only the
@@ -329,9 +365,10 @@ def build_compact_line(total, timings, reps, streaming, sf) -> str:
             base["streaming"] = {}
         line = compact(base)
         if len(line) > BUDGET:  # pathological: keep the metric triple only
-            line = compact(
-                {"metric": base["metric"], "value": total, "unit": "sec", "sf": sf}
-            )
+            slim = {"metric": base["metric"], "value": total, "unit": "sec", "sf": sf}
+            if load is not None:
+                slim["load"] = load  # 6 rounded floats — always fits
+            line = compact(slim)
     return line
 
 

@@ -168,7 +168,19 @@ def round6_micro(numer_sql: str, denom_sql: str) -> Column:
     by multiplying :func:`round6_ratio`'s double back by 1e6: q/1e6 is
     not an exact double, and the round trip truncates in Spark while
     DuckDB rounds — a one-ulp class of the very bug this family
-    exists to kill."""
+    exists to kill.
+
+    Residual boundary (r9 ADVICE): the final ``CAST(... AS BIGINT)``
+    here is NOT covered by ``{W}`` widening — if |numer/denom| ever
+    exceeded ~9e9, the micro value would pass 2^63 and non-ANSI Spark
+    would wrap the decimal→long cast silently while DuckDB raises.
+    The domain bound is enforced by convention (every current caller
+    is a ratio/score/price, orders of magnitude below 9e9) AND by the
+    per-round ``driver_sweep.py --ansi`` sweep, which makes any
+    violation loud on the Spark side too (ANSI raises instead of
+    wrapping). A caller that cannot argue the bound should use
+    :func:`round6_ratio` (double output, no BIGINT cast) or keep the
+    value in DECIMAL."""
     return F.expr(
         f"CAST({_micro_sql(numer_sql, denom_sql, 'DECIMAL(38,0)', 'div')}"
         " AS BIGINT)"

@@ -612,15 +612,78 @@ ROTATED_IN_R9: tuple[str, ...] = (
     "sql_window_functions",
 )
 
-# r10 window plan (write the rotation there, not here): lead with any
-# query whose code changes in r10, then drain the LAST 13 r3-stale rows
-# — events_retention, sample_topk_per_stratum, sample_uniform_topk,
-# similarity_pairs, sql_correlated_subquery, streaming_topk_users,
-# text_chunking, text_dup_span_stats, text_ngram_stats, text_pii_scrub,
-# window_distribution, window_lag_delta, window_running_total — after
-# which no driver row anywhere predates r4 and the steady-state cadence
-# is changed-first + oldest-green fill.
-VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R9
+# R10 window (r9 verdict item #1, executing the plan written in r9):
+# changed-first, then the drain, then oldest-green fill. Leads with the
+# 2 queries r10 rewrote (q15/q22 now mirror q11's broadcast-total idiom
+# — the last eager 1-row .first() pulls in registered queries are
+# gone). Next the LAST 13 r3-stale driver rows; once they land green in
+# CORRECTNESS_r10 no driver row anywhere predates r4 — the drain the r9
+# verdict prescribed is complete. The remaining 35 slots are the
+# alphabetical head of the 39 r4 rows (oldest-green fill; q22 is one of
+# the 39 and leads as changed, so exactly 3 r4 stragglers —
+# udtf_token_windows, window_range_frame, window_rank_battery — rotate
+# in r11).
+# Registry growth this round: 0 (freeze, round 6 of the discipline).
+ROTATED_IN_R10: tuple[str, ...] = (
+    # changed this round (2): broadcast-total rewrite
+    "q15_top_supplier",
+    "q22_sales_opportunity",
+    # r3-stale drain, final 13
+    "events_retention",
+    "sample_topk_per_stratum",
+    "sample_uniform_topk",
+    "similarity_pairs",
+    "sql_correlated_subquery",
+    "streaming_topk_users",
+    "text_chunking",
+    "text_dup_span_stats",
+    "text_ngram_stats",
+    "text_pii_scrub",
+    "window_distribution",
+    "window_lag_delta",
+    "window_running_total",
+    # oldest-green fill (35 of the 39 r4 rows)
+    "agg_histogram",
+    "agg_unpivot",
+    "ann_ivf_pq",
+    "ann_topk_vectorized",
+    "cluster_kmeans_embeddings",
+    "embedding_int8_quantize",
+    "events_active_users",
+    "events_attribution",
+    "events_path_analysis",
+    "files_csv_roundtrip",
+    "files_json_roundtrip",
+    "files_orc_roundtrip",
+    "files_partitioned_pruning",
+    "join_asof",
+    "join_fuzzy_match",
+    "join_salted_skew",
+    "multimodal_binary_meta",
+    "rollup_multiresolution",
+    "sample_quality_tiers",
+    "sample_weighted",
+    "scalar_bitwise_pack",
+    "scalar_string_pack",
+    "sort_topk_global",
+    "sql_in_subquery",
+    "sql_recursive_date_spine",
+    "streaming_cdc_upsert",
+    "streaming_checkpoint_recovery",
+    "streaming_parquet_sink",
+    "streaming_session_window",
+    "streaming_sliding_window",
+    "streaming_stateful_totals",
+    "streaming_static_join",
+    "streaming_stream_join",
+    "streaming_tumbling_hour",
+    "text_seq_dedup",
+)
+
+# r11 window plan: steady state — lead with anything r11 changes, then
+# the 3 remaining r4 rows (udtf_token_windows, window_range_frame,
+# window_rank_battery), then oldest-green fill from the r5 tail.
+VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R10
 
 
 def _prioritize() -> None:

@@ -357,6 +357,14 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch delivery (at-least-once pipelines). The exact distinct and
     the 5%-bound flag ride alongside as the hash-checked accuracy
     contract (see the oracle note above).
+
+    CLIFF (r9 ADVICE): 5% ≈ 3σ at lgConfigK=12 — a probabilistic
+    bound pinned as a literal. It holds on every current fixture, but
+    fixture regeneration or a new scale re-rolls the hash draw and
+    can legitimately flip within_bound to 0 (≲0.3% per group at 3σ).
+    On a driver hash-mismatch here, re-verify the bound on the new
+    fixture before suspecting a code regression; widen only with the
+    measured error recorded in the commit message.
     """
     ev = load_events(spark, sf_dir)
     merged = hll_merged_estimates(spark, sf_dir)

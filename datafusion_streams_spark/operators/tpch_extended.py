@@ -415,9 +415,13 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 @query("q15_top_supplier", oracle=_Q15_ORACLE, tags=("subquery", "view", "agg"))
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: quarterly revenue view, pick the supplier(s)
-    hitting the max. The revenue relation is tiny (one row per
-    supplier) so the max is a cheap driver-side scalar; ties survive,
-    matching the SQL semantics (no LIMIT 1 shortcut).
+    hitting the max. Ties survive, matching the SQL semantics (no
+    LIMIT 1 shortcut). The 1-row MAX broadcasts back into the SAME
+    DAG (q11's idiom, ``q11_important_stock``) instead of an eager
+    ``.first()`` pull — one job instead of two, and an empty revenue
+    relation yields 0 rows instead of a float(None) crash (the q11
+    lesson at sf0.001, pinned by
+    ``test_scalar_threshold_queries_survive_empty_inputs``).
     """
     t = load_tables(spark, sf_dir)
     revenue = (
@@ -426,12 +430,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(disc_price()).cast("double").alias("total_revenue"))
     )
-    revenue = revenue.cache()
-    max_rev = revenue.agg(F.max("total_revenue")).first()[0]
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
         F.broadcast(t["supplier"])
-        .join(revenue.filter(F.col("total_revenue") == max_rev),
-              F.col("s_suppkey") == F.col("supplier_no"))
+        .join(
+            revenue.crossJoin(F.broadcast(max_rev)).filter(
+                F.col("total_revenue") == F.col("max_rev")
+            ),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
         .select("s_suppkey", "s_name", "total_revenue")
     )
 

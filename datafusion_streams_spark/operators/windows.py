@@ -1106,6 +1106,19 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshots are bitwise ORs, the same rollup algebra as the HLL
     sketch table but lossless. n_containers reports the realized
     container occupancy (the compression the pattern is buying).
+
+    DENSITY DOMAIN (measured r10, tools/shuffle_probe.py): the win is
+    proportional to bits-per-occupied-container, i.e. per-group
+    distinct count / (id_range/64). Dense regime (20k-user id space,
+    ~66k rows/day): 9.8x fewer shuffle bytes than distinct-then-count.
+    Sparse regime (ids spread over 2M, ~1 occupant per container per
+    map task): 0.7x — WORSE than exact, because each 8-byte word
+    carries ~1 bit. Use this shape when ids are compact (dictionary-
+    encoded users, dense surrogate keys — this fixture) or after a
+    dense re-keying; with sparse 64-bit ids prefer HLL (bounded error)
+    or plain COUNT(DISTINCT). A roaring-style hybrid (array containers
+    below ~4096 occupants) removes the cliff but needs a custom UDAF —
+    not worth leaving codegen'd built-ins for the fixture's regime.
     """
     ev = load_events(spark, sf_dir)
     bits = ev.select(

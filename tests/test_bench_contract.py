@@ -12,8 +12,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import bench  # noqa: E402
 
 
+LOAD = [0.61, 0.82, 1.04, 7.9, 4.21, 2.15]
+SPREAD = {"q": "q1_pricing_summary", "min": 0.384, "max": 1.792}
+
+
 def _line(total, timings, streaming):
-    return bench.build_compact_line(total, timings, 2, streaming, 0.1)
+    return bench.build_compact_line(
+        total, timings, 2, streaming, 0.1, load=LOAD, spread=SPREAD
+    )
 
 
 def test_compact_line_fits_budget_with_all_headline_queries():
@@ -29,6 +35,23 @@ def test_compact_line_fits_budget_with_all_headline_queries():
     assert obj["n_queries"] == len(bench.HEADLINE)
     # whatever was omitted is accounted for
     assert len(obj["queries"]) + obj.get("queries_omitted", 0) == len(bench.HEADLINE)
+    # r9 verdict item 2: the persisted line must be ambient-load
+    # adjudicable on its own — load triples and worst rep spread are
+    # part of the never-shed base.
+    assert obj["load"] == LOAD
+    assert obj["spread"] == SPREAD
+
+
+def test_load_field_survives_every_shed_tier():
+    """The load field is the whole point of r10's bench change: it must
+    survive even the pathological metric-triple-only fallback."""
+    timings = {n: 123456.789 for n in bench.HEADLINE}
+    monster = {"events_replay_rows_per_sec": float("1" * 15 + ".5")}
+    monster.update({f"pad_{i}": "x" * 50 for i in range(100)})
+    line = _line(999999.999, timings, monster)
+    assert len(line) <= bench.BUDGET
+    obj = json.loads(line)
+    assert obj["load"] == LOAD
 
 
 def test_compact_line_survives_bloated_streaming_metrics():

@@ -280,14 +280,17 @@ def test_bound_as_data_sketch_plan_shapes(spark):
 
     plan = formatted_plan(REGISTRY["agg_approx_percentile"].fn(spark, SF_DIR))
     # one hash exchange for the per-flag sort; the rank extractions AND
-    # the GK aggregate all reuse the window's partitioning
-    assert hash_exchanges(plan) == 1, plan
+    # the GK aggregate all reuse the window's partitioning. <= bound,
+    # not ==, per r9 ADVICE: a planner minor-version change that adds
+    # or fuses an exchange is not a semantic regression — the 100 TB
+    # invariant is "no exchange count proportional to data shape"
+    assert hash_exchanges(plan) <= 2, plan
     plan = formatted_plan(REGISTRY["agg_approx_top_k"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastExchange" in plan, plan
-    # the only hash exchange is the user_id groupBy; the global
-    # row_number windows run on <=10-row relations
-    assert hash_exchanges(plan) == 1, plan
+    # the user_id groupBy exchange (+ slack for planner drift); the
+    # global row_number windows run on <=10-row relations
+    assert hash_exchanges(plan) <= 2, plan
     plan = formatted_plan(REGISTRY["agg_approx_distinct"].fn(spark, SF_DIR))
     # the exact COUNT(DISTINCT) expand costs the second exchange; the
     # HLL estimate adds none of its own

@@ -9,7 +9,11 @@ scale claims at HEAD instead of carrying them as historical notes.
   C) MinHash-LSH dedup at 1x / 4x / 16x corpus volume (token-suffixed
      copies keep cross-copy shingles disjoint, so the dup structure
      scales k-fold, never quadratically) — the banded-LSH
-     sub-quadratic claim as a measured wall ratio.
+     sub-quadratic claim as a measured wall ratio;
+  D) TPC-H-shaped joins (q3/q9/q21) at 1x / 10x fact volume
+     (orderkey-offset copies of lineitem+orders, dims fixed) — the
+     relational envelope's 100 TB posture as a measured ratio instead
+     of plan reading alone (added r10).
 
 Both claims say the same thing: fixed per-job cost dominates at
 fixture scale and the marginal per-row cost is flat, so the pipelines
@@ -176,8 +180,12 @@ def probe_minhash_scaleup(spark, sf_dir: str, reps: int) -> dict:
                     minhash_pairs,
                 )
 
-                minhash_pairs(spark, land).unpersist()
-                _doc_shingle_arrays(spark, land).unpersist()
+                # blocking=True (r9 ADVICE): the default async eviction
+                # can leave the previous rep's blocks in executor
+                # storage when the next timed run starts — residual
+                # noise in exactly the walls this probe stabilizes
+                minhash_pairs(spark, land).unpersist(blocking=True)
+                _doc_shingle_arrays(spark, land).unpersist(blocking=True)
 
             wall = _min_of(reps, run)
             out[copies] = {
@@ -188,6 +196,66 @@ def probe_minhash_scaleup(spark, sf_dir: str, reps: int) -> dict:
         finally:
             shutil.rmtree(land, ignore_errors=True)
     out["ratio_16x_data"] = round(out[16]["wall_sec"] / out[1]["wall_sec"], 2)
+    return out
+
+
+def probe_tpch_joins(spark, sf_dir: str, reps: int) -> dict:
+    """q3/q9/q21-shaped wall growth at 1x vs 10x fact volume (r9
+    verdict item 4: the TPC-H-shaped envelope was the one operator
+    family whose 100 TB posture rested on plan reading alone).
+
+    lineitem and orders scale 10x with per-copy orderkey offsets, so
+    the fact-fact join structure scales k-fold (each lineitem copy
+    joins its own orders copy — no artificial quadratic fan-out);
+    suppkey/partkey/custkey stay in range, so dim joins fan out 10x,
+    which is exactly what a growing fact table does against fixed
+    dims. Dims stay 1x: the claim under test is the FACT shuffle —
+    broadcast dim joins are volume-independent by construction.
+
+    Expected regime: ratio_10x well under 10 at fixture scale (fixed
+    per-job cost still dominates); the failure mode this would catch
+    is super-linear growth from a plan that degenerated to a non-
+    broadcast dim join or a cartesian seam."""
+    from pyspark.sql import functions as F
+
+    from datafusion_streams_spark.operators import REGISTRY
+
+    SMALL = ("region", "nation", "customer", "supplier", "part",
+             "events", "documents", "embeddings")
+    QUERIES = ("q3_shipping_priority", "q9_product_profit",
+               "q21_waiting_suppliers")
+    OFF = 1_000_000_000
+    out = {}
+    for copies in (1, 10):
+        land = tempfile.mkdtemp(prefix=f"scale_probe_tpch_{copies}x_")
+        try:
+            for t in SMALL:
+                shutil.copy(os.path.join(sf_dir, f"{t}.parquet"),
+                            os.path.join(land, f"{t}.parquet"))
+            for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+                base = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+                parts = [
+                    base.withColumn(key, F.col(key) + F.lit(i * OFF))
+                    for i in range(copies)
+                ]
+                scaled = parts[0]
+                for p in parts[1:]:
+                    scaled = scaled.unionAll(p)
+                # a real 10x table arrives pre-split — write it that way
+                scaled.repartition(8 * copies).write.mode("overwrite").parquet(
+                    os.path.join(land, f"{t}.parquet")
+                )
+            n_li = spark.read.parquet(os.path.join(land, "lineitem.parquet")).count()
+            walls = {}
+            for qname in QUERIES:
+                fn = REGISTRY[qname].fn
+                walls[qname] = round(_min_of(reps, lambda: fn(spark, land).count()), 3)
+            out[copies] = {"lineitem_rows": n_li, "wall_sec": walls}
+        finally:
+            shutil.rmtree(land, ignore_errors=True)
+    out["ratio_10x_data"] = {
+        q: round(out[10]["wall_sec"][q] / out[1]["wall_sec"][q], 2) for q in QUERIES
+    }
     return out
 
 
@@ -212,6 +280,7 @@ def main() -> int:
         "avro_roundtrip": probe_avro_roundtrip(spark, args.reps),
         "events_replay": probe_events_replay(spark, args.sf_dir, args.reps),
         "minhash_lsh": probe_minhash_scaleup(spark, args.sf_dir, args.reps),
+        "tpch_joins": probe_tpch_joins(spark, args.sf_dir, args.reps),
         "sf_dir": args.sf_dir,
         "cpus": args.cpus,
         "reps": args.reps,
