@@ -426,7 +426,18 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     revenue = (
         t["lineitem"]
-        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+        # the explicit isNotNull matches the null filter the supplier
+        # equi-join pushes below the agg on the SELECT branch, so both
+        # branches' exchange subtrees canonicalize identically and AQE
+        # inserts a ReusedExchange — lineitem is scanned and shuffled
+        # ONCE for both the per-supplier revenue and its max (verified
+        # on the executed plan; without it the branches differ by
+        # exactly this predicate and the scan runs twice)
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+            & F.col("l_suppkey").isNotNull()
+        )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(disc_price()).cast("double").alias("total_revenue"))
     )

@@ -299,3 +299,24 @@ def test_bound_as_data_sketch_plan_shapes(spark):
     # two-level sketch rollup (2) + exact distinct (2); the 5-row seam
     # join must not shuffle the merged side again
     assert hash_exchanges(plan) <= 4, plan
+
+
+def test_scalar_threshold_family_reuses_fact_exchange_at_runtime(spark):
+    """r10: q11/q15 compute a per-key aggregate AND a 1-row total over
+    the same subtree in one DAG (the broadcast-total idiom). The idiom
+    must not pay for staying in the DAG with a SECOND fact scan and
+    shuffle: AQE's stage cache reuses an exchange only when both
+    branches canonicalize identically, which for q15 required matching
+    the isnotnull(l_suppkey) the supplier equi-join pushes below the
+    agg on the select branch. Pin ReusedExchange in the EXECUTED plan
+    (pre-execution plans never show it) so a formulation drift that
+    silently doubles the fact scan fails here, not in a 100 TB bill.
+
+    q22 is exempt by semantics: its threshold aggregates a DIFFERENT
+    relation (positive balances only), so there is no shared exchange
+    to reuse."""
+    for name in ("q11_important_stock", "q15_top_supplier"):
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan, f"{name} lost exchange reuse:\n{plan}"
