@@ -46,51 +46,49 @@ def test_registry_complete():
     assert set(o) <= set(q)
 
 
-def test_verified_prefix_is_the_r9_rotation():
+def test_verified_prefix_is_the_r10_rotation():
     """The driver hard-verifies only the first 50 registry slots. The
-    round-9 window (round-8 verdict items #1 + #2) leads with the 4
-    approximate sketches — rewritten this round from rows-only to
-    bound-as-data oracles, so the registry is now 100% hash-checkable
-    and the driver's only historically-never-green rows must come back
-    green — then the ~26 queries whose semantics or plans changed in
-    r8/r9 (rounding conversions, {W} overflow widening, q11 broadcast
-    rewrite, chunked source masks, avro paths), then a 20-slot drain
-    of the r3-stale tail."""
+    round-10 window (round-9 verdict item #1, executing the plan r9
+    wrote) leads with the two r10 rewrites (q15/q22 broadcast-total
+    idiom), then drains the LAST 13 r3-stale driver rows, then fills
+    with the alphabetical head of the r4 tail — after CORRECTNESS_r10
+    lands, no driver row anywhere predates r4 and the cadence is
+    steady-state changed-first + oldest-green fill."""
     import json
     import os
 
-    from datafusion_streams_spark.operators import ROTATED_IN_R9, VERIFIED_FIRST
+    from datafusion_streams_spark.operators import ROTATED_IN_R10, VERIFIED_FIRST
 
     names = list(REGISTRY)
     assert len(VERIFIED_FIRST) == 50
-    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R9)
+    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R10)
 
     window = names[:50]
-    # r9 milestone: NOTHING anywhere in the registry is rows-only any
-    # more — every registered query carries a DuckDB oracle
+    # r9 milestone, held: NOTHING in the registry is rows-only —
+    # every registered query carries a DuckDB oracle
     rows_only = [n for n in REGISTRY if REGISTRY[n].oracle is None]
     assert rows_only == [], rows_only
 
+    # changed-first discipline: the queries r10 touched lead the window
+    assert window[:2] == ["q15_top_supplier", "q22_sales_opportunity"]
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_green: dict = {}
-    for rnd in range(1, 9):
+    for rnd in range(1, 10):
         f = os.path.join(repo, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(f):
             for name, row in json.load(open(f)).items():
                 if row.get("hash_match"):
                     last_green[name] = rnd
     if last_green:  # absent in a bare checkout
-        # nothing r2-or-older-green remains anywhere (two full rotations
-        # completed in r8), and the only never-hash-green queries are
-        # the four sketches, all of which lead this window
-        stale = [n for n, r in last_green.items() if r <= 2 and n in REGISTRY]
-        assert stale == [], sorted(stale)
+        # r9 closed the four sketches: no registered query is
+        # hash-never-green any more
         never_hash = set(REGISTRY) - set(last_green)
-        assert never_hash == {
-            "agg_approx_distinct", "agg_approx_percentile",
-            "agg_approx_top_k", "agg_hll_mergeable",
-        }, sorted(never_hash)
-        assert set(never_hash) <= set(window[:4])
+        assert never_hash == set(), sorted(never_hash)
+        # the final r3-stale drain: every row whose last driver green
+        # predates r4 must sit inside this window
+        stale = [n for n, r in last_green.items() if r <= 3 and n in REGISTRY]
+        assert set(stale) <= set(window), sorted(set(stale) - set(window))
 
 
 def test_approx_distinct_accuracy(spark, duck):
