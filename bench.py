@@ -243,15 +243,23 @@ def main() -> None:
     # indicator besides the load averages themselves (r9: the driver
     # artifact recorded 87 s vs the true 65 s and the forensics had to
     # come from commit archaeology — now the printed line carries both).
+    # WARM reps only (runs[1:]): the cold first rep includes one-time
+    # cache materialization by design, so queries like dedup_minhash_lsh
+    # would structurally dominate the spread even on an idle box and
+    # saturate the very signal this field exists to carry (r10 review).
+    def _warm(runs: list[float]) -> list[float]:
+        return runs[1:] if len(runs) > 1 else runs
+
     def _spread(runs: list[float]) -> float:
-        lo = min(runs)
-        return max(runs) / lo if lo > 0 else 1.0
+        w = _warm(runs)
+        lo = min(w)
+        return max(w) / lo if lo > 0 else 1.0
 
     worst_q = max(all_reps, key=lambda n: _spread(all_reps[n]))
     worst_spread = {
         "q": worst_q,
-        "min": min(all_reps[worst_q]),
-        "max": max(all_reps[worst_q]),
+        "min": min(_warm(all_reps[worst_q])),
+        "max": max(_warm(all_reps[worst_q])),
     }
     # tolerate data dirs not named sf<N>: never lose timings to a parse
     # error after all queries have already run
@@ -281,8 +289,12 @@ def main() -> None:
                 "reps": reps,
                 "streaming": streaming,
                 "sf": sf,
+                # the SAME sample as the printed line's load[3:6] — a
+                # third sample here let the two artifacts disagree on a
+                # moving box, re-opening the forensic ambiguity the
+                # field exists to close (r10 review)
                 "loadavg_start": load_start,
-                "loadavg_end": tuple(round(x, 2) for x in os.getloadavg()),
+                "loadavg_end": load_end,
             },
             f,
             indent=1,

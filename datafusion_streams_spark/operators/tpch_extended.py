@@ -404,6 +404,7 @@ WITH revenue AS (
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_suppkey IS NOT NULL
     GROUP BY l_suppkey
 )
 SELECT s_suppkey, s_name, total_revenue

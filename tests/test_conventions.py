@@ -66,12 +66,76 @@ def test_no_eager_first_outside_convergence_predicates():
 
 
 def test_no_row_at_a_time_python_udf():
-    offenders = [
-        str(f.relative_to(PKG))
-        for f in _source_files()
-        if "F.udf(" in f.read_text() or "functions.udf(" in f.read_text()
-    ]
+    """Token-level, not a grep (r10 review): `F.udf(`-only matching
+    missed `from pyspark.sql.functions import udf` + bare `udf(...)`
+    or `@udf` decorators. Any NAME token `udf` in package code —
+    import, attribute, decorator, call — is an offender; `pandas_udf`
+    is a different NAME token and never matches, and prose mentions of
+    UDFs in docstrings/comments are not NAME tokens."""
+    offenders = []
+    for f in _source_files():
+        toks = tokenize.generate_tokens(io.StringIO(f.read_text()).readline)
+        for t in toks:
+            if t.type == tokenize.NAME and t.string == "udf":
+                offenders.append(f"{f.relative_to(PKG)}:{t.start[0]}")
     assert offenders == [], (
         f"row-at-a-time Python UDF in {offenders}: use pandas_udf / "
         "mapInPandas (Arrow-vectorized) instead"
     )
+
+
+def test_reuse_audit_fingerprints_catch_the_q15_class():
+    """The r10 review found the original fingerprints kept raw tree
+    glyphs, so the same duplicated subtree at two DIFFERENT tree depths
+    (exactly the broken-q15 shape) never compared equal and the audit
+    was blind to its motivating bug. Pin the fixed behavior on
+    synthetic plans: depth-relative equality, ReusedExchange leaves
+    skipped, and codegen-prefixed siblings not absorbed as children."""
+    import sys
+
+    sys.path.insert(0, str(PKG.parents[0] / "tools"))
+    from reuse_audit import exchange_fingerprints
+    from collections import Counter
+
+    # same subtree at two depths with different glyph prefixes
+    plan_dup = "\n".join([
+        "*(6) Project [a#1]",
+        ":- *(6) HashAggregate(keys=[k#1], functions=[sum(v#2)])",
+        ":  +- Exchange hashpartitioning(k#1, 8), ENSURE_REQUIREMENTS, [plan_id=10]",
+        ":     +- *(1) HashAggregate(keys=[k#1], functions=[partial_sum(v#2)])",
+        ":        +- *(1) Filter isnotnull(k#1)",
+        ":           +- FileScan parquet [k#1,v#2]",
+        "+- BroadcastExchange IdentityBroadcastMode, [plan_id=20]",
+        "   +- *(5) HashAggregate(keys=[], functions=[max(t#3)])",
+        "      +- *(4) HashAggregate(keys=[k#7], functions=[sum(v#8)])",
+        "         +- Exchange hashpartitioning(k#7, 8), ENSURE_REQUIREMENTS, [plan_id=30]",
+        "            +- *(2) HashAggregate(keys=[k#7], functions=[partial_sum(v#8)])",
+        "               +- *(2) Filter isnotnull(k#7)",
+        "                  +- FileScan parquet [k#7,v#8]",
+    ])
+    counts = Counter(exchange_fingerprints(plan_dup))
+    assert sum(n - 1 for n in counts.values() if n > 1) == 1, counts
+
+    # perfect reuse: the second reference is a ReusedExchange leaf —
+    # its rendering embeds 'Exchange hashpartitioning' but must NOT be
+    # fingerprinted as a duplicate shuffle
+    plan_reused = "\n".join([
+        "*(6) Project [a#1]",
+        ":- Exchange hashpartitioning(k#1, 8), ENSURE_REQUIREMENTS, [plan_id=10]",
+        ":  +- *(1) HashAggregate(keys=[k#1], functions=[partial_sum(v#2)])",
+        ":     +- FileScan parquet [k#1,v#2]",
+        "+- ReusedExchange [k#9, sum#10], Exchange hashpartitioning(k#1, 8), [plan_id=10]",
+    ])
+    counts = Counter(exchange_fingerprints(plan_reused))
+    assert sum(n - 1 for n in counts.values() if n > 1) == 0, counts
+
+    # a codegen-prefixed SIBLING after the exchange must not be
+    # absorbed into its subtree ('*(' is node text, not indentation)
+    plan_sib = "\n".join([
+        ":- Exchange hashpartitioning(k#1, 8), ENSURE_REQUIREMENTS, [plan_id=10]",
+        ":  +- FileScan parquet [k#1]",
+        "+- *(2) Sort [k#1 ASC]",
+        "   +- FileScan parquet [k#1]",
+    ])
+    (fp,) = exchange_fingerprints(plan_sib)
+    assert "Sort" not in fp, fp

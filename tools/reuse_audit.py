@@ -38,26 +38,48 @@ from collections import Counter
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _node_col(line: str) -> int:
+    """Column where the node TEXT starts — i.e. past the tree glyphs
+    (spaces, ':', '+', '-'). The codegen prefix '*(n)' is part of the
+    node text, NOT indentation: lstrip'ping '*' and '(' made siblings
+    of an exchange look deeper than it and absorbed them into its
+    fingerprint (caught by the r10 review)."""
+    for i, ch in enumerate(line):
+        if ch not in " :+-":
+            return i
+    return len(line)
+
+
 def exchange_fingerprints(final_plan: str) -> list[str]:
-    """One fingerprint per shuffle exchange: the exchange line plus its
-    subtree (lines more indented than it), with expr ids / plan ids /
-    codegen stage ids normalized away — the string-level analogue of
-    Spark's plan canonicalization."""
+    """One fingerprint per shuffle exchange: the exchange node plus its
+    subtree, rendered DEPTH-RELATIVE — each line becomes
+    '<depth-delta>:<node text>' so the same duplicated subtree at two
+    different tree depths (exactly the broken-q15 shape) still compares
+    equal; the original raw-prefix fingerprints never matched across
+    depths and the audit was blind to its own motivating bug (caught
+    by the r10 review, verified on synthetic plans in
+    tests/test_conventions.py). Expr ids / plan ids / codegen stage
+    ids are normalized away; ReusedExchange LEAVES are skipped — their
+    rendering embeds the reused exchange's own 'Exchange hash...'
+    text, and two same-depth references to one exchange are perfect
+    reuse, not a duplicate shuffle."""
     lines = final_plan.splitlines()
     fps = []
     for i, line in enumerate(lines):
+        if "ReusedExchange" in line:
+            continue
         if not re.search(
             r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", line
         ):
             continue
-        indent = len(line) - len(line.lstrip(" :+-*("))
-        sub = [line]
+        col = _node_col(line)
+        sub = [f"0:{line[col:]}"]
         for j in range(i + 1, min(i + 40, len(lines))):
             nxt = lines[j]
-            nindent = len(nxt) - len(nxt.lstrip(" :+-*("))
-            if nindent <= indent:
+            ncol = _node_col(nxt)
+            if ncol <= col:
                 break
-            sub.append(nxt)
+            sub.append(f"{ncol - col}:{nxt[ncol:]}")
         fp = re.sub(r"#\d+[A-Za-z]*", "#", "\n".join(sub))
         fp = re.sub(r"plan_id=\d+", "plan_id=", fp)
         fp = re.sub(r"\*\(\d+\)", "*", fp)

@@ -199,8 +199,9 @@ def probe_heavy_hitters(spark) -> dict:
     candidates (map-only, O(P/s) emissions) + broadcast semi-join
     recount, vs the full GROUP BY that shuffles every distinct key.
     The tail keys are unique-ish (xxhash64 spread over n_cold keys) so
-    the exact shuffle grows with cardinality; 30% of rows sit in 5 hot
-    keys so real heavy hitters exist at support 0.05%."""
+    the exact shuffle grows with cardinality; 30% of rows sit in 3 hot
+    keys (ids 0/1/2 mod 10 map to id%5 in {0,1,2}, ~10% of rows each)
+    so real heavy hitters exist at support 0.05%."""
     from pyspark.sql import functions as F
 
     support = 0.0005
