@@ -561,6 +561,9 @@ def streaming_pysink_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    from datafusion_streams_spark.streaming.microbatch import log_executed_plan
+
+    log_executed_plan(q)
     back = spark.read.parquet(*manifest_files(out))
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),

@@ -26,6 +26,31 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+# Opt-in executed-plan capture for the duplicated-shuffle audit
+# (tools/reuse_audit.py). Batch queries expose their executed plan via
+# queryExecution(); a streaming query's per-trigger physical plan is
+# only reachable from the StreamingQuery handle, which the registered
+# query functions do not return — so the shared runners (and the three
+# inline writeStream sites in streaming/queries.py) log it here when a
+# caller installs a list. None (the default) keeps the hot path free:
+# no JVM round trip per run.
+PLAN_LOG: list[str] | None = None
+
+
+def log_executed_plan(q: StreamingQuery) -> None:
+    """Append the last micro-batch's physical plan to PLAN_LOG (no-op
+    unless an audit installed a list). The plan survives stop() —
+    StreamExecution retains its lastExecution — and is batch-shape
+    invariant under a fixed config, so the last batch stands for all."""
+    if PLAN_LOG is None:
+        return
+    try:
+        PLAN_LOG.append(q._jsq.explainInternal(False))
+    except Exception:
+        # "No physical plan. Waiting for data." paths raise on some
+        # accessors; an audit gap is preferable to failing the query
+        pass
+
 
 def run_drain_to_memory(
     df: DataFrame,
@@ -66,6 +91,7 @@ def run_drain_to_memory(
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination(timeout_sec)
+    log_executed_plan(q)
     return name, q
 
 
@@ -88,6 +114,7 @@ def run_microbatch(
         writer = writer.trigger(processingTime=trigger_interval)
     q = writer.start()
     q.awaitTermination(timeout_sec)
+    log_executed_plan(q)
     return q
 
 
@@ -148,4 +175,5 @@ def run_drain_until(
         _time.sleep(0.2)
     q.stop()
     q.awaitTermination(timeout_sec)
+    log_executed_plan(q)
     return name, q

@@ -17,7 +17,7 @@ from datafusion_streams_spark.operators import query
 from datafusion_streams_spark.operators.reference import _REF_PIPELINE_ORACLE
 from datafusion_streams_spark.operators.windows import _SESSION_ORACLE, _SLIDING_ORACLE, _TUMBLING_ORACLE
 from datafusion_streams_spark.sources.kafka import events_stream, kafka_like_stream
-from datafusion_streams_spark.streaming.microbatch import run_drain_to_memory
+from datafusion_streams_spark.streaming.microbatch import log_executed_plan, run_drain_to_memory
 
 
 @query(
@@ -447,6 +447,7 @@ def streaming_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)
+    log_executed_plan(q)
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -512,6 +513,7 @@ def streaming_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame
     q1.stop()
     q2 = start()
     q2.awaitTermination(120)
+    log_executed_plan(q2)
 
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
@@ -797,6 +799,7 @@ def streaming_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(120)
+    log_executed_plan(q)
     final = spark.read.parquet(state["dir"])
     return final.select(
         "user_id", "last_event_type", "last_ts", "last_value", "n_changes"

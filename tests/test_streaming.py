@@ -280,3 +280,35 @@ def test_kafka_live_broker_round_trip(spark):
     assert {r.key for r in rows_out} == {f"Key {i}" for i in range(15)}
     assert all(r.len_value == len(r.value) for r in rows_out)
     assert all(r.value == "Message " + r.key.split(" ")[1] for r in rows_out)
+
+
+def test_plan_log_captures_streaming_executed_plan(spark):
+    """The duplicated-shuffle audit (tools/reuse_audit.py) reaches
+    streaming queries through microbatch.PLAN_LOG: when an audit
+    installs a list, the shared runners append each query's last
+    micro-batch physical plan; when it is None (the default), the hot
+    path does nothing. A stateful agg must surface its shuffle in the
+    captured plan — that Exchange line is exactly what the audit
+    fingerprints."""
+    from datafusion_streams_spark.streaming import microbatch as mb
+
+    agg = (
+        kafka_like_stream(spark, SF_DIR_SMALL)
+        .groupBy(F.length("key").alias("key_len"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mb.PLAN_LOG = []
+    try:
+        run_drain_to_memory(agg, output_mode="complete", state_partitions=8)
+        captured = list(mb.PLAN_LOG)
+    finally:
+        mb.PLAN_LOG = None
+    assert len(captured) == 1, f"expected one plan, got {len(captured)}"
+    assert "Exchange" in captured[0], captured[0][:400]
+    assert "StateStore" in captured[0], captured[0][:400]
+
+    # default path stays silent: no list installed -> nothing recorded
+    run_drain_to_memory(
+        kafka_like_stream(spark, SF_DIR_SMALL), output_mode="append"
+    )
+    assert mb.PLAN_LOG is None

@@ -10,21 +10,31 @@ subtrees stopped matching, and the fact pipeline silently ran twice.
 That class is invisible to result tests and to pre-execution plans
 (ReusedExchange only appears in the EXECUTED plan).
 
-This audit runs every registered batch query at sf0.001, fingerprints
-each shuffle exchange in the final adaptive plan (normalized argument
-+ normalized subtree), and flags any query containing two IDENTICAL
-fingerprints — i.e. the same data shuffled twice with no reuse. Plain
-duplicate *scans* of a table are NOT flagged: two scans with different
-pushed filters/columns are usually cheaper than scan-once-reuse at
-100 TB (pushdown wins), and the suite's plan tests cover pushdown.
+This audit runs EVERY registered query at sf0.001 and fingerprints
+each shuffle exchange (normalized argument + normalized subtree) in:
+(a) the final adaptive plan of the returned batch DataFrame, and
+(b) every micro-batch physical plan the query executed along the way
+— the shared streaming runners log them via
+``streaming.microbatch.PLAN_LOG`` when this audit installs a list, so
+streaming-tagged queries and batch queries that drain an internal
+stream are covered too (a duplicated shuffle in a streaming plan
+repeats EVERY trigger — strictly worse than the batch class; and AQE
+never inserts ReusedExchange in stateful streaming plans, so nothing
+rescues it at runtime). Any plan containing two IDENTICAL
+fingerprints — the same data shuffled twice with no reuse — flags.
+Plain duplicate *scans* of a table are NOT flagged: two scans with
+different pushed filters/columns are usually cheaper than
+scan-once-reuse at 100 TB (pushdown wins), and the suite's plan tests
+cover pushdown.
 
     cd /tmp && python /root/repo/tools/reuse_audit.py   # one JSON line
 
 Clean output = {"flagged": {}}. Expected cadence: after any change to
 a query that derives multiple aggregates from one subtree. r10 HEAD:
-0 flagged across all 238 batch queries (the executed-plan reuse test
-in tests/test_plans.py pins the two known broadcast-total queries;
-this sweep catches NEW instances).
+0 flagged across all 262 queries (238 batch final plans + the
+captured streaming micro-batch plans; the executed-plan reuse test in
+tests/test_plans.py pins the two known broadcast-total queries — this
+sweep catches NEW instances).
 """
 
 from __future__ import annotations
@@ -90,6 +100,7 @@ def exchange_fingerprints(final_plan: str) -> list[str]:
 def main() -> int:
     from datafusion_streams_spark import get_session
     from datafusion_streams_spark.operators import REGISTRY
+    from datafusion_streams_spark.streaming import microbatch as mb
 
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     spark = get_session(app_name="reuse-audit", cpus="8")
@@ -97,28 +108,39 @@ def main() -> int:
 
     flagged: dict[str, object] = {}
     n_batch = 0
+    n_stream_plans = 0
     for name, spec in REGISTRY.items():
-        if "streaming" in spec.tags:
-            continue
-        n_batch += 1
+        # capture every micro-batch physical plan the query executes —
+        # streaming-tagged queries AND batch-tagged queries that drain
+        # an internal stream before their read-back aggregate. A
+        # duplicated shuffle inside a streaming plan repeats every
+        # trigger, so it is strictly worse than the batch class.
+        mb.PLAN_LOG = []
         try:
             df = spec.fn(spark, sf_dir)
             df.collect()
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            plans = [("batch", df._jdf.queryExecution().executedPlan().toString())]
         except Exception as e:  # audit tool: record, keep sweeping
             flagged[name] = f"ERR {type(e).__name__}: {e}"
             continue
-        final = plan.split("== Initial Plan ==")[0]
-        counts = Counter(exchange_fingerprints(final))
-        dups = sum(n - 1 for n in counts.values() if n > 1)
-        if dups:
-            flagged[name] = {
-                "duplicate_exchanges": dups,
-                "sample": [fp.splitlines()[0].strip()[:110]
-                           for fp, n in counts.items() if n > 1],
-            }
-    print(json.dumps({"probe": "exchange_reuse_audit", "batch_queries": n_batch,
-                      "flagged": flagged}))
+        finally:
+            stream_plans, mb.PLAN_LOG = mb.PLAN_LOG, None
+        n_batch += 1
+        n_stream_plans += len(stream_plans)
+        plans += [("stream", p) for p in stream_plans]
+        for kind, plan in plans:
+            final = plan.split("== Initial Plan ==")[0]
+            counts = Counter(exchange_fingerprints(final))
+            dups = sum(n - 1 for n in counts.values() if n > 1)
+            if dups:
+                flagged[name] = {
+                    "plan": kind,
+                    "duplicate_exchanges": dups,
+                    "sample": [fp.splitlines()[0].strip()[:110]
+                               for fp, n in counts.items() if n > 1],
+                }
+    print(json.dumps({"probe": "exchange_reuse_audit", "queries": n_batch,
+                      "streaming_plans": n_stream_plans, "flagged": flagged}))
     return 1 if flagged else 0
 
 
