@@ -380,6 +380,9 @@ def build_compact_line(total, timings, reps, streaming, sf, load=None, spread=No
             slim = {"metric": base["metric"], "value": total, "unit": "sec", "sf": sf}
             if load is not None:
                 slim["load"] = load  # 6 rounded floats — always fits
+            if spread is not None:
+                slim["spread"] = spread  # ~50 bytes: keep the never-shed
+                # base honest — load AND spread survive every shed tier
             line = compact(slim)
     return line
 

@@ -153,10 +153,12 @@ def round6_ratio(numer_sql: str, denom_sql: str) -> Column:
     quantity for which 6 decimal places are meaningful (shares,
     averages, scores, prices); property-checked against exact Fraction
     rounding over adversarial 2^a·5^b denominators in
-    tests/test_properties.py.
+    tests/test_properties.py. The bound is STRUCTURAL: past it both
+    engines raise identically (see ``_micro_sql``) instead of Spark's
+    decimal ``div`` silently wrapping its LONG result.
     """
     return F.expr(
-        f"CAST({_micro_sql(numer_sql, denom_sql, 'DECIMAL(38,0)', 'div')}"
+        f"CAST({_micro_sql(numer_sql, denom_sql, 'DECIMAL(38,0)', 'div', _SPARK_RAISER)}"
         " AS DOUBLE) / 1000000.0"
     )
 
@@ -170,24 +172,31 @@ def round6_micro(numer_sql: str, denom_sql: str) -> Column:
     DuckDB rounds — a one-ulp class of the very bug this family
     exists to kill.
 
-    Residual boundary (r9 ADVICE): the final ``CAST(... AS BIGINT)``
-    here is NOT covered by ``{W}`` widening — if |numer/denom| ever
-    exceeded ~9e9, the micro value would pass 2^63 and non-ANSI Spark
-    would wrap the decimal→long cast silently while DuckDB raises.
-    The domain bound is enforced by convention (every current caller
-    is a ratio/score/price, orders of magnitude below 9e9) AND by the
-    per-round ``driver_sweep.py --ansi`` sweep, which makes any
-    violation loud on the Spark side too (ANSI raises instead of
-    wrapping). A caller that cannot argue the bound should use
-    :func:`round6_ratio` (double output, no BIGINT cast) or keep the
-    value in DECIMAL."""
+    Residual boundary (r9 ADVICE), now STRUCTURAL (r10 verdict item
+    6): ``_micro_sql`` guards the documented domain |numer/denom| <=
+    9e9 in exact wide arithmetic and makes BOTH engines raise the same
+    error past it — which also bounds the micro value at ~9.0e15, so
+    this final ``CAST(... AS BIGINT)`` can never overflow (and, the
+    deeper fix: the decimal ``div`` feeding it can never silently wrap
+    its LONG result — see ``_micro_sql``). The guard evaluates on
+    RESULT-sized rows (post-aggregation), so it costs nothing. A
+    caller that cannot argue the domain bound should keep the value in
+    DECIMAL."""
     return F.expr(
-        f"CAST({_micro_sql(numer_sql, denom_sql, 'DECIMAL(38,0)', 'div')}"
+        f"CAST({_micro_sql(numer_sql, denom_sql, 'DECIMAL(38,0)', 'div', _SPARK_RAISER)}"
         " AS BIGINT)"
     )
 
 
-def _micro_sql(numer_sql: str, denom_sql: str, wide: str, intdiv: str) -> str:
+_DOMAIN_BOUND = "9000000000"  # |numer/denom| <= 9e9: the documented domain
+_OVERFLOW_MSG = "round6 domain overflow: |numer/denom| exceeds 9e9"
+_SPARK_RAISER = f"CAST(raise_error('{_OVERFLOW_MSG}') AS DECIMAL(38,0))"
+_DUCK_RAISER = f"CAST(error('{_OVERFLOW_MSG}') AS HUGEINT)"
+
+
+def _micro_sql(
+    numer_sql: str, denom_sql: str, wide: str, intdiv: str, raiser: str
+) -> str:
     """The helper's OWN scaling (``2*|n|*1e6``) runs wide, but a
     caller-supplied expression like ``cents * hist_n - hist_sum`` is
     evaluated in its native BIGINT *before* the outer CAST — and on
@@ -200,29 +209,54 @@ def _micro_sql(numer_sql: str, denom_sql: str, wide: str, intdiv: str) -> str:
     both ~1e38, unreachable. Unmarked expressions must document why
     their domain stays under int64 (plain row counts are always safe:
     2^63 rows is not a table). Cross-engine equality of the widened
-    path beyond int64 is pinned in tests/test_properties.py."""
+    path beyond int64 is pinned in tests/test_properties.py.
+
+    STRUCTURAL domain guard (r10 verdict item 6, strengthened): Spark's
+    ``div`` on DECIMAL operands returns LONG and under non-ANSI mode
+    SILENTLY WRAPS past 2^63 (probed live: ``DECIMAL(38,0) div 2``
+    wraps negative) while DuckDB's HUGEINT ``//`` stays exact — so the
+    real overflow boundary of this family was the integral division
+    itself, one level deeper than the final BIGINT cast the r9 note
+    blamed, and it corrupted :func:`round6_ratio` too, not just the
+    micro form. The guard fires at the DOCUMENTED domain bound
+    |numer/denom| <= 9e9 — checked as ``abs(n) <= d * 9e9`` in exact
+    wide arithmetic, bit-identical across engines — which keeps the
+    quotient <= ~9.0e15, three orders of magnitude below int64, so the
+    ``div`` can never wrap and the BIGINT cast in ``round6_micro``
+    needs no second guard. Past the bound BOTH engines raise the same
+    message (Spark ``raise_error``, DuckDB ``error``): loud and
+    symmetric, no longer ANSI-sweep-enforced. ``raiser`` is the
+    engine's raising expression cast to ``wide`` so the CASE branches
+    agree. (Residual: ``d * 9e9`` itself leaves the wide type only
+    past d ~ 1.1e28 — not a denominator that exists; there Spark
+    yields NULL→raise, DuckDB raises its own overflow — both still
+    loud.) Pinned in tests/test_properties.py."""
     numer_sql = numer_sql.replace("{W}", wide)
     denom_sql = denom_sql.replace("{W}", wide)
     n = f"CAST(({numer_sql}) AS {wide})"
     d = f"CAST(({denom_sql}) AS {wide})"
-    q = f"((2 * abs({n}) * 1000000 + {d}) {intdiv} (2 * {d}))"
+    ng = f"(CASE WHEN abs({n}) <= {d} * {_DOMAIN_BOUND} THEN {n} ELSE {raiser} END)"
+    q = f"((2 * abs({ng}) * 1000000 + {d}) {intdiv} (2 * {d}))"
     return f"(CASE WHEN {n} >= 0 THEN {q} ELSE -{q} END)"
 
 
 def sql_round6_ratio(numer_sql: str, denom_sql: str) -> str:
-    """DuckDB twin of :func:`round6_ratio` (``//`` is BIGINT floor
+    """DuckDB twin of :func:`round6_ratio` (``//`` is HUGEINT floor
     division there); emit this in oracle SQL wherever the Spark side
-    uses the helper."""
+    uses the helper. Carries the same structural domain guard —
+    DuckDB's ``error()`` mirrors Spark's ``raise_error`` so both
+    engines fail identically past |numer/denom| = 9e9."""
     return (
-        f"CAST({_micro_sql(numer_sql, denom_sql, 'HUGEINT', '//')}"
+        f"CAST({_micro_sql(numer_sql, denom_sql, 'HUGEINT', '//', _DUCK_RAISER)}"
         " AS DOUBLE) / 1000000.0"
     )
 
 
 def sql_round6_micro(numer_sql: str, denom_sql: str) -> str:
-    """DuckDB twin of :func:`round6_micro` (exact BIGINT micros)."""
+    """DuckDB twin of :func:`round6_micro` (exact BIGINT micros),
+    including the structural domain guard (see :func:`sql_round6_ratio`)."""
     return (
-        f"CAST({_micro_sql(numer_sql, denom_sql, 'HUGEINT', '//')}"
+        f"CAST({_micro_sql(numer_sql, denom_sql, 'HUGEINT', '//', _DUCK_RAISER)}"
         " AS BIGINT)"
     )
 

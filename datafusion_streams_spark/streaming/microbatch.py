@@ -46,10 +46,12 @@ def log_executed_plan(q: StreamingQuery) -> None:
         return
     try:
         PLAN_LOG.append(q._jsq.explainInternal(False))
-    except Exception:
+    except Exception as e:
         # "No physical plan. Waiting for data." paths raise on some
-        # accessors; an audit gap is preferable to failing the query
-        pass
+        # accessors. Log a SENTINEL instead of silently passing so the
+        # reuse audit can count capture gaps per query rather than
+        # under-covering while reporting clean (r10 ADVICE).
+        PLAN_LOG.append(f"PLAN_UNAVAILABLE: {type(e).__name__}: {e}")
 
 
 def run_drain_to_memory(

@@ -107,17 +107,19 @@ def test_high_variance_queries_get_three_base_reps():
     assert bench.ADAPTIVE_SPREAD == 1.30
 
 
-def test_pathological_fallback_tier_keeps_load(monkeypatch):
+def test_pathological_fallback_tier_keeps_load_and_spread(monkeypatch):
     """r10 review: the earlier 'survives every shed tier' test never
     actually reached the metric-triple-only fallback (the streaming
     shed alone brought the line under budget). Force the tier with a
-    tiny budget and assert the fallback still carries the load field —
-    the one field every tier must preserve."""
-    monkeypatch.setattr(bench, "BUDGET", 150)
+    tiny budget and assert the fallback still carries load AND spread
+    — r10 ADVICE: the docstring promises both are never shed, so the
+    slim tier must keep both (spread is ~50 bytes)."""
+    monkeypatch.setattr(bench, "BUDGET", 230)
     timings = {n: 1.234 for n in bench.HEADLINE}
     line = _line(99.9, timings, {"events_replay_rows_per_sec": 1.0})
-    assert len(line) <= 150
+    assert len(line) <= 230
     obj = json.loads(line)
     assert obj["value"] == 99.9
     assert obj["load"] == LOAD
+    assert obj["spread"] == SPREAD
     assert "queries" not in obj  # the triple tier sheds everything else

@@ -1056,3 +1056,66 @@ def test_round6_wide_operands_survive_int64_overflow(spark):
         assert int(r.u_s) == e_u, (a, r.u_s, e_u)
         assert int(r.u_o) == e_u, (a, r.u_o, e_u)
         assert r.r_s == r.r_o == e_u / 10 ** 6, (a, r.r_s, r.r_o)
+
+
+def test_round6_domain_guard_raises_both_engines(spark):
+    """r10 verdict item 6, strengthened: the real overflow boundary of
+    the round6 family is Spark's decimal ``div``, which returns LONG
+    and SILENTLY WRAPS past 2^63 under non-ANSI mode (probed live this
+    round: ``CAST(1e23 AS DECIMAL(38,0)) div 2`` wraps negative) while
+    DuckDB's HUGEINT ``//`` stays exact — a silent parity split that
+    corrupted round6_ratio as well as round6_micro, one level deeper
+    than the BIGINT cast the r9 note blamed. ``_micro_sql`` now guards
+    the documented domain |numer/denom| <= 9e9 in exact wide
+    arithmetic, so past the bound BOTH engines raise the SAME message
+    instead. Pins: (a) the guard fires identically in Spark and DuckDB
+    for both helpers, (b) it stays silent at the bound exactly (ratio
+    == 9e9), where the div is three orders of magnitude below wrap."""
+    import duckdb
+    import pandas as pd
+    import pytest
+    from pyspark.sql.utils import CapturedException
+
+    from datafusion_streams_spark.functions import (
+        round6_micro,
+        round6_ratio,
+        sql_round6_micro,
+        sql_round6_ratio,
+    )
+
+    numer = "CAST(a AS {W}) * b"
+    # at the bound: 9e18 * 1 / 1e9 = 9e9 exactly -> micro 9e15, fine.
+    ok = pd.DataFrame([(9_000_000_000_000_000_000, 1)], columns=["a", "b"])
+    # over: 9e18 * 10240 / 1e9 ~ 9.2e13; unguarded, the Spark div's
+    # LONG result (~9.2e19) would wrap silently.
+    bad = pd.DataFrame([(9_000_000_000_000_000_000, 10240)], columns=["a", "b"])
+    denom = "1000000000"
+
+    got = (
+        spark.createDataFrame(ok)
+        .select(
+            round6_micro(numer, denom).alias("u"),
+            round6_ratio(numer, denom).alias("r"),
+        )
+        .collect()
+    )
+    assert got[0].u == 9_000_000_000_000_000
+    assert got[0].r == 9_000_000_000.0
+
+    for col in (round6_micro(numer, denom), round6_ratio(numer, denom)):
+        with pytest.raises(CapturedException, match="round6 domain overflow"):
+            spark.createDataFrame(bad).select(col.alias("x")).collect()
+
+    con = duckdb.connect()
+    con.register("ok_t", ok)
+    con.register("bad_t", bad)
+    o = con.execute(
+        f"SELECT {sql_round6_micro(numer, denom)} AS u,"
+        f" {sql_round6_ratio(numer, denom)} AS r FROM ok_t"
+    ).fetchone()
+    assert o[0] == 9_000_000_000_000_000
+    assert o[1] == 9_000_000_000.0
+    for sql in (sql_round6_micro(numer, denom), sql_round6_ratio(numer, denom)):
+        with pytest.raises(duckdb.Error, match="round6 domain overflow"):
+            con.execute(f"SELECT {sql} FROM bad_t").fetchdf()
+    con.close()

@@ -42,6 +42,10 @@ def main() -> int:
                     "this scale (the failure class the r9 {W} widening "
                     "removed). DuckDB always raises, so ANSI is the "
                     "symmetric failure mode.")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names: sweep just these "
+                    "(iteration aid — a full or --window sweep still "
+                    "closes the round)")
     args = ap.parse_args()
 
     import duckdb
@@ -62,6 +66,13 @@ def main() -> int:
         )
 
     names = list(VERIFIED_FIRST) if args.window else list(q)
+    if args.only:
+        wanted = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in q]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 2
+        names = wanted
     bad, rows_only = [], []
     for i, name in enumerate(names, 1):
         if name not in o:

@@ -72,19 +72,27 @@ def exchange_fingerprints(final_plan: str) -> list[str]:
     ids are normalized away; ReusedExchange LEAVES are skipped — their
     rendering embeds the reused exchange's own 'Exchange hash...'
     text, and two same-depth references to one exchange are perfect
-    reuse, not a duplicate shuffle."""
+    reuse, not a duplicate shuffle. All four exchange kinds are
+    matched, including RoundRobinPartitioning (repartition(n) /
+    catalog.spread) — previously invisible (r10 ADVICE)."""
     lines = final_plan.splitlines()
     fps = []
     for i, line in enumerate(lines):
         if "ReusedExchange" in line:
             continue
         if not re.search(
-            r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", line
+            r"Exchange (hashpartitioning|rangepartitioning|SinglePartition"
+            r"|RoundRobinPartitioning)",
+            line,
         ):
             continue
         col = _node_col(line)
         sub = [f"0:{line[col:]}"]
-        for j in range(i + 1, min(i + 40, len(lines))):
+        # walk until indentation closes — NO fixed line cap: a 40-line
+        # cap silently truncated deep subtrees, so two DIFFERENT
+        # exchanges sharing a 40-line prefix compared equal (r10
+        # ADVICE). Plans are bounded, so the full walk is cheap.
+        for j in range(i + 1, len(lines)):
             nxt = lines[j]
             ncol = _node_col(nxt)
             if ncol <= col:
@@ -107,6 +115,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     flagged: dict[str, object] = {}
+    plan_gaps: dict[str, int] = {}
     n_batch = 0
     n_stream_plans = 0
     for name, spec in REGISTRY.items():
@@ -126,6 +135,13 @@ def main() -> int:
         finally:
             stream_plans, mb.PLAN_LOG = mb.PLAN_LOG, None
         n_batch += 1
+        # the runners log a PLAN_UNAVAILABLE sentinel when a plan
+        # accessor raises — count those as per-query capture gaps so
+        # under-coverage is reported, never silent (r10 ADVICE)
+        gaps = [p for p in stream_plans if p.startswith("PLAN_UNAVAILABLE")]
+        if gaps:
+            plan_gaps[name] = len(gaps)
+        stream_plans = [p for p in stream_plans if not p.startswith("PLAN_UNAVAILABLE")]
         n_stream_plans += len(stream_plans)
         plans += [("stream", p) for p in stream_plans]
         for kind, plan in plans:
@@ -140,7 +156,8 @@ def main() -> int:
                                for fp, n in counts.items() if n > 1],
                 }
     print(json.dumps({"probe": "exchange_reuse_audit", "queries": n_batch,
-                      "streaming_plans": n_stream_plans, "flagged": flagged}))
+                      "streaming_plans": n_stream_plans,
+                      "plan_capture_gaps": plan_gaps, "flagged": flagged}))
     return 1 if flagged else 0
 
 
