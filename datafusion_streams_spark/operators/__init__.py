@@ -680,10 +680,74 @@ ROTATED_IN_R10: tuple[str, ...] = (
     "text_seq_dedup",
 )
 
-# r11 window plan: steady state — lead with anything r11 changes, then
-# the 3 remaining r4 rows (udtf_token_windows, window_range_frame,
-# window_rank_battery), then oldest-green fill from the r5 tail.
-VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R10
+# R11 window (executing the plan written above + r10 verdict item 1):
+# changed-first, then the 3 remaining r4 rows, then ALL 35 r5 rows,
+# then oldest-green fill from the alphabetical head of the 41 r6 rows.
+# Changed this round (2): events_forecast_backtest and
+# embedding_dim_stats — their round6_micro Spark exprs and oracle SQL
+# both gained the structural domain guard (functions._micro_sql), so
+# the driver re-hashes the guarded idiom first. After this window
+# lands green, no driver row anywhere predates r6 and the steady-state
+# refresh period (~6 rounds, see COVERAGE.md) holds.
+# Registry growth this round: 0 (freeze, round 7 of the discipline).
+ROTATED_IN_R11: tuple[str, ...] = (
+    # changed this round (2): structural round6 domain guard
+    "events_forecast_backtest",
+    "embedding_dim_stats",
+    # the last 3 r4 rows
+    "udtf_token_windows",
+    "window_range_frame",
+    "window_rank_battery",
+    # all 35 r5 rows (alphabetical)
+    "agg_bitmap_distinct",
+    "agg_bitmap_retention",
+    "audit_constraints",
+    "dedup_bloom_prescreen",
+    "dedup_sorted_neighborhood",
+    "files_compaction",
+    "files_csv_malformed",
+    "files_json_nested",
+    "files_merge_on_read",
+    "files_schema_evolution",
+    "files_time_travel",
+    "join_bloom_prefilter",
+    "join_bucketed",
+    "join_dpp_prune",
+    "layout_zorder_audit",
+    "multimodal_dedup_bytes",
+    "multimodal_image_tiles",
+    "pipeline_curation_v4",
+    "pipeline_drift_psi",
+    "pipeline_incremental_curation",
+    "pipeline_shard_shuffle",
+    "pipeline_snapshot_diff",
+    "sample_group_split",
+    "sample_poisson_bootstrap",
+    "streaming_append_watermark",
+    "streaming_bitmap_distinct",
+    "streaming_csv_source",
+    "streaming_dedup_watermark",
+    "streaming_drift_psi",
+    "streaming_foreachbatch_merge",
+    "streaming_multi_source_union",
+    "streaming_pysink_manifest",
+    "streaming_sessionize_state",
+    "streaming_stream_full_join",
+    "streaming_stream_left_join",
+    # oldest-green fill: alphabetical head of the 41 r6 rows
+    "agg_correlation",
+    "agg_linear_fit",
+    "agg_min_max_by",
+    "agg_weighted_median",
+    "embedding_mrl_recall",
+    "events_cohort_ltv",
+    "events_cumulative_uniques",
+    "events_error_rate",
+    "events_ewma_control",
+    "events_hysteresis_alerts",
+)
+
+VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R11
 
 
 def _prioritize() -> None:

@@ -106,15 +106,29 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
+# Opt-in micro-batch split for scale probes. None (the default) keeps
+# the source's own behavior: Trigger.AvailableNow with no file cap
+# drains every available file in ONE trigger. tools/scale_probe.py
+# sets 1 so the stateful pipelines really carry state across one
+# trigger per landed file at 10x volume — the state-store growth axis
+# a single-trigger drain cannot exercise. Same opt-in contract as
+# streaming.microbatch.PLAN_LOG: registered-query code paths are
+# byte-identical when unset.
+EVENTS_MAX_FILES_PER_TRIGGER: int | None = None
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events fixture with ``ts`` normalized to
     microsecond TIMESTAMP_NTZ — the streaming twin of
     ``catalog.load_events``, sharing its dtype-guard semantics. Every
     event-time streaming query goes through here so the micros/nanos
     decision lives in exactly one place."""
-    ev = spark.readStream.schema(events_raw_schema(sf_dir)).parquet(
-        f"{sf_dir}/events*.parquet"
-    )
+    reader = spark.readStream.schema(events_raw_schema(sf_dir))
+    if EVENTS_MAX_FILES_PER_TRIGGER is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(EVENTS_MAX_FILES_PER_TRIGGER)
+        )
+    ev = reader.parquet(f"{sf_dir}/events*.parquet")
     return normalize_event_ts(ev)
 
 

@@ -36,22 +36,37 @@ from pyspark.sql.streaming import StreamingQuery
 # no JVM round trip per run.
 PLAN_LOG: list[str] | None = None
 
+# Opt-in per-trigger progress capture (r10 verdict item 3: the
+# stateful-streaming scale probe needs batchDuration / numInputRows per
+# micro-batch). Same contract as PLAN_LOG: None keeps the hot path
+# free; a probe installs a list and reads StreamingQueryProgress dicts.
+PROGRESS_LOG: list[dict] | None = None
+
 
 def log_executed_plan(q: StreamingQuery) -> None:
-    """Append the last micro-batch's physical plan to PLAN_LOG (no-op
-    unless an audit installed a list). The plan survives stop() —
-    StreamExecution retains its lastExecution — and is batch-shape
-    invariant under a fixed config, so the last batch stands for all."""
-    if PLAN_LOG is None:
-        return
-    try:
-        PLAN_LOG.append(q._jsq.explainInternal(False))
-    except Exception as e:
-        # "No physical plan. Waiting for data." paths raise on some
-        # accessors. Log a SENTINEL instead of silently passing so the
-        # reuse audit can count capture gaps per query rather than
-        # under-covering while reporting clean (r10 ADVICE).
-        PLAN_LOG.append(f"PLAN_UNAVAILABLE: {type(e).__name__}: {e}")
+    """Append the last micro-batch's physical plan to PLAN_LOG and the
+    query's recent per-trigger progress to PROGRESS_LOG (each a no-op
+    unless an audit/probe installed a list). The plan survives stop()
+    — StreamExecution retains its lastExecution — and is batch-shape
+    invariant under a fixed config, so the last batch stands for all;
+    recentProgress retains the last ~100 triggers, far above any
+    drain-then-stop run here."""
+    if PLAN_LOG is not None:
+        try:
+            PLAN_LOG.append(q._jsq.explainInternal(False))
+        except Exception as e:
+            # "No physical plan. Waiting for data." paths raise on some
+            # accessors. Log a SENTINEL instead of silently passing so
+            # the reuse audit can count capture gaps per query rather
+            # than under-covering while reporting clean (r10 ADVICE).
+            PLAN_LOG.append(f"PLAN_UNAVAILABLE: {type(e).__name__}: {e}")
+    if PROGRESS_LOG is not None:
+        try:
+            PROGRESS_LOG.extend(q.recentProgress)
+        except Exception as e:
+            PROGRESS_LOG.append(
+                {"PROGRESS_UNAVAILABLE": f"{type(e).__name__}: {e}"}
+            )
 
 
 def run_drain_to_memory(

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Load-CONTROLLED round-close bench (r10 verdict item 2).
+
+The bench series has twice needed commit archaeology to adjudicate
+(r9: 87 s driver line vs 65 s quiet truth; r10: 72 s vs 65 s — both
+pure ambient). r10 made the line load-ADJUDICABLE (load + spread
+fields); this wrapper makes the round-close measurement
+load-CONTROLLED:
+
+  1. wait until the 1-minute loadavg drops below --gate (default 1.5),
+     polling every 30 s up to --max-wait-sec;
+  2. run ``python bench.py`` exactly as the driver does;
+  3. read the printed line's own ``load`` field: if the END 1-minute
+     load breached the gate, the run was contaminated mid-flight —
+     retry (up to --retries);
+  4. persist the accepted run under VERSIONED names so the driver's
+     own (possibly loaded) run overwriting BENCH_DETAIL.json never
+     erases the quiet truth: BENCH_QUIET_r{N}.json (full detail +
+     printed line + gate metadata) at the repo root.
+
+If the box never goes quiet within the budget, the LAST run is
+persisted with ``"gate_met": false`` — an honest loud number beats no
+number, and the flag tells the judge which it was.
+
+    python tools/quiet_bench.py --round 11
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def wait_quiet(gate: float, max_wait_sec: int, poll_sec: int = 30) -> bool:
+    t0 = time.time()
+    while True:
+        load1 = os.getloadavg()[0]
+        if load1 < gate:
+            return True
+        if time.time() - t0 > max_wait_sec:
+            return False
+        print(f"load1={load1:.2f} >= gate {gate}; waiting...", file=sys.stderr)
+        time.sleep(poll_sec)
+
+
+def run_bench() -> tuple[str | None, str]:
+    """Run bench.py; return (last JSON line or None, full stdout tail)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    line = None
+    for ln in reversed(proc.stdout.splitlines()):
+        ln = ln.strip()
+        if ln.startswith("{"):
+            line = ln
+            break
+    return line, proc.stdout[-2000:]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--gate", type=float, default=1.5,
+                    help="1-minute loadavg the run must start AND end under")
+    ap.add_argument("--retries", type=int, default=2)
+    ap.add_argument("--max-wait-sec", type=int, default=1200)
+    args = ap.parse_args()
+
+    attempt, line, gate_met = 0, None, False
+    while attempt <= args.retries:
+        attempt += 1
+        started_quiet = wait_quiet(args.gate, args.max_wait_sec)
+        line, _tail = run_bench()
+        if line is None:
+            print(f"attempt {attempt}: bench printed no JSON line",
+                  file=sys.stderr)
+            continue
+        obj = json.loads(line)
+        load = obj.get("load") or []
+        end1 = load[3] if len(load) >= 4 else None
+        gate_met = bool(started_quiet and end1 is not None and end1 < args.gate)
+        print(f"attempt {attempt}: start_quiet={started_quiet} "
+              f"end_load1={end1} gate_met={gate_met}", file=sys.stderr)
+        if gate_met:
+            break
+
+    if line is None:
+        print("no bench line produced; nothing persisted", file=sys.stderr)
+        return 1
+
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    with open(detail_path) as f:
+        detail = json.load(f)
+    out = {
+        "quiet_gate": {
+            "gate_load1": args.gate,
+            "gate_met": gate_met,
+            "attempts": attempt,
+        },
+        "printed_line": json.loads(line),
+        "detail": detail,
+    }
+    quiet_path = os.path.join(REPO, f"BENCH_QUIET_r{args.round:02d}.json")
+    with open(quiet_path, "w") as f:
+        json.dump(out, f, indent=1)
+    # the driver parses the LAST line of stdout; print the accepted line
+    # so this wrapper can stand in for bench.py in the round-close loop
+    print(line)
+    print(f"persisted {quiet_path} (gate_met={gate_met})", file=sys.stderr)
+    return 0 if gate_met else 3
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

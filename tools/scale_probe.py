@@ -14,6 +14,11 @@ scale claims at HEAD instead of carrying them as historical notes.
      (orderkey-offset copies of lineitem+orders, dims fixed) — the
      relational envelope's 100 TB posture as a measured ratio instead
      of plan reading alone (added r10).
+  E) stateful streaming (applyInPandasWithState: running totals +
+     sessionization) at 1x / 10x rows / 10x keys, 10 micro-batches
+     each, with per-trigger latency from StreamingQueryProgress —
+     the state-carry and state-store-size axes measured instead of
+     design-read (added r11; r10 verdict item 3).
 
 Both claims say the same thing: fixed per-job cost dominates at
 fixture scale and the marginal per-row cost is flat, so the pipelines
@@ -259,12 +264,131 @@ def probe_tpch_joins(spark, sf_dir: str, reps: int) -> dict:
     return out
 
 
+def probe_stateful_streaming(spark, sf_dir: str, reps: int) -> dict:
+    """applyInPandasWithState scale-up (r10 verdict item 3): the last
+    operator family whose 100 TB posture rested on design reading
+    alone. Replays the REGISTERED stateful queries
+    (streaming_stateful_totals + streaming_sessionize_state) over
+    scaled event landings, one micro-batch per file
+    (sources.kafka.EVENTS_MAX_FILES_PER_TRIGGER = 1 — the opt-in knob;
+    registered code paths are otherwise byte-identical), and reads
+    per-trigger latency from StreamingQueryProgress via
+    streaming.microbatch.PROGRESS_LOG.
+
+    Three landings, all 10 files = 10 triggers so the ratios isolate
+    data growth from trigger-count overhead:
+      - 1x:        the base events table row-sliced into 10 files;
+      - 10x_rows:  10 full copies, SAME keyspace, each copy time-shifted
+                   past the previous copy's range + the session gap —
+                   per-user arrival stays monotone, so every key's
+                   state is carried and updated across all 10 triggers
+                   (the state-carry axis a single-trigger drain cannot
+                   exercise);
+      - 10x_keys:  10 full copies with DISJOINT key offsets (and the
+                   same time shift) — 10x state-store entries, each
+                   key's state created and retired within one trigger
+                   (the store-size axis).
+
+    State is O(active keys), not O(rows) — a flat-ish wall ratio on
+    10x_rows and a mild one on 10x_keys is the claim; per-trigger
+    latency shows where micro-batch overhead sits. Paste the JSON into
+    SCALE_NOTES.md."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_streams_spark.operators import REGISTRY
+    from datafusion_streams_spark.sources import kafka as ksrc
+    from datafusion_streams_spark.streaming import microbatch as mb
+
+    src = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    n_base = src.num_rows
+    uid = src.column("user_id").to_numpy()
+    eid = src.column("event_id").to_numpy()
+    ts = src.column("ts").cast(pa.int64()).to_numpy()  # micros
+    base_keys = int(np.unique(uid).size)
+    gap_us = 30 * 60 * 1_000_000
+    shift_us = int(ts.max() - ts.min()) + 2 * gap_us
+
+    def _col(tbl, name, arr):
+        return tbl.set_column(
+            tbl.schema.get_field_index(name), name, arr
+        )
+
+    ts_field = src.schema.field("ts").type
+
+    def build(land: str, variant: str) -> tuple[int, int]:
+        if variant == "1x":
+            step = (n_base + 9) // 10
+            for i in range(10):
+                part = src.slice(i * step, step)
+                if part.num_rows:
+                    pq.write_table(part, os.path.join(land, f"events_{i:02d}.parquet"))
+            return n_base, base_keys
+        for i in range(10):
+            t = _col(src, "event_id", pa.array(eid + i * 10**12))
+            t = _col(t, "ts", pa.array(ts + i * shift_us).cast(ts_field))
+            if variant == "10x_keys":
+                t = _col(t, "user_id", pa.array(uid + i * 10**9))
+            pq.write_table(t, os.path.join(land, f"events_{i:02d}.parquet"))
+        return 10 * n_base, (10 if variant == "10x_keys" else 1) * base_keys
+
+    queries = ("streaming_stateful_totals", "streaming_sessionize_state")
+    out: dict = {}
+    for variant in ("1x", "10x_rows", "10x_keys"):
+        land = tempfile.mkdtemp(prefix=f"scale_probe_state_{variant}_")
+        try:
+            n_rows, n_keys = build(land, variant)
+            per: dict = {"rows": n_rows, "keys": n_keys}
+            ksrc.EVENTS_MAX_FILES_PER_TRIGGER = 1
+            try:
+                for qname in queries:
+                    walls, trigs = [], []
+                    for _ in range(reps):
+                        mb.PROGRESS_LOG = []
+                        t0 = time.perf_counter()
+                        REGISTRY[qname].fn(spark, land).count()
+                        walls.append(time.perf_counter() - t0)
+                        trigs.append(
+                            [p for p in mb.PROGRESS_LOG if "batchDuration" in p]
+                        )
+                        mb.PROGRESS_LOG = None
+                    b = min(range(len(walls)), key=walls.__getitem__)
+                    durs = [int(p["batchDuration"]) for p in trigs[b]]
+                    per[qname] = {
+                        "wall_sec": round(walls[b], 3),
+                        "rows_per_sec": round(n_rows / walls[b], 1),
+                        "triggers": len(durs),
+                        "avg_trigger_ms": round(sum(durs) / len(durs), 1)
+                        if durs else None,
+                        "max_trigger_ms": max(durs) if durs else None,
+                    }
+            finally:
+                ksrc.EVENTS_MAX_FILES_PER_TRIGGER = None
+            out[variant] = per
+        finally:
+            shutil.rmtree(land, ignore_errors=True)
+    out["ratio_10x_rows"] = {
+        q: round(out["10x_rows"][q]["wall_sec"] / out["1x"][q]["wall_sec"], 2)
+        for q in queries
+    }
+    out["ratio_10x_keys"] = {
+        q: round(out["10x_keys"][q]["wall_sec"] / out["1x"][q]["wall_sec"], 2)
+        for q in queries
+    }
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", default="32")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated probe names (avro_roundtrip,"
+                    "events_replay,minhash_lsh,tpch_joins,"
+                    "stateful_streaming): run just these")
     args = ap.parse_args()
 
     from datafusion_streams_spark import get_session
@@ -275,12 +399,25 @@ def main() -> int:
     spark.range(0, 64, 1, 8).count()
     spark.range(0, 8, 1, 8).mapInPandas(lambda it: it, "id long").count()
 
+    probes = {
+        "avro_roundtrip": lambda: probe_avro_roundtrip(spark, args.reps),
+        "events_replay": lambda: probe_events_replay(spark, args.sf_dir, args.reps),
+        "minhash_lsh": lambda: probe_minhash_scaleup(spark, args.sf_dir, args.reps),
+        "tpch_joins": lambda: probe_tpch_joins(spark, args.sf_dir, args.reps),
+        "stateful_streaming": lambda: probe_stateful_streaming(
+            spark, args.sf_dir, args.reps),
+    }
+    wanted = (
+        [n.strip() for n in args.only.split(",") if n.strip()]
+        if args.only else list(probes)
+    )
+    unknown = [n for n in wanted if n not in probes]
+    if unknown:
+        print(f"unknown probes: {unknown}")
+        return 2
     result = {
         "probe": "scale_up_ratios",
-        "avro_roundtrip": probe_avro_roundtrip(spark, args.reps),
-        "events_replay": probe_events_replay(spark, args.sf_dir, args.reps),
-        "minhash_lsh": probe_minhash_scaleup(spark, args.sf_dir, args.reps),
-        "tpch_joins": probe_tpch_joins(spark, args.sf_dir, args.reps),
+        **{n: probes[n]() for n in wanted},
         "sf_dir": args.sf_dir,
         "cpus": args.cpus,
         "reps": args.reps,
