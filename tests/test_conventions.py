@@ -139,3 +139,48 @@ def test_reuse_audit_fingerprints_catch_the_q15_class():
     ])
     (fp,) = exchange_fingerprints(plan_sib)
     assert "Sort" not in fp, fp
+
+
+def test_reuse_audit_fingerprints_r11_blind_spots():
+    """r10 ADVICE closed two audit blind spots; pin both on synthetic
+    plans: (a) subtree walk is uncapped — two DIFFERENT exchanges that
+    share a >40-line prefix must NOT compare equal (the old fixed cap
+    truncated them identical); (b) RoundRobinPartitioning exchanges
+    (repartition(n) / catalog.spread) are fingerprinted like the other
+    three kinds."""
+    import sys
+
+    sys.path.insert(0, str(PKG.parents[0] / "tools"))
+    from collections import Counter
+
+    from reuse_audit import exchange_fingerprints
+
+    # (a) two exchanges identical through 45 lines, diverging at the
+    # leaf: with the old min(i+40) cap both fingerprints truncated at
+    # the shared prefix and false-flagged as duplicates
+    def deep(leaf: str) -> list[str]:
+        lines = ["Exchange hashpartitioning(k#1, 8), ENSURE_REQUIREMENTS, [plan_id=1]"]
+        for d in range(1, 45):
+            lines.append("   " * d + f"+- *(1) Project [k#{d}]")
+        lines.append("   " * 45 + f"+- FileScan parquet [{leaf}]")
+        return lines
+
+    plan = "\n".join(deep("k#1,v#2") + deep("OTHER#3"))
+    counts = Counter(exchange_fingerprints(plan))
+    assert len(counts) == 2, "uncapped walk must distinguish deep leaves"
+    assert all(n == 1 for n in counts.values()), counts
+
+    # identical deep subtrees still flag (the walk reaches the leaf)
+    plan_same = "\n".join(deep("k#1,v#2") + deep("k#9,v#8"))
+    counts = Counter(exchange_fingerprints(plan_same))
+    assert sum(n - 1 for n in counts.values() if n > 1) == 1, counts
+
+    # (b) duplicated round-robin repartition of the same subtree flags
+    plan_rr = "\n".join([
+        ":- Exchange RoundRobinPartitioning(32), REPARTITION_BY_NUM, [plan_id=3]",
+        ":  +- FileScan parquet [k#1]",
+        "+- Exchange RoundRobinPartitioning(32), REPARTITION_BY_NUM, [plan_id=4]",
+        "   +- FileScan parquet [k#7]",
+    ])
+    counts = Counter(exchange_fingerprints(plan_rr))
+    assert sum(n - 1 for n in counts.values() if n > 1) == 1, counts

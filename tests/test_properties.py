@@ -1119,3 +1119,47 @@ def test_round6_domain_guard_raises_both_engines(spark):
         with pytest.raises(duckdb.Error, match="round6 domain overflow"):
             con.execute(f"SELECT {sql} FROM bad_t").fetchdf()
     con.close()
+
+
+def test_events_stream_trigger_knob_preserves_registered_results(spark, tmp_path):
+    """r11: sources.kafka.EVENTS_MAX_FILES_PER_TRIGGER is the scale
+    probe's opt-in micro-batch splitter. Contract: setting it changes
+    HOW the registered stateful queries are batched, never WHAT they
+    return — the same events replayed as one drain (knob unset, one
+    trigger) and as one-trigger-per-file (knob=1 over a 3-file
+    landing) must produce identical finals from the REGISTERED
+    streaming_stateful_totals. Also pins that the knob resets cleanly
+    (module default None)."""
+    import pyarrow.parquet as pq
+
+    from datafusion_streams_spark.operators import REGISTRY
+    from datafusion_streams_spark.sources import kafka as ksrc
+    from datafusion_streams_spark.streaming import microbatch as mb
+
+    assert ksrc.EVENTS_MAX_FILES_PER_TRIGGER is None  # module default
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    land = tmp_path / "land"
+    land.mkdir()
+    step = (src.num_rows + 2) // 3
+    for i in range(3):
+        part = src.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, str(land / f"events_{i:02d}.parquet"))
+
+    def run(knob):
+        ksrc.EVENTS_MAX_FILES_PER_TRIGGER = knob
+        mb.PROGRESS_LOG = []
+        try:
+            rows = REGISTRY["streaming_stateful_totals"].fn(spark, str(land)).collect()
+            triggers = [p for p in mb.PROGRESS_LOG if "batchDuration" in p]
+        finally:
+            ksrc.EVENTS_MAX_FILES_PER_TRIGGER = None
+            mb.PROGRESS_LOG = None
+        return {r.user_id: (r.n_events, r.total_cents) for r in rows}, len(triggers)
+
+    whole, t_whole = run(None)
+    split, t_split = run(1)
+    assert whole == split
+    assert t_whole == 1, t_whole   # unset: AvailableNow drains all files at once
+    assert t_split == 3, t_split   # knob=1: one trigger per file
