@@ -46,22 +46,22 @@ def test_registry_complete():
     assert set(o) <= set(q)
 
 
-def test_verified_prefix_is_the_r10_rotation():
+def test_verified_prefix_is_the_r11_rotation():
     """The driver hard-verifies only the first 50 registry slots. The
-    round-10 window (round-9 verdict item #1, executing the plan r9
-    wrote) leads with the two r10 rewrites (q15/q22 broadcast-total
-    idiom), then drains the LAST 13 r3-stale driver rows, then fills
-    with the alphabetical head of the r4 tail — after CORRECTNESS_r10
-    lands, no driver row anywhere predates r4 and the cadence is
-    steady-state changed-first + oldest-green fill."""
+    round-11 window (r10 verdict item #1) leads with the two queries
+    r11 changed (the structural round6 domain guard rewrote their
+    Spark exprs AND oracle SQL), then the last 3 r4 rows, all 35 r5
+    rows, and 10 oldest r6 rows — after CORRECTNESS_r11 lands, no
+    driver row anywhere predates r6, holding the ~6-round full-refresh
+    cadence documented in COVERAGE.md."""
     import json
     import os
 
-    from datafusion_streams_spark.operators import ROTATED_IN_R10, VERIFIED_FIRST
+    from datafusion_streams_spark.operators import ROTATED_IN_R11, VERIFIED_FIRST
 
     names = list(REGISTRY)
     assert len(VERIFIED_FIRST) == 50
-    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R10)
+    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R11)
 
     window = names[:50]
     # r9 milestone, held: NOTHING in the registry is rows-only —
@@ -69,12 +69,12 @@ def test_verified_prefix_is_the_r10_rotation():
     rows_only = [n for n in REGISTRY if REGISTRY[n].oracle is None]
     assert rows_only == [], rows_only
 
-    # changed-first discipline: the queries r10 touched lead the window
-    assert window[:2] == ["q15_top_supplier", "q22_sales_opportunity"]
+    # changed-first discipline: the queries r11 touched lead the window
+    assert window[:2] == ["events_forecast_backtest", "embedding_dim_stats"]
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_green: dict = {}
-    for rnd in range(1, 10):
+    for rnd in range(1, 11):
         f = os.path.join(repo, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(f):
             for name, row in json.load(open(f)).items():
@@ -85,9 +85,9 @@ def test_verified_prefix_is_the_r10_rotation():
         # hash-never-green any more
         never_hash = set(REGISTRY) - set(last_green)
         assert never_hash == set(), sorted(never_hash)
-        # the final r3-stale drain: every row whose last driver green
-        # predates r4 must sit inside this window
-        stale = [n for n, r in last_green.items() if r <= 3 and n in REGISTRY]
+        # the r4+r5 drain: every row whose last driver green predates
+        # r6 must sit inside this window
+        stale = [n for n, r in last_green.items() if r <= 5 and n in REGISTRY]
         assert set(stale) <= set(window), sorted(set(stale) - set(window))
 
 

@@ -379,6 +379,93 @@ def probe_stateful_streaming(spark, sf_dir: str, reps: int) -> dict:
     return out
 
 
+def probe_ann_scaleup(spark, sf_dir: str, reps: int) -> dict:
+    """ANN / embedding-similarity scale-up (r11): after the r10/r11
+    probes, ANN + clustering was the one remaining family whose 100 TB
+    posture rested on plan reading. Runs the REGISTERED queries over
+    scaled embedding corpora:
+
+      - ann_topk_bruteforce  (exact linear baseline: broadcast queries
+        x corpus scan, fixed query set vec_id < 10)
+      - ann_ivf_pq           (FAISS IVFADC shape: fused map-only
+        encode + probe-mask + ADC scan)
+      - ann_lsh_bucketed     (sign-LSH banded buckets; bits grow
+        log2(n/base) to hold candidates ~linear)
+
+    Corpus copies are DIMENSION-ROTATED (np.roll of each vector by the
+    copy index) with offset vec_ids: rotation preserves norms and
+    within-copy geometry exactly while cross-copy cosines stay far
+    below the pair threshold — identical copies would be adversarial
+    for the pair-finding queries (every vector gaining k-1 planted
+    twins makes bucket pairs grow quadratically in k, measuring dup
+    structure, not corpus growth — the minhash probe's lesson).
+    Queries stay the 10 originals (copies get vec_id >= 10^7), so the
+    ratios isolate corpus growth under a fixed query set.
+
+    cluster_kmeans_embeddings (SemDeDup's Lloyd core) runs at 1x/4x
+    only: its cluster count grows with the corpus BY DESIGN (fixed
+    ~64-vector target cells), so assign work is O(n*k) ~ (n/64)^2 —
+    the honest expectation is ~16x work at 4x corpus, and the 100 TB
+    path shards by IVF cell before clustering (clustering.py
+    docstrings). The ANN trio is the linear-scan claim; kmeans is the
+    documented-superlinear claim."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_streams_spark.operators import REGISTRY
+
+    src = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    vec_id = src.column("vec_id").to_numpy()
+    emb = np.array(src.column("embedding").to_pylist(), dtype=np.float32)
+    label = src.column("label").to_numpy()
+
+    def build(land: str, copies: int) -> int:
+        out_dir = os.path.join(land, "embeddings.parquet")
+        os.makedirs(out_dir)
+        for i in range(copies):
+            t = pa.table({
+                "vec_id": pa.array(vec_id + i * 10**7),
+                "embedding": pa.array(list(np.roll(emb, i, axis=1))),
+                "label": pa.array(label),
+            })
+            pq.write_table(t, os.path.join(out_dir, f"part-{i:02d}.parquet"))
+        return copies * src.num_rows
+
+    ann = ("ann_topk_bruteforce", "ann_ivf_pq", "ann_lsh_bucketed")
+    out: dict = {}
+    for copies in (1, 4, 16):
+        land = tempfile.mkdtemp(prefix=f"scale_probe_ann_{copies}x_")
+        try:
+            n_rows = build(land, copies)
+            per: dict = {"rows": n_rows}
+            names = ann if copies == 16 else ann + ("cluster_kmeans_embeddings",)
+            if copies == 1:
+                # discard pass: per-query plan compile / Arrow worker
+                # warmup otherwise lands entirely in the 1x timings and
+                # deflates every ratio
+                for qname in names:
+                    REGISTRY[qname].fn(spark, land).count()
+            for qname in names:
+                per[qname] = {
+                    "wall_sec": round(_min_of(
+                        reps, lambda q=qname: REGISTRY[q].fn(spark, land).count()
+                    ), 3),
+                }
+            out[f"{copies}x"] = per
+        finally:
+            shutil.rmtree(land, ignore_errors=True)
+    out["ratio_16x_ann"] = {
+        q: round(out["16x"][q]["wall_sec"] / out["1x"][q]["wall_sec"], 2)
+        for q in ann
+    }
+    out["ratio_4x_kmeans"] = round(
+        out["4x"]["cluster_kmeans_embeddings"]["wall_sec"]
+        / out["1x"]["cluster_kmeans_embeddings"]["wall_sec"], 2,
+    )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -388,7 +475,7 @@ def main() -> int:
     ap.add_argument("--only", default=None,
                     help="comma-separated probe names (avro_roundtrip,"
                     "events_replay,minhash_lsh,tpch_joins,"
-                    "stateful_streaming): run just these")
+                    "stateful_streaming,ann_scaleup): run just these")
     args = ap.parse_args()
 
     from datafusion_streams_spark import get_session
@@ -406,6 +493,7 @@ def main() -> int:
         "tpch_joins": lambda: probe_tpch_joins(spark, args.sf_dir, args.reps),
         "stateful_streaming": lambda: probe_stateful_streaming(
             spark, args.sf_dir, args.reps),
+        "ann_scaleup": lambda: probe_ann_scaleup(spark, args.sf_dir, args.reps),
     }
     wanted = (
         [n.strip() for n in args.only.split(",") if n.strip()]
