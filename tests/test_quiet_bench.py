@@ -22,13 +22,20 @@ def _fake_line(end_load1: float) -> str:
     })
 
 
-def _setup(monkeypatch, tmp_path, end_loads, start_quiet=True):
+def _setup(monkeypatch, tmp_path, ambient_loads, start_quiet=True):
+    """ambient_loads: the post-cool-down 1-min loadavg samples the gate
+    sees, one per attempt. The in-run end load in the fake line is
+    always HIGH (7.9) — it is the bench's own load and must not be
+    what the gate reads (the r11 lesson: r10's quiet run 'ended at
+    7.36' because load1 at run end is self-load)."""
     (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps({"queries": {}}))
     monkeypatch.setattr(quiet_bench, "REPO", str(tmp_path))
     monkeypatch.setattr(quiet_bench, "wait_quiet", lambda *a, **k: start_quiet)
-    calls = iter(end_loads)
+    monkeypatch.setattr(quiet_bench, "run_bench", lambda: (_fake_line(7.9), ""))
+    monkeypatch.setattr(quiet_bench.time, "sleep", lambda s: None)
+    calls = iter(ambient_loads)
     monkeypatch.setattr(
-        quiet_bench, "run_bench", lambda: (_fake_line(next(calls)), "")
+        quiet_bench.os, "getloadavg", lambda: (next(calls), 0.0, 0.0)
     )
 
 
@@ -39,6 +46,7 @@ def test_quiet_run_accepted_first_try(monkeypatch, tmp_path, capsys):
     out = json.loads((tmp_path / "BENCH_QUIET_r11.json").read_text())
     assert out["quiet_gate"] == {
         "gate_load1": 1.5, "gate_met": True, "attempts": 1,
+        "ambient_after_cooldown": 0.8, "cooldown_sec": 180,
     }
     assert out["printed_line"]["value"] == 65.4
     assert out["detail"] == {"queries": {}}

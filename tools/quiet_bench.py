@@ -10,9 +10,16 @@ load-CONTROLLED:
   1. wait until the 1-minute loadavg drops below --gate (default 1.5),
      polling every 30 s up to --max-wait-sec;
   2. run ``python bench.py`` exactly as the driver does;
-  3. read the printed line's own ``load`` field: if the END 1-minute
-     load breached the gate, the run was contaminated mid-flight —
-     retry (up to --retries);
+  3. cool down for --cooldown-sec (default 180 s) and sample the
+     1-minute loadavg AGAIN: the bench's OWN work dominates load1 at
+     run end (r10's quiet run "ended at 7.36" — that was self-load,
+     so gating on the raw end sample can never pass), but self-load
+     decays with the ~1-minute time constant (e^-3 ~ 5% after 180 s)
+     while an external hog that contaminated the run is typically
+     still there. If the post-cool-down ambient breaches the gate,
+     retry (up to --retries). The raw in-run end load stays recorded
+     in the line's ``load`` field for forensics; the worst warm-rep
+     ``spread`` field covers hogs that stopped mid-run;
   4. persist the accepted run under VERSIONED names so the driver's
      own (possibly loaded) run overwriting BENCH_DETAIL.json never
      erases the quiet truth: BENCH_QUIET_r{N}.json (full detail +
@@ -71,9 +78,13 @@ def main() -> int:
                     help="1-minute loadavg the run must start AND end under")
     ap.add_argument("--retries", type=int, default=2)
     ap.add_argument("--max-wait-sec", type=int, default=1200)
+    ap.add_argument("--cooldown-sec", type=int, default=180,
+                    help="idle seconds before sampling post-run ambient "
+                    "load (lets the bench's own load1 contribution "
+                    "decay to ~5%)")
     args = ap.parse_args()
 
-    attempt, line, gate_met = 0, None, False
+    attempt, line, gate_met, ambient_after = 0, None, False, None
     while attempt <= args.retries:
         attempt += 1
         started_quiet = wait_quiet(args.gate, args.max_wait_sec)
@@ -82,12 +93,12 @@ def main() -> int:
             print(f"attempt {attempt}: bench printed no JSON line",
                   file=sys.stderr)
             continue
-        obj = json.loads(line)
-        load = obj.get("load") or []
-        end1 = load[3] if len(load) >= 4 else None
-        gate_met = bool(started_quiet and end1 is not None and end1 < args.gate)
+        time.sleep(args.cooldown_sec)
+        ambient_after = round(os.getloadavg()[0], 2)
+        gate_met = bool(started_quiet and ambient_after < args.gate)
         print(f"attempt {attempt}: start_quiet={started_quiet} "
-              f"end_load1={end1} gate_met={gate_met}", file=sys.stderr)
+              f"ambient_after_cooldown={ambient_after} gate_met={gate_met}",
+              file=sys.stderr)
         if gate_met:
             break
 
@@ -103,6 +114,8 @@ def main() -> int:
             "gate_load1": args.gate,
             "gate_met": gate_met,
             "attempts": attempt,
+            "ambient_after_cooldown": ambient_after,
+            "cooldown_sec": args.cooldown_sec,
         },
         "printed_line": json.loads(line),
         "detail": detail,
