@@ -747,6 +747,12 @@ ROTATED_IN_R11: tuple[str, ...] = (
     "events_hysteresis_alerts",
 )
 
+# r12 window plan (steady state, COVERAGE.md cadence): lead with
+# anything r12 changes, then the 31 remaining r6 rows (the whole
+# tail), then oldest-green fill from the alphabetical head of the 42
+# r7 rows (agg_boolean_battery, agg_grouping_id, agg_mode_tiebreak,
+# ...). After r12 lands, no driver row predates r7 and the 6-round
+# refresh period holds exactly.
 VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R11
 
 
