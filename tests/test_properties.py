@@ -1163,3 +1163,65 @@ def test_events_stream_trigger_knob_preserves_registered_results(spark, tmp_path
     assert whole == split
     assert t_whole == 1, t_whole   # unset: AvailableNow drains all files at once
     assert t_split == 3, t_split   # knob=1: one trigger per file
+
+
+def test_round6_domain_guard_boundary_exact_both_engines(spark):
+    """The structural round6 guard must cut at EXACTLY |numer| =
+    denom * 9e9 in both engines — one engine guarding at <= and the
+    other at < (or either comparing in a lossy type) would silently
+    diverge on the boundary row. For denominators spanning six orders
+    of magnitude (including non-round and 2^a*5^b values), n = d*9e9
+    must round-trip with identical micros in BOTH engines and
+    n = d*9e9 + 1 must RAISE in both."""
+    import duckdb
+    import pandas as pd
+    import pytest
+    from pyspark.sql.utils import CapturedException
+
+    from datafusion_streams_spark.functions import (
+        round6_micro,
+        sql_round6_micro,
+    )
+
+    BOUND = 9_000_000_000
+    dens = [1, 3, 7, 80, 997, 16000, 10**6, 123_456_789, 10**9]
+    ok = pd.DataFrame(
+        [(d * BOUND, d) for d in dens] + [(-d * BOUND, d) for d in dens],
+        columns=["n", "d"],
+    )
+    bad = pd.DataFrame(
+        [(d * BOUND + 1, d) for d in dens] + [(-(d * BOUND) - 1, d) for d in dens],
+        columns=["n", "d"],
+    )
+    numer, denom = "CAST(n AS {W})", "CAST(d AS {W})"
+
+    got = (
+        spark.createDataFrame(ok)
+        .select("n", "d", round6_micro(numer, denom).alias("u"))
+        .toPandas()
+        .set_index(["n", "d"])["u"]
+    )
+    con = duckdb.connect()
+    con.register("ok_t", ok)
+    odf = con.execute(
+        f"SELECT n, d, {sql_round6_micro(numer, denom)} AS u FROM ok_t"
+    ).fetchdf().set_index(["n", "d"])["u"]
+    for (n, d) in got.index:
+        expect = (1 if n >= 0 else -1) * BOUND * 10**6
+        assert int(got[(n, d)]) == expect == int(odf[(n, d)]), (n, d)
+
+    # one row past the bound raises in BOTH engines, every denominator
+    for i in range(len(bad)):
+        row = bad.iloc[[i]]
+        with pytest.raises(CapturedException, match="round6 domain overflow"):
+            spark.createDataFrame(row).select(
+                round6_micro(numer, denom).alias("u")
+            ).collect()
+    con.register("bad_t", bad)
+    for i in range(len(bad)):
+        with pytest.raises(duckdb.Error, match="round6 domain overflow"):
+            con.execute(
+                f"SELECT {sql_round6_micro(numer, denom)} FROM "
+                f"(SELECT * FROM bad_t LIMIT 1 OFFSET {i})"
+            ).fetchdf()
+    con.close()
