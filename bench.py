@@ -143,8 +143,13 @@ HEADLINE = [
 # short-wall queries that ambient box load distorts hardest. They take
 # a third base rep (min-of-N only converges when N outlasts the noise);
 # every query additionally takes up to 2 extra reps while its two
-# fastest runs still disagree by >30% (the streaming replay's adaptive
-# rule, promoted to the per-query sweep in r8).
+# fastest runs still disagree by >15% (the streaming replay's adaptive
+# rule, promoted to the per-query sweep in r8; threshold tightened
+# 1.30 -> 1.15 in r12 — the quiet gate fixed run-level ambient, but
+# sub-30% per-query bounces like r11's 1.23x dedup_source_overlap sat
+# below the old trigger and survived into the round-over-round diff.
+# Per-query minima are NOT comparable across the r11/r12 boundary at
+# the ~1.1-1.3x granularity; totals are, since minima only tighten).
 HIGH_VARIANCE = {
     "join_bucketed",
     "dedup_rewrite_map",
@@ -158,7 +163,7 @@ HIGH_VARIANCE = {
     "ann_topk_bruteforce",
 }
 ADAPTIVE_EXTRA_REPS = 2
-ADAPTIVE_SPREAD = 1.30
+ADAPTIVE_SPREAD = 1.15
 
 
 def base_reps_for(name: str, reps: int) -> int:

@@ -747,13 +747,76 @@ ROTATED_IN_R11: tuple[str, ...] = (
     "events_hysteresis_alerts",
 )
 
-# r12 window plan (steady state, COVERAGE.md cadence): lead with
-# anything r12 changes, then the 31 remaining r6 rows (the whole
-# tail), then oldest-green fill from the alphabetical head of the 42
-# r7 rows (agg_boolean_battery, agg_grouping_id, agg_mode_tiebreak,
-# ...). After r12 lands, no driver row predates r7 and the 6-round
-# refresh period holds exactly.
-VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R11
+# r12 window (executes the plan the r11 verdict pinned): lead with the
+# 4 queries r12 changes — the connected-components fixpoint gained a
+# pointer-doubling step (dedup.min_label_components: O(log diameter)
+# rounds instead of O(diameter); same fixpoint, but the driver should
+# re-hash every label consumer first) — then the 31 remaining r6 rows
+# (the whole tail), then oldest-green fill from the alphabetical head
+# of the r7 rows. After this window lands green, no driver row
+# anywhere predates r7 and the 6-round refresh period (COVERAGE.md)
+# holds exactly.
+# Registry growth this round: 0 (freeze, round 8 of the discipline).
+ROTATED_IN_R12: tuple[str, ...] = (
+    # changed this round (4): pointer-doubling components fixpoint
+    "dedup_components",
+    "dedup_component_stats",
+    "dedup_rewrite_map",
+    "dedup_embedding_cosine",
+    # all 31 remaining r6 rows (alphabetical)
+    "events_inter_arrival",
+    "events_markov_transitions",
+    "events_new_vs_returning",
+    "events_pattern_match",
+    "events_peak_concurrency",
+    "events_rfm_segmentation",
+    "events_scd2_compress",
+    "events_seasonality",
+    "events_time_to_convert",
+    "events_value_trend",
+    "graph_pagerank_transitions",
+    "join_asof_forward",
+    "join_asof_nearest",
+    "join_asof_tolerance",
+    "join_interval_overlap",
+    "join_market_basket",
+    "join_point_in_time",
+    "sql_lateral_topk",
+    "text_code_detect",
+    "text_collocations_pmi",
+    "text_dataset_card",
+    "text_feature_hashing",
+    "text_line_dedup",
+    "text_readability",
+    "text_source_contrast",
+    "text_zipf_fit",
+    "timeseries_gap_fill",
+    "timeseries_ohlc_bars",
+    "timeseries_resample_interpolate",
+    "window_equidepth_buckets",
+    "window_moving_avg",
+    # oldest-green fill: alphabetical head of the r7 rows
+    "agg_boolean_battery",
+    "agg_grouping_id",
+    "agg_mode_tiebreak",
+    "agg_string_concat_ordered",
+    "ann_topk_bruteforce",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_sessionize",
+    "files_pysink_manifest",
+    "join_full_outer",
+    "join_null_safe",
+    "multimodal_bmp_decode",
+    "multimodal_frame_sample",
+)
+
+# r13 window plan (steady state): lead with anything r13 changes, then
+# the remaining r7 rows (multimodal_jpeg_decode onward, ~24), then
+# oldest-green fill from the alphabetical head of the r8 rows.
+VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R12
 
 
 def _prioritize() -> None:

@@ -533,10 +533,27 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_labels(spark, sf_dir)
 
 
+# rounds the last min_label_components call took to converge —
+# read-only observability for tools/scale_probe.py's chain-convergence
+# probe; never consulted by engine code.
+LAST_CONVERGENCE_ROUNDS: int = 0
+
+
 def min_label_components(pairs: DataFrame, id_col: str) -> DataFrame:
     """(id_col, canonical_id) — connected components over an undirected
-    pair graph via iterative min-label propagation (the Pregel/GraphX
-    idiom expressed in DataFrames).
+    pair graph via iterative min-label propagation with POINTER
+    DOUBLING (the Pregel/GraphX idiom plus the Shiloach-Vishkin /
+    pointer-jumping shortcut, expressed in DataFrames).
+
+    Each round does (1) edge propagation — every node takes the min of
+    its own and its neighbors' labels — then (2) doubling — label :=
+    label(label), one |V|-sized self-join. Propagation alone converges
+    in O(diameter) rounds, which is fine for the star-shaped clusters
+    near-dup graphs usually produce but degenerate for chain-shaped
+    ones (gradual-drift dup chains: A~B~C~... where ends never pair
+    directly); the doubling step cuts convergence to O(log diameter),
+    so a 1000-doc drift chain needs ~10 shuffle rounds, not ~1000
+    (measured: tools/scale_probe.py --only cc_chain, SCALE_NOTES.md).
 
     Each round REPLACES lineage with a localCheckpoint: without it the
     plan stacks join->union->groupBy per iteration and a long-diameter
@@ -544,12 +561,15 @@ def min_label_components(pairs: DataFrame, id_col: str) -> DataFrame:
     DAG. The superseded round's blocks are unpersisted eagerly so
     cached state stays O(|V|), not O(|V| * rounds).
     """
+    global LAST_CONVERGENCE_ROUNDS
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .cache()
     )
-    max_rounds = 64  # safety bound >> any real near-dup cluster diameter
+    # safety bound: with doubling, rounds ~ log2(diameter) + 2, so 64
+    # covers any graph that fits in an address space
+    max_rounds = 64
     cur = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -557,20 +577,36 @@ def min_label_components(pairs: DataFrame, id_col: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = None
-    for _ in range(max_rounds):
+    for rounds in range(1, max_rounds + 1):
         msgs = edges.join(cur, F.col("dst") == F.col("node")).select(
             F.col("src").alias("node"), "label"
         )
-        nxt = (
+        half = (
             msgs.union(cur.select("node", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer doubling: label := label(label). Every label IS a
+        # node id (labels are mins over node ids and every node is in
+        # the relation), and label(x) <= x, so the looked-up label can
+        # only improve; the left join + coalesce keeps the row intact
+        # either way.
+        lbl = half.select(
+            F.col("node").alias("lnode"), F.col("label").alias("llabel")
+        )
+        nxt = (
+            half.join(lbl, half["label"] == lbl["lnode"], "left")
+            .select(
+                "node",
+                F.coalesce("llabel", "label").alias("label"),
+            )
             .localCheckpoint()  # eager: materializes + truncates lineage
         )
         label_sum = nxt.agg(F.sum("label")).first()[0]
         cur.unpersist()
         cur = nxt
         if label_sum == prev_sum:
+            LAST_CONVERGENCE_ROUNDS = rounds
             break
         prev_sum = label_sum
     else:

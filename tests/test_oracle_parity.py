@@ -46,22 +46,23 @@ def test_registry_complete():
     assert set(o) <= set(q)
 
 
-def test_verified_prefix_is_the_r11_rotation():
+def test_verified_prefix_is_the_r12_rotation():
     """The driver hard-verifies only the first 50 registry slots. The
-    round-11 window (r10 verdict item #1) leads with the two queries
-    r11 changed (the structural round6 domain guard rewrote their
-    Spark exprs AND oracle SQL), then the last 3 r4 rows, all 35 r5
-    rows, and 10 oldest r6 rows — after CORRECTNESS_r11 lands, no
-    driver row anywhere predates r6, holding the ~6-round full-refresh
-    cadence documented in COVERAGE.md."""
+    round-12 window (r11 verdict item #1) leads with the four queries
+    r12 changed (the connected-components fixpoint gained a
+    pointer-doubling step — same fixpoint, re-hash every label
+    consumer first), then all 31 remaining r6 rows, then the
+    alphabetical head of the r7 rows — after CORRECTNESS_r12 lands,
+    no driver row anywhere predates r7, holding the ~6-round
+    full-refresh cadence documented in COVERAGE.md."""
     import json
     import os
 
-    from datafusion_streams_spark.operators import ROTATED_IN_R11, VERIFIED_FIRST
+    from datafusion_streams_spark.operators import ROTATED_IN_R12, VERIFIED_FIRST
 
     names = list(REGISTRY)
     assert len(VERIFIED_FIRST) == 50
-    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R11)
+    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R12)
 
     window = names[:50]
     # r9 milestone, held: NOTHING in the registry is rows-only —
@@ -69,12 +70,17 @@ def test_verified_prefix_is_the_r11_rotation():
     rows_only = [n for n in REGISTRY if REGISTRY[n].oracle is None]
     assert rows_only == [], rows_only
 
-    # changed-first discipline: the queries r11 touched lead the window
-    assert window[:2] == ["events_forecast_backtest", "embedding_dim_stats"]
+    # changed-first discipline: the queries r12 touched lead the window
+    assert window[:4] == [
+        "dedup_components",
+        "dedup_component_stats",
+        "dedup_rewrite_map",
+        "dedup_embedding_cosine",
+    ]
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_green: dict = {}
-    for rnd in range(1, 11):
+    for rnd in range(1, 12):
         f = os.path.join(repo, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(f):
             for name, row in json.load(open(f)).items():
@@ -85,9 +91,9 @@ def test_verified_prefix_is_the_r11_rotation():
         # hash-never-green any more
         never_hash = set(REGISTRY) - set(last_green)
         assert never_hash == set(), sorted(never_hash)
-        # the r4+r5 drain: every row whose last driver green predates
-        # r6 must sit inside this window
-        stale = [n for n, r in last_green.items() if r <= 5 and n in REGISTRY]
+        # the r6 drain: every row whose last driver green predates
+        # r7 must sit inside this window
+        stale = [n for n, r in last_green.items() if r <= 6 and n in REGISTRY]
         assert set(stale) <= set(window), sorted(set(stale) - set(window))
 
 

@@ -58,10 +58,20 @@ def wait_quiet(gate: float, max_wait_sec: int, poll_sec: int = 30) -> bool:
 
 def run_bench() -> tuple[str | None, str]:
     """Run bench.py; return (last JSON line or None, full stdout tail)."""
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, timeout=3600, cwd=REPO,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, timeout=3600, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired as exc:
+        # A hung bench must not crash the wrapper: report no-line so the
+        # retry loop keeps any earlier valid line and, failing that,
+        # main() persists an honest gate_met=false entry.
+        tail = (exc.stdout or b"")
+        if isinstance(tail, bytes):
+            tail = tail.decode("utf-8", "replace")
+        print("bench.py timed out after 3600 s", file=sys.stderr)
+        return None, tail[-2000:]
     line = None
     for ln in reversed(proc.stdout.splitlines()):
         ln = ln.strip()
@@ -88,8 +98,12 @@ def main() -> int:
     while attempt <= args.retries:
         attempt += 1
         started_quiet = wait_quiet(args.gate, args.max_wait_sec)
-        line, _tail = run_bench()
-        if line is None:
+        # Keep the last non-None line: a retry whose run prints no JSON
+        # must not erase an earlier attempt's valid (possibly
+        # gate-passing) measurement.
+        new_line, _tail = run_bench()
+        line = new_line or line
+        if new_line is None:
             print(f"attempt {attempt}: bench printed no JSON line",
                   file=sys.stderr)
             continue

@@ -15,10 +15,20 @@ scale claims at HEAD instead of carrying them as historical notes.
      relational envelope's 100 TB posture as a measured ratio instead
      of plan reading alone (added r10).
   E) stateful streaming (applyInPandasWithState: running totals +
-     sessionization) at 1x / 10x rows / 10x keys, 10 micro-batches
-     each, with per-trigger latency from StreamingQueryProgress —
-     the state-carry and state-store-size axes measured instead of
-     design-read (added r11; r10 verdict item 3).
+     sessionization) at 1x / 10x rows / 10x keys / 100x rows (10
+     copies per file, so volume grows past the per-trigger setup
+     floor), 10 micro-batches each, with per-trigger latency from
+     StreamingQueryProgress — the state-carry and state-store-size
+     axes measured instead of design-read (added r11; 100x r12);
+  F) ANN / embedding similarity at 1x / 4x / 16x corpus (added r11);
+  G) planted hot-key skew at 10x volume: salted join vs its unsalted
+     twin (AQE skew split on AND off) plus stateful sessionization
+     under a user owning ~50% of events (added r12; r11 verdict
+     item 3);
+  H) connected-components convergence on chain-shaped (adversarial-
+     diameter) clusters: rounds + wall at 8x edges and 8x diameter —
+     the pointer-doubling O(log d) claim measured (added r12; r11
+     verdict item 6).
 
 Both claims say the same thing: fixed per-job cost dominates at
 fixture scale and the marginal per-row cost is flat, so the pipelines
@@ -287,12 +297,25 @@ def probe_stateful_streaming(spark, sf_dir: str, reps: int) -> dict:
       - 10x_keys:  10 full copies with DISJOINT key offsets (and the
                    same time shift) — 10x state-store entries, each
                    key's state created and retired within one trigger
-                   (the store-size axis).
+                   (the store-size axis);
+      - 100x_rows: (r12) 100 time-shifted full copies, SAME keyspace,
+                   packed 10 copies per file so the trigger count stays
+                   10 but each trigger carries 10x the 10x_rows volume
+                   — past the per-trigger setup floor the 10x points
+                   sit on (r11: 0.97-1.22x ratios measured the floor,
+                   not the state path). Copies are concatenated in
+                   shift order inside each file, so per-user arrival
+                   stays monotone within and across triggers and state
+                   is carried through all 10. Runs 1 rep (the landing
+                   itself is the dominant cost; min-of-N matters at
+                   the floor, not at 100x).
 
     State is O(active keys), not O(rows) — a flat-ish wall ratio on
-    10x_rows and a mild one on 10x_keys is the claim; per-trigger
-    latency shows where micro-batch overhead sits. Paste the JSON into
-    SCALE_NOTES.md."""
+    10x_rows and a mild one on 10x_keys is the claim; 100x_rows is the
+    volume claim (wall should grow ~linearly with rows while
+    rows/sec holds or improves as per-trigger setup amortizes);
+    per-trigger latency shows where micro-batch overhead sits. Paste
+    the JSON into SCALE_NOTES.md."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -305,17 +328,29 @@ def probe_stateful_streaming(spark, sf_dir: str, reps: int) -> dict:
     n_base = src.num_rows
     uid = src.column("user_id").to_numpy()
     eid = src.column("event_id").to_numpy()
-    ts = src.column("ts").cast(pa.int64()).to_numpy()  # micros
+    ts = src.column("ts").cast(pa.int64()).to_numpy()
     base_keys = int(np.unique(uid).size)
-    gap_us = 30 * 60 * 1_000_000
-    shift_us = int(ts.max() - ts.min()) + 2 * gap_us
+    # The fixture ts unit DRIFTS between rounds (NANOS in r1/r2, MICROS
+    # since r3 — CLAUDE.md): read the unit from the arrow schema, as
+    # catalog.load_events does from the footer, so the 30-min session
+    # gap and the copy time-shift stay 30 minutes in EVERY unit. A raw
+    # micros constant against a nanos fixture would shrink the gap to
+    # 1.8 ms and silently merge sessions across copies.
+    ts_field = src.schema.field("ts").type
+    unit = getattr(ts_field, "unit", None)
+    ticks_per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}.get(unit)
+    if ticks_per_sec is None:
+        raise RuntimeError(
+            f"events.parquet ts has unexpected type {ts_field!r}; expected "
+            "a parquet timestamp (see catalog.load_events)"
+        )
+    gap_ticks = 30 * 60 * ticks_per_sec
+    shift_ticks = int(ts.max() - ts.min()) + 2 * gap_ticks
 
     def _col(tbl, name, arr):
         return tbl.set_column(
             tbl.schema.get_field_index(name), name, arr
         )
-
-    ts_field = src.schema.field("ts").type
 
     def build(land: str, variant: str) -> tuple[int, int]:
         if variant == "1x":
@@ -325,9 +360,25 @@ def probe_stateful_streaming(spark, sf_dir: str, reps: int) -> dict:
                 if part.num_rows:
                     pq.write_table(part, os.path.join(land, f"events_{i:02d}.parquet"))
             return n_base, base_keys
+        if variant == "100x_rows":
+            for f in range(10):
+                parts = []
+                for j in range(10):
+                    i = f * 10 + j
+                    t = _col(src, "event_id", pa.array(eid + i * 10**12))
+                    t = _col(
+                        t, "ts",
+                        pa.array(ts + i * shift_ticks).cast(ts_field),
+                    )
+                    parts.append(t)
+                pq.write_table(
+                    pa.concat_tables(parts),
+                    os.path.join(land, f"events_{f:02d}.parquet"),
+                )
+            return 100 * n_base, base_keys
         for i in range(10):
             t = _col(src, "event_id", pa.array(eid + i * 10**12))
-            t = _col(t, "ts", pa.array(ts + i * shift_us).cast(ts_field))
+            t = _col(t, "ts", pa.array(ts + i * shift_ticks).cast(ts_field))
             if variant == "10x_keys":
                 t = _col(t, "user_id", pa.array(uid + i * 10**9))
             pq.write_table(t, os.path.join(land, f"events_{i:02d}.parquet"))
@@ -335,8 +386,9 @@ def probe_stateful_streaming(spark, sf_dir: str, reps: int) -> dict:
 
     queries = ("streaming_stateful_totals", "streaming_sessionize_state")
     out: dict = {}
-    for variant in ("1x", "10x_rows", "10x_keys"):
+    for variant in ("1x", "10x_rows", "10x_keys", "100x_rows"):
         land = tempfile.mkdtemp(prefix=f"scale_probe_state_{variant}_")
+        variant_reps = 1 if variant == "100x_rows" else reps
         try:
             n_rows, n_keys = build(land, variant)
             per: dict = {"rows": n_rows, "keys": n_keys}
@@ -344,15 +396,21 @@ def probe_stateful_streaming(spark, sf_dir: str, reps: int) -> dict:
             try:
                 for qname in queries:
                     walls, trigs = [], []
-                    for _ in range(reps):
+                    for _ in range(variant_reps):
                         mb.PROGRESS_LOG = []
-                        t0 = time.perf_counter()
-                        REGISTRY[qname].fn(spark, land).count()
-                        walls.append(time.perf_counter() - t0)
-                        trigs.append(
-                            [p for p in mb.PROGRESS_LOG if "batchDuration" in p]
-                        )
-                        mb.PROGRESS_LOG = None
+                        try:
+                            t0 = time.perf_counter()
+                            REGISTRY[qname].fn(spark, land).count()
+                            walls.append(time.perf_counter() - t0)
+                            trigs.append(
+                                [p for p in mb.PROGRESS_LOG
+                                 if "batchDuration" in p]
+                            )
+                        finally:
+                            # an exception mid-rep must not leak a live
+                            # list into the module global (opt-in
+                            # hot-path-free contract)
+                            mb.PROGRESS_LOG = None
                     b = min(range(len(walls)), key=walls.__getitem__)
                     durs = [int(p["batchDuration"]) for p in trigs[b]]
                     per[qname] = {
@@ -374,6 +432,10 @@ def probe_stateful_streaming(spark, sf_dir: str, reps: int) -> dict:
     }
     out["ratio_10x_keys"] = {
         q: round(out["10x_keys"][q]["wall_sec"] / out["1x"][q]["wall_sec"], 2)
+        for q in queries
+    }
+    out["ratio_100x_rows"] = {
+        q: round(out["100x_rows"][q]["wall_sec"] / out["1x"][q]["wall_sec"], 2)
         for q in queries
     }
     return out
@@ -466,6 +528,200 @@ def probe_ann_scaleup(spark, sf_dir: str, reps: int) -> dict:
     return out
 
 
+def probe_skew_hotkey(spark, sf_dir: str, reps: int) -> dict:
+    """Planted hot-key skew (r12; r11 verdict item 3): every measured
+    scale-up so far used uniform or rotated data, but skew is the
+    classic 100 TB failure mode — this measures it, on both the batch
+    join axis and the stateful streaming axis, at 10x volume.
+
+    Landing: 10 time-shifted copies of events (the stateful probe's
+    monotone construction); the ``hot`` variant reassigns user_id :=
+    {hot key} on every even event_id, so ONE user owns ~50% of the 1M
+    rows (vs ~1/1500 uniform).
+
+    Batch join (join_salted_skew vs its unsalted twin, sort-merge
+    forced, same aggregation):
+      - salted:            the REGISTERED query — dim replicated x8,
+                           keys salted by event_id mod 8, hot key
+                           spread over 8 reducers;
+      - unsalted_aqe_skew: plain join, AQE runtime skew split ON
+                           (the session default) — Spark's own rescue;
+      - unsalted_no_skew:  plain join, spark.sql.adaptive.skewJoin
+                           OFF — the regime the salted idiom exists
+                           for (stats unavailable / skewed side feeds
+                           a stateful op).
+    The claim: under the planted hot key, salted ~ flat vs its uniform
+    wall while unsalted_no_skew degrades; AQE-on lands between.
+
+    Streaming (streaming_sessionize_state, 10 triggers): keyed state
+    CANNOT be salted without changing semantics, so the honest number
+    is the degradation factor — the hot user's half-batch lands in one
+    applyInPandasWithState group (one core per trigger), bounded by
+    the vectorized numpy sessionizer (one pass per group, not per
+    row). Paste the JSON into SCALE_NOTES.md."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from datafusion_streams_spark.catalog import load_events
+    from datafusion_streams_spark.functions import dsum
+    from datafusion_streams_spark.operators import REGISTRY
+    from datafusion_streams_spark.sources import kafka as ksrc
+
+    src = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    n_base = src.num_rows
+    uid = src.column("user_id").to_numpy()
+    eid = src.column("event_id").to_numpy()
+    ts = src.column("ts").cast(pa.int64()).to_numpy()
+    ts_field = src.schema.field("ts").type
+    unit = getattr(ts_field, "unit", None)
+    ticks_per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}.get(unit)
+    if ticks_per_sec is None:
+        raise RuntimeError(f"unexpected events ts type {ts_field!r}")
+    shift_ticks = int(ts.max() - ts.min()) + 2 * 30 * 60 * ticks_per_sec
+    hot_key = 7  # exists in customer (c_custkey covers the uid range)
+    hot_mask = (eid % 2) == 0
+
+    def _col(tbl, name, arr):
+        return tbl.set_column(tbl.schema.get_field_index(name), name, arr)
+
+    def build(land: str, variant: str) -> str:
+        """10 copies, written twice: land/events_NN.parquet files (one
+        streaming trigger each) and land/batch/events.parquet/ (the
+        batch-join table). The batch copy lives under batch/ so the
+        streaming source's events*.parquet glob can't match it and
+        double-read the rows."""
+        batch_sf = os.path.join(land, "batch")
+        batch_dir = os.path.join(batch_sf, "events.parquet")
+        os.makedirs(batch_dir)
+        u = np.where(hot_mask, hot_key, uid) if variant == "hot" else uid
+        for i in range(10):
+            t = _col(src, "event_id", pa.array(eid + i * 10**12))
+            t = _col(t, "ts", pa.array(ts + i * shift_ticks).cast(ts_field))
+            t = _col(t, "user_id", pa.array(u))
+            pq.write_table(t, os.path.join(batch_dir, f"part-{i:02d}.parquet"))
+            pq.write_table(t, os.path.join(land, f"events_{i:02d}.parquet"))
+        shutil.copy(os.path.join(sf_dir, "customer.parquet"),
+                    os.path.join(batch_sf, "customer.parquet"))
+        return batch_sf
+
+    def unsalted_twin(land: str) -> None:
+        ev = load_events(spark, land)
+        dim = spark.read.parquet(f"{land}/customer.parquet").select("c_custkey")
+        joined = ev.hint("shuffle_merge").join(
+            dim, ev["user_id"] == dim["c_custkey"]
+        )
+        joined.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            dsum("value").alias("total_value"),
+        ).count()
+
+    out: dict = {}
+    for variant in ("uniform", "hot"):
+        land = tempfile.mkdtemp(prefix=f"scale_probe_skew_{variant}_")
+        try:
+            batch_sf = build(land, variant)
+            per: dict = {"rows": 10 * n_base,
+                         "hot_share": 0.5 if variant == "hot" else None}
+            if variant == "uniform":
+                # discard pass (the ann probe's rule): plan compile,
+                # Arrow workers and MicroBatchExecution setup otherwise
+                # land entirely in the first-timed landing and invert
+                # every hot/uniform ratio
+                REGISTRY["join_salted_skew"].fn(spark, batch_sf).count()
+                unsalted_twin(batch_sf)
+                ksrc.EVENTS_MAX_FILES_PER_TRIGGER = 1
+                try:
+                    REGISTRY["streaming_sessionize_state"].fn(
+                        spark, land).count()
+                finally:
+                    ksrc.EVENTS_MAX_FILES_PER_TRIGGER = None
+            # batch join axis ------------------------------------------------
+            per["join_salted"] = round(_min_of(
+                reps,
+                lambda: REGISTRY["join_salted_skew"].fn(spark, batch_sf).count(),
+            ), 3)
+            per["join_unsalted_aqe_skew"] = round(
+                _min_of(reps, lambda: unsalted_twin(batch_sf)), 3)
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            try:
+                per["join_unsalted_no_skew"] = round(
+                    _min_of(reps, lambda: unsalted_twin(batch_sf)), 3)
+            finally:
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            # streaming stateful axis ---------------------------------------
+            ksrc.EVENTS_MAX_FILES_PER_TRIGGER = 1
+            try:
+                per["sessionize_state"] = round(_min_of(
+                    reps,
+                    lambda: REGISTRY["streaming_sessionize_state"]
+                    .fn(spark, land).count(),
+                ), 3)
+            finally:
+                ksrc.EVENTS_MAX_FILES_PER_TRIGGER = None
+            out[variant] = per
+        finally:
+            shutil.rmtree(land, ignore_errors=True)
+    out["hot_over_uniform"] = {
+        k: round(out["hot"][k] / out["uniform"][k], 2)
+        for k in ("join_salted", "join_unsalted_aqe_skew",
+                  "join_unsalted_no_skew", "sessionize_state")
+    }
+    return out
+
+
+def probe_cc_chain(spark, reps: int) -> dict:
+    """Connected-components convergence on adversarial (chain-shaped)
+    clusters (r12; r11 verdict item 6). Fixture dup clusters are
+    star-shaped (diameter ~2), so the iterative min-label propagation
+    had no measured worst-case point. Three planted graphs:
+
+      - chain64:     one 64-doc chain (diameter 63);
+      - chain64_x8:  eight disjoint 64-doc chains (8x edges, SAME
+                     diameter) — rounds must stay constant while
+                     per-round work grows;
+      - chain512:    one 512-doc chain (8x diameter) — rounds must
+                     grow ~log2 (pointer doubling), not linearly.
+
+    Before r12's pointer-doubling step (dedup.min_label_components),
+    chain512 needed ~511 rounds and would have blown the 64-round
+    safety bound; with doubling it converges in ~10. Rounds come from
+    dedup.LAST_CONVERGENCE_ROUNDS (observability counter)."""
+    from datafusion_streams_spark.operators import dedup
+
+    def chain_pairs(n_docs: int, n_chains: int):
+        rows = [
+            (c * 10_000 + i, c * 10_000 + i + 1)
+            for c in range(n_chains)
+            for i in range(n_docs - 1)
+        ]
+        return spark.createDataFrame(rows, "a_id long, b_id long")
+
+    out: dict = {}
+    for name, n_docs, n_chains in (
+        ("chain64", 64, 1), ("chain64_x8", 64, 8), ("chain512", 512, 1),
+    ):
+        pairs = chain_pairs(n_docs, n_chains)
+        walls, rounds = [], None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            got = dedup.min_label_components(pairs, "doc_id").count()
+            walls.append(time.perf_counter() - t0)
+            rounds = dedup.LAST_CONVERGENCE_ROUNDS
+            assert got == n_docs * n_chains
+        out[name] = {
+            "docs": n_docs * n_chains,
+            "diameter": n_docs - 1,
+            "rounds": rounds,
+            "wall_sec": round(min(walls), 3),
+        }
+    out["rounds_8x_edges"] = out["chain64_x8"]["rounds"] - out["chain64"]["rounds"]
+    out["rounds_8x_diameter"] = out["chain512"]["rounds"] - out["chain64"]["rounds"]
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -475,7 +731,8 @@ def main() -> int:
     ap.add_argument("--only", default=None,
                     help="comma-separated probe names (avro_roundtrip,"
                     "events_replay,minhash_lsh,tpch_joins,"
-                    "stateful_streaming,ann_scaleup): run just these")
+                    "stateful_streaming,ann_scaleup,skew_hotkey,"
+                    "cc_chain): run just these")
     args = ap.parse_args()
 
     from datafusion_streams_spark import get_session
@@ -494,6 +751,8 @@ def main() -> int:
         "stateful_streaming": lambda: probe_stateful_streaming(
             spark, args.sf_dir, args.reps),
         "ann_scaleup": lambda: probe_ann_scaleup(spark, args.sf_dir, args.reps),
+        "skew_hotkey": lambda: probe_skew_hotkey(spark, args.sf_dir, args.reps),
+        "cc_chain": lambda: probe_cc_chain(spark, args.reps),
     }
     wanted = (
         [n.strip() for n in args.only.split(",") if n.strip()]
