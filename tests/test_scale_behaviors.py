@@ -105,6 +105,26 @@ def test_quadratic_baseline_is_fenced(spark, monkeypatch):
         similarity.similarity_pairs(spark, SF_DIR_SMALL)
 
 
+def test_components_chain_converges_in_log_rounds(spark):
+    """Pointer doubling (r12): chain-shaped dup clusters (gradual-drift
+    chains, the adversarial diameter case) must converge in O(log d)
+    label rounds, not O(d) — a 64-node chain (diameter 63) within 8
+    rounds, and every node labeled with the chain minimum. Before r12
+    this took ~63 rounds and a 512-node chain blew the 64-round safety
+    bound."""
+    from datafusion_streams_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "a_id long, b_id long"
+    )
+    labels = {
+        r.doc_id: r.canonical_id
+        for r in dedup.min_label_components(pairs, "doc_id").collect()
+    }
+    assert labels == {i: 0 for i in range(64)}
+    assert dedup.LAST_CONVERGENCE_ROUNDS <= 8
+
+
 def test_pairs_vectorized_never_collects_corpus(spark):
     """The block-partitioned scorer must build its plan without any
     driver-side materialization of the embeddings table (round-1
