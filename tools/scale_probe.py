@@ -534,10 +534,13 @@ def probe_skew_hotkey(spark, sf_dir: str, reps: int) -> dict:
     classic 100 TB failure mode — this measures it, on both the batch
     join axis and the stateful streaming axis, at 10x volume.
 
-    Landing: 10 time-shifted copies of events (the stateful probe's
+    Landing: time-shifted copies of events (the stateful probe's
     monotone construction); the ``hot`` variant reassigns user_id :=
-    {hot key} on every even event_id, so ONE user owns ~50% of the 1M
-    rows (vs ~1/1500 uniform).
+    {hot key} on every even event_id, so ONE user owns ~50% of the
+    rows (vs ~1/1500 uniform). The batch-join table takes 50 copies
+    (5M rows at sf0.1 — at 10 copies the hot reducer's extra sort is
+    invisible under fixed costs, measured r12); the streaming landing
+    stays 10 copies = 10 triggers.
 
     Batch join (join_salted_skew vs its unsalted twin, sort-merge
     forced, same aggregation):
@@ -587,21 +590,22 @@ def probe_skew_hotkey(spark, sf_dir: str, reps: int) -> dict:
         return tbl.set_column(tbl.schema.get_field_index(name), name, arr)
 
     def build(land: str, variant: str) -> str:
-        """10 copies, written twice: land/events_NN.parquet files (one
-        streaming trigger each) and land/batch/events.parquet/ (the
-        batch-join table). The batch copy lives under batch/ so the
-        streaming source's events*.parquet glob can't match it and
-        double-read the rows."""
+        """land/events_NN.parquet files (10 streaming triggers) and
+        land/batch/events.parquet/ (the 50-copy batch-join table). The
+        batch copy lives under batch/ so the streaming source's
+        events*.parquet glob can't match it and double-read the
+        rows."""
         batch_sf = os.path.join(land, "batch")
         batch_dir = os.path.join(batch_sf, "events.parquet")
         os.makedirs(batch_dir)
         u = np.where(hot_mask, hot_key, uid) if variant == "hot" else uid
-        for i in range(10):
+        for i in range(50):
             t = _col(src, "event_id", pa.array(eid + i * 10**12))
             t = _col(t, "ts", pa.array(ts + i * shift_ticks).cast(ts_field))
             t = _col(t, "user_id", pa.array(u))
             pq.write_table(t, os.path.join(batch_dir, f"part-{i:02d}.parquet"))
-            pq.write_table(t, os.path.join(land, f"events_{i:02d}.parquet"))
+            if i < 10:
+                pq.write_table(t, os.path.join(land, f"events_{i:02d}.parquet"))
         shutil.copy(os.path.join(sf_dir, "customer.parquet"),
                     os.path.join(batch_sf, "customer.parquet"))
         return batch_sf
@@ -623,7 +627,8 @@ def probe_skew_hotkey(spark, sf_dir: str, reps: int) -> dict:
         land = tempfile.mkdtemp(prefix=f"scale_probe_skew_{variant}_")
         try:
             batch_sf = build(land, variant)
-            per: dict = {"rows": 10 * n_base,
+            per: dict = {"join_rows": 50 * n_base,
+                         "stream_rows": 10 * n_base,
                          "hot_share": 0.5 if variant == "hot" else None}
             if variant == "uniform":
                 # discard pass (the ann probe's rule): plan compile,
@@ -743,16 +748,21 @@ def main() -> int:
     spark.range(0, 64, 1, 8).count()
     spark.range(0, 8, 1, 8).mapInPandas(lambda it: it, "id long").count()
 
+    # dict order = execution order: the heavyweight streaming probes
+    # (stateful_streaming's 100x landing, skew_hotkey) run LAST —
+    # measured r12: ann timings taken right after the 10M-row
+    # sessionize drain read 8.26x at 16x in-suite vs 3.05x isolated
+    # (same HEAD), pure same-JVM memory/GC contamination
     probes = {
         "avro_roundtrip": lambda: probe_avro_roundtrip(spark, args.reps),
         "events_replay": lambda: probe_events_replay(spark, args.sf_dir, args.reps),
         "minhash_lsh": lambda: probe_minhash_scaleup(spark, args.sf_dir, args.reps),
         "tpch_joins": lambda: probe_tpch_joins(spark, args.sf_dir, args.reps),
+        "ann_scaleup": lambda: probe_ann_scaleup(spark, args.sf_dir, args.reps),
+        "cc_chain": lambda: probe_cc_chain(spark, args.reps),
         "stateful_streaming": lambda: probe_stateful_streaming(
             spark, args.sf_dir, args.reps),
-        "ann_scaleup": lambda: probe_ann_scaleup(spark, args.sf_dir, args.reps),
         "skew_hotkey": lambda: probe_skew_hotkey(spark, args.sf_dir, args.reps),
-        "cc_chain": lambda: probe_cc_chain(spark, args.reps),
     }
     wanted = (
         [n.strip() for n in args.only.split(",") if n.strip()]
