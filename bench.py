@@ -172,6 +172,24 @@ def base_reps_for(name: str, reps: int) -> int:
     return max(reps, 3) if name in HIGH_VARIANCE else reps
 
 
+def cpu_calibration() -> float:
+    """Single-core host-speed denominator (r12): seconds for a fixed
+    pure-Python workload, min-of-3. The load/spread fields adjudicate
+    COMPETING load, but rounds run on freshly provisioned VMs whose
+    per-core throughput itself varies (r12: an idle box ran identical
+    untouched queries ~1.5x slower than r11's idle box — nothing to
+    gate on, everything to normalize by). Totals divided by calib are
+    comparable across hosts; raw totals are not."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     spark = get_session(app_name="dfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -208,6 +226,7 @@ def main() -> None:
     # totals are only interpretable next to what else the machine was
     # doing (1/5/15-min load averages, 32 hardware threads)
     load_start = tuple(round(x, 2) for x in os.getloadavg())
+    calib = cpu_calibration()
     for name in HEADLINE:
         spec = REGISTRY[name]
         runs: list[float] = []
@@ -300,6 +319,7 @@ def main() -> None:
                 # field exists to close (r10 review)
                 "loadavg_start": load_start,
                 "loadavg_end": load_end,
+                "cpu_calibration_sec": calib,
             },
             f,
             indent=1,
@@ -314,6 +334,7 @@ def main() -> None:
             sf,
             load=[*load_start, *load_end],
             spread=worst_spread,
+            calib=calib,
         )
     )
 
@@ -321,7 +342,8 @@ def main() -> None:
 BUDGET = 1900  # driver captures only the LAST 2000 bytes of stdout
 
 
-def build_compact_line(total, timings, reps, streaming, sf, load=None, spread=None) -> str:
+def build_compact_line(total, timings, reps, streaming, sf, load=None,
+                       spread=None, calib=None) -> str:
     """Compact single line, truncation-proof: emit per-query timings in
     HEADLINE order until the serialized line would exceed the budget,
     then record how many were folded into the detail file. The BASE
@@ -350,6 +372,10 @@ def build_compact_line(total, timings, reps, streaming, sf, load=None, spread=No
         base["load"] = load
     if spread is not None:
         base["spread"] = spread
+    if calib is not None:
+        # single-core host-speed denominator (~10 bytes, never shed):
+        # raw totals are only cross-round comparable divided by this
+        base["calib"] = calib
     compact = lambda obj: json.dumps(obj, separators=(",", ":"))  # noqa: E731
     if len(compact(base)) > BUDGET:
         # base alone overflows (streaming detail grew): keep only the
@@ -388,6 +414,8 @@ def build_compact_line(total, timings, reps, streaming, sf, load=None, spread=No
             if spread is not None:
                 slim["spread"] = spread  # ~50 bytes: keep the never-shed
                 # base honest — load AND spread survive every shed tier
+            if calib is not None:
+                slim["calib"] = calib  # never shed either
             line = compact(slim)
     return line
 
