@@ -191,6 +191,11 @@ def cpu_calibration() -> float:
 
 
 def main() -> None:
+    # calibrate BEFORE the SparkSession exists: measured in-process
+    # right after session warmup the same workload read 0.194 s vs
+    # 0.107 s in a bare shell on the same idle box — JVM background
+    # threads (GC, codegen) pollute the host-speed denominator
+    calib = cpu_calibration()
     spark = get_session(app_name="dfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -226,7 +231,6 @@ def main() -> None:
     # totals are only interpretable next to what else the machine was
     # doing (1/5/15-min load averages, 32 hardware threads)
     load_start = tuple(round(x, 2) for x in os.getloadavg())
-    calib = cpu_calibration()
     for name in HEADLINE:
         spec = REGISTRY[name]
         runs: list[float] = []
