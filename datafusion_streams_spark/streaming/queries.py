@@ -574,10 +574,12 @@ def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature accumulation) — the reference has no stateful surface at
     all, so this is pure Spark upside.
 
-    Correctness under micro-batching: rows are sorted (ts, event_id)
-    within each batch; across batches the file source delivers
-    time-ordered files (its documented modification-time order), so
-    per-user arrival is monotone and the state machine's output is
+    Correctness under micro-batching: each batch's timestamps are
+    sorted per user (ts alone drives the session math — segment
+    counts/min/max are insensitive to the ordering of equal
+    timestamps); across batches the file source delivers time-ordered
+    files (its documented modification-time order), so per-user
+    arrival is monotone and the state machine's output is
     prefix-consistent. The final answer takes max_by(n_events) per
     (user, session) — completed sessions emit once, open-session
     snapshots are superseded monotonically, so the result equals the
@@ -586,11 +588,14 @@ def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state is four longs per ACTIVE user (closed sessions leave
     state immediately via emission), shuffles once on user_id per
     batch — the canonical keyed-state layout. Within a batch the
-    session breaks are found VECTORIZED (numpy shift-compare + cumsum
-    segment ids, pandas per-segment agg); only the cross-batch carry —
-    a handful of segment summaries per user per batch — runs
-    imperatively, so a hot user's million-event batch costs one numpy
-    pass, not a million interpreted iterations.
+    session breaks are found VECTORIZED (one numpy column sort +
+    shift-compare; segments are contiguous runs of the sorted array,
+    read off with boundary arithmetic — no per-group pandas
+    sort/groupby, which measured 30x the numpy cost and dominated
+    1M-row triggers, r12); only the cross-batch carry — a handful of
+    segment summaries per user per batch — runs imperatively, so a
+    hot user's million-event batch costs one numpy pass, not a
+    million interpreted iterations.
     """
     import numpy as np
     import pandas as pd
@@ -605,28 +610,35 @@ def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(["ts_us", "event_id"])
-            ts = pdf["ts_us"].to_numpy("int64")
+            # only ts drives the session math (counts/min/max are
+            # order-insensitive within a timestamp tie), so a single
+            # numpy column sort replaces the full-DataFrame
+            # sort_values; session segments are contiguous runs of the
+            # sorted array, so boundary arithmetic replaces the pandas
+            # groupby-agg. Measured r12: the pandas forms were 30x the
+            # cost and the dominant per-trigger term at 1M-row batches
+            # (12.1 s -> see SCALE_NOTES round-12 follow-up).
+            ts = np.sort(pdf["ts_us"].to_numpy("int64"))
             starts = np.empty(len(ts), dtype=bool)
             starts[0] = last_us is None or ts[0] > last_us + gap
             starts[1:] = ts[1:] > ts[:-1] + gap
             # segment 0 (if present) continues the carried-over session
-            seg = np.cumsum(starts)
-            segs = pd.Series(ts).groupby(seg).agg(["count", "min", "max"])
-            for seg_id, cnt, mn, mx in zip(
-                segs.index,
-                segs["count"].to_numpy(),
-                segs["min"].to_numpy(),
-                segs["max"].to_numpy(),
-            ):
-                if seg_id == 0:
-                    n += int(cnt)
-                    last_us = int(mx)
+            cuts = np.flatnonzero(starts)
+            first_continues = not starts[0]
+            if first_continues:
+                cuts = np.concatenate(([0], cuts))
+            cuts = np.append(cuts, len(ts))
+            for j in range(len(cuts) - 1):
+                lo, hi = int(cuts[j]), int(cuts[j + 1])
+                cnt, mn, mx = hi - lo, int(ts[lo]), int(ts[hi - 1])
+                if j == 0 and first_continues:
+                    n += cnt
+                    last_us = mx
                 else:
                     if last_us is not None:
                         out_rows.append((key[0], seq, n, start_us, last_us))
                     seq += 1
-                    start_us, n, last_us = int(mn), int(cnt), int(mx)
+                    start_us, n, last_us = mn, cnt, mx
         state.update((last_us, seq, start_us, n))
         out_rows.append((key[0], seq, n, start_us, last_us))  # open-session snapshot
         yield pd.DataFrame(

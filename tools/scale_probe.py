@@ -396,11 +396,12 @@ def probe_stateful_streaming(spark, sf_dir: str, reps: int) -> dict:
             try:
                 for qname in queries:
                     walls, trigs = [], []
+                    out_rows = None
                     for _ in range(variant_reps):
                         mb.PROGRESS_LOG = []
                         try:
                             t0 = time.perf_counter()
-                            REGISTRY[qname].fn(spark, land).count()
+                            out_rows = REGISTRY[qname].fn(spark, land).count()
                             walls.append(time.perf_counter() - t0)
                             trigs.append(
                                 [p for p in mb.PROGRESS_LOG
@@ -416,6 +417,14 @@ def probe_stateful_streaming(spark, sf_dir: str, reps: int) -> dict:
                     per[qname] = {
                         "wall_sec": round(walls[b], 3),
                         "rows_per_sec": round(n_rows / walls[b], 1),
+                        # result cardinality: wall includes draining
+                        # the RESULT through the driver-side memory
+                        # sink, so a landing whose session density
+                        # makes the result corpus-sized (the 100x
+                        # fixture shape) is measuring sink volume past
+                        # this count, not the state path — read
+                        # avg_trigger_ms for the operator's own cost
+                        "result_rows": out_rows,
                         "triggers": len(durs),
                         "avg_trigger_ms": round(sum(durs) / len(durs), 1)
                         if durs else None,
