@@ -94,7 +94,8 @@ def main() -> int:
                     "decay to ~5%)")
     args = ap.parse_args()
 
-    attempt, line, gate_met, ambient_after = 0, None, False, None
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    attempt, line, detail, gate_met, ambient_after = 0, None, None, False, None
     while attempt <= args.retries:
         attempt += 1
         started_quiet = wait_quiet(args.gate, args.max_wait_sec)
@@ -102,7 +103,19 @@ def main() -> int:
         # must not erase an earlier attempt's valid (possibly
         # gate-passing) measurement.
         new_line, _tail = run_bench()
-        line = new_line or line
+        if new_line is not None:
+            line = new_line
+            # Snapshot BENCH_DETAIL.json NOW, paired with this line: a
+            # later attempt can overwrite the detail file and then die
+            # before printing its own line (crash/timeout between
+            # bench.py's detail write and print), and re-reading at the
+            # end would pair this line with a different run's detail
+            # (r12 ADVICE).
+            try:
+                with open(detail_path) as f:
+                    detail = json.load(f)
+            except Exception as e:  # keep the line even if detail is gone
+                detail = {"DETAIL_UNAVAILABLE": f"{type(e).__name__}: {e}"}
         if new_line is None:
             print(f"attempt {attempt}: bench printed no JSON line",
                   file=sys.stderr)
@@ -120,9 +133,6 @@ def main() -> int:
         print("no bench line produced; nothing persisted", file=sys.stderr)
         return 1
 
-    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
-    with open(detail_path) as f:
-        detail = json.load(f)
     out = {
         "quiet_gate": {
             "gate_load1": args.gate,

@@ -310,6 +310,14 @@ def probe_stateful_streaming(spark, sf_dir: str, reps: int) -> dict:
                    itself is the dominant cost; min-of-N matters at
                    the floor, not at 100x).
 
+    At 100x_rows the probe ALSO drains the sessionize pipeline through
+    a foreachBatch parquet sink (r12 verdict item 4): the registered
+    query's memory sink ingests the full ~9.5M-row result in the
+    driver, which dominated the r12 100x wall (131.6 s wall vs 39 s
+    trigger sum) — the ``sessionize_parquet_sink`` entry measures the
+    state path + distributed write with the driver out of the data
+    plane.
+
     State is O(active keys), not O(rows) — a flat-ish wall ratio on
     10x_rows and a mild one on 10x_keys is the claim; 100x_rows is the
     volume claim (wall should grow ~linearly with rows while
@@ -430,6 +438,59 @@ def probe_stateful_streaming(spark, sf_dir: str, reps: int) -> dict:
                         if durs else None,
                         "max_trigger_ms": max(durs) if durs else None,
                     }
+                if variant == "100x_rows":
+                    # Sink-isolated drain (r12 verdict item 4): the same
+                    # sessionize stateful pipeline, but drained through a
+                    # foreachBatch PARQUET sink — each batch's write is a
+                    # distributed executor-side job, so the wall measures
+                    # the state path + write, NOT the driver-side memory
+                    # sink ingesting a ~9.5M-row result (which dominated
+                    # the r12 100x wall: 131.6 s wall vs 39 s trigger
+                    # sum). Pipeline construction is shared with the
+                    # registered query (streaming.queries.
+                    # sessionize_updates), so the probed plan IS the
+                    # registered plan.
+                    from datafusion_streams_spark.streaming.microbatch import (
+                        run_microbatch,
+                    )
+                    from datafusion_streams_spark.streaming.queries import (
+                        sessionize_updates,
+                    )
+
+                    sink_dir = tempfile.mkdtemp(
+                        prefix="scale_probe_sessionize_sink_"
+                    )
+                    try:
+                        mb.PROGRESS_LOG = []
+                        t0 = time.perf_counter()
+                        run_microbatch(
+                            sessionize_updates(spark, land),
+                            lambda df, _eid: df.write.mode("append")
+                            .parquet(sink_dir),
+                            output_mode="update",
+                            state_partitions=8,
+                            timeout_sec=900,
+                        )
+                        wall = time.perf_counter() - t0
+                        durs = [
+                            int(p["batchDuration"])
+                            for p in mb.PROGRESS_LOG
+                            if "batchDuration" in p
+                        ]
+                        sunk = spark.read.parquet(sink_dir).count()
+                        per["sessionize_parquet_sink"] = {
+                            "wall_sec": round(wall, 3),
+                            "rows_per_sec": round(n_rows / wall, 1),
+                            "emitted_rows": sunk,
+                            "triggers": len(durs),
+                            "avg_trigger_ms": round(
+                                sum(durs) / len(durs), 1
+                            ) if durs else None,
+                            "max_trigger_ms": max(durs) if durs else None,
+                        }
+                    finally:
+                        mb.PROGRESS_LOG = None
+                        shutil.rmtree(sink_dir, ignore_errors=True)
             finally:
                 ksrc.EVENTS_MAX_FILES_PER_TRIGGER = None
             out[variant] = per
@@ -659,12 +720,16 @@ def probe_skew_hotkey(spark, sf_dir: str, reps: int) -> dict:
             ), 3)
             per["join_unsalted_aqe_skew"] = round(
                 _min_of(reps, lambda: unsalted_twin(batch_sf)), 3)
+            # restore the PRE-PROBE value, not a hardcoded "true": a
+            # hardcoded restore silently rewrites session config if the
+            # session default ever changes (r12 ADVICE)
+            prev_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
             try:
                 per["join_unsalted_no_skew"] = round(
                     _min_of(reps, lambda: unsalted_twin(batch_sf)), 3)
             finally:
-                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+                spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
             # streaming stateful axis ---------------------------------------
             ksrc.EVENTS_MAX_FILES_PER_TRIGGER = 1
             try:
