@@ -535,7 +535,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # rounds the last min_label_components call took to converge —
 # read-only observability for tools/scale_probe.py's chain-convergence
-# probe; never consulted by engine code.
+# probe; never consulted by engine code. Single-caller-at-a-time by
+# contract (r12 ADVICE): concurrent invocations in one process would
+# race on it — acceptable for a probe-only diagnostic; promote to a
+# thread-local (or return rounds alongside the DataFrame) if
+# concurrent use ever appears.
 LAST_CONVERGENCE_ROUNDS: int = 0
 
 
@@ -585,6 +589,12 @@ def min_label_components(pairs: DataFrame, id_col: str) -> DataFrame:
             msgs.union(cur.select("node", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            # both doubling legs read this relation; without a cache the
+            # join+union+groupBy propagation subtree sits on both legs
+            # and can execute twice per round unless AQE exchange reuse
+            # happens to fire (r12 ADVICE). Unpersisted right after the
+            # round's checkpoint materializes.
+            .cache()
         )
         # pointer doubling: label := label(label). Every label IS a
         # node id (labels are mins over node ids and every node is in
@@ -602,6 +612,7 @@ def min_label_components(pairs: DataFrame, id_col: str) -> DataFrame:
             )
             .localCheckpoint()  # eager: materializes + truncates lineage
         )
+        half.unpersist()
         label_sum = nxt.agg(F.sum("label")).first()[0]
         cur.unpersist()
         cur = nxt
