@@ -172,6 +172,16 @@ def base_reps_for(name: str, reps: int) -> int:
     return max(reps, 3) if name in HIGH_VARIANCE else reps
 
 
+def _calib_spin(_arg: int = 0) -> int:
+    """The fixed calibration workload: one pure-Python integer loop.
+    Shared verbatim by the single-core and parallel calibrations so
+    pcalib/calib is a clean parallel-slowdown ratio."""
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    return acc
+
+
 def cpu_calibration() -> float:
     """Single-core host-speed denominator (r12): seconds for a fixed
     pure-Python workload, min-of-3. The load/spread fields adjudicate
@@ -183,10 +193,36 @@ def cpu_calibration() -> float:
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        acc = 0
-        for i in range(2_000_000):
-            acc += i * i
+        _calib_spin()
         best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def parallel_cpu_calibration() -> float:
+    """PARALLEL host-speed denominator (r13, closing the r12 gap): wall
+    seconds for os.cpu_count() processes each running the single-core
+    calib workload concurrently, min-of-3. The single-core calib is
+    blind to co-tenant CPU steal that degrades parallel throughput —
+    r12's own series proved it: three mid-round quiet runs at ~105 s
+    and a round-close at 76.5 s with calib UNCHANGED (0.1096 →
+    0.1077), i.e. the failure mode that actually distorted the round
+    was invisible to the field meant to catch it. Spark runs 32-way
+    parallel, so the honest denominator is measured 32-wide.
+
+    Measured BEFORE the SparkSession exists (same rule as calib: JVM
+    background threads pollute the denominator). The worker pool is
+    started and warmed with one task round before timing, so fork +
+    import cost stays out of the measurement."""
+    import multiprocessing as mp
+
+    n = os.cpu_count() or 1
+    with mp.Pool(n) as pool:
+        pool.map(_calib_spin, range(n))  # warm: fork/startup excluded
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pool.map(_calib_spin, range(n))
+            best = min(best, time.perf_counter() - t0)
     return round(best, 4)
 
 
@@ -196,6 +232,7 @@ def main() -> None:
     # 0.107 s in a bare shell on the same idle box — JVM background
     # threads (GC, codegen) pollute the host-speed denominator
     calib = cpu_calibration()
+    pcalib = parallel_cpu_calibration()
     spark = get_session(app_name="dfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -324,6 +361,8 @@ def main() -> None:
                 "loadavg_start": load_start,
                 "loadavg_end": load_end,
                 "cpu_calibration_sec": calib,
+                "cpu_parallel_calibration_sec": pcalib,
+                "cpu_parallel_calibration_nproc": os.cpu_count(),
             },
             f,
             indent=1,
@@ -339,6 +378,7 @@ def main() -> None:
             load=[*load_start, *load_end],
             spread=worst_spread,
             calib=calib,
+            pcalib=pcalib,
         )
     )
 
@@ -347,7 +387,7 @@ BUDGET = 1900  # driver captures only the LAST 2000 bytes of stdout
 
 
 def build_compact_line(total, timings, reps, streaming, sf, load=None,
-                       spread=None, calib=None) -> str:
+                       spread=None, calib=None, pcalib=None) -> str:
     """Compact single line, truncation-proof: emit per-query timings in
     HEADLINE order until the serialized line would exceed the budget,
     then record how many were folded into the detail file. The BASE
@@ -380,6 +420,11 @@ def build_compact_line(total, timings, reps, streaming, sf, load=None,
         # single-core host-speed denominator (~10 bytes, never shed):
         # raw totals are only cross-round comparable divided by this
         base["calib"] = calib
+    if pcalib is not None:
+        # parallel (os.cpu_count()-wide) host-speed denominator (r13):
+        # the single-core calib cannot see co-tenant CPU steal hitting
+        # PARALLEL throughput (r12 forensics); never shed either
+        base["pcalib"] = pcalib
     compact = lambda obj: json.dumps(obj, separators=(",", ":"))  # noqa: E731
     if len(compact(base)) > BUDGET:
         # base alone overflows (streaming detail grew): keep only the
@@ -420,6 +465,8 @@ def build_compact_line(total, timings, reps, streaming, sf, load=None,
                 # base honest — load AND spread survive every shed tier
             if calib is not None:
                 slim["calib"] = calib  # never shed either
+            if pcalib is not None:
+                slim["pcalib"] = pcalib  # never shed either
             line = compact(slim)
     return line
 

@@ -109,6 +109,47 @@ def test_high_variance_queries_get_three_base_reps():
     assert bench.ADAPTIVE_SPREAD == 1.15
 
 
+def test_calib_pair_survives_every_shed_tier(monkeypatch):
+    """r13 (r12 verdict item 1): the parallel calibration pcalib rides
+    next to calib in the printed line and both are never-shed — the
+    quiet series is only cross-host comparable divided by them, so a
+    shed tier that dropped either would re-open the r12 forensic
+    ambiguity (CPU steal invisible at constant single-core calib)."""
+    timings = {n: 1.234 for n in bench.HEADLINE}
+    # normal budget: both fields present alongside full queries
+    line = bench.build_compact_line(
+        99.9, timings, 2, {"events_replay_rows_per_sec": 1.0}, 0.1,
+        load=LOAD, spread=SPREAD, calib=0.1077, pcalib=0.2512,
+    )
+    obj = json.loads(line)
+    assert obj["calib"] == 0.1077
+    assert obj["pcalib"] == 0.2512
+    # pathological metric-triple tier: still both present
+    monkeypatch.setattr(bench, "BUDGET", 280)
+    line = bench.build_compact_line(
+        99.9, timings, 2, {"events_replay_rows_per_sec": 1.0}, 0.1,
+        load=LOAD, spread=SPREAD, calib=0.1077, pcalib=0.2512,
+    )
+    assert len(line) <= 280
+    obj = json.loads(line)
+    assert obj["calib"] == 0.1077
+    assert obj["pcalib"] == 0.2512
+    assert "queries" not in obj
+
+
+def test_parallel_calibration_runs_and_is_plausible():
+    """pcalib must execute the same workload as calib, N-wide: on any
+    box the parallel wall is at least ~the single-core wall (it cannot
+    beat one unloaded core running one task) and finite."""
+    pcalib = bench.parallel_cpu_calibration()
+    calib = bench.cpu_calibration()
+    assert 0 < calib < 10
+    # allow 20% jitter below: scheduler placement can make the timed
+    # parallel round marginally faster than the later single-core rep
+    assert pcalib > calib * 0.8
+    assert pcalib < 120
+
+
 def test_pathological_fallback_tier_keeps_load_and_spread(monkeypatch):
     """r10 review: the earlier 'survives every shed tier' test never
     actually reached the metric-triple-only fallback (the streaming
