@@ -118,18 +118,38 @@ def run_microbatch(
     trigger_interval: str | None = None,
     available_now: bool = True,
     timeout_sec: int = 120,
+    output_mode: str | None = None,
+    state_partitions: int | None = None,
 ) -> StreamingQuery:
     """foreachBatch runner — the programmatic sink the reference's test
     loop emulates by iterating ``execute_stream`` batches
-    (`/root/reference/tests/basic_tests.rs:63-72`)."""
-    writer = df.writeStream.foreachBatch(batch_fn).option(
-        "checkpointLocation", tempfile.mkdtemp(prefix="dfs_ckpt_")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    elif trigger_interval:
-        writer = writer.trigger(processingTime=trigger_interval)
-    q = writer.start()
+    (`/root/reference/tests/basic_tests.rs:63-72`).
+
+    ``output_mode`` must be set (to "update") when the plan contains an
+    update-mode stateful operator — the UnsupportedOperationChecker
+    validates the operator against the SINK's mode, and foreachBatch
+    defaults to append. ``state_partitions`` sizes the state-store
+    shuffle exactly as in run_drain_to_memory (captured at query start,
+    restored immediately)."""
+    spark = df.sparkSession
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        writer = df.writeStream.foreachBatch(batch_fn).option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="dfs_ckpt_")
+        )
+        if output_mode is not None:
+            writer = writer.outputMode(output_mode)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_interval:
+            writer = writer.trigger(processingTime=trigger_interval)
+        q = writer.start()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination(timeout_sec)
     log_executed_plan(q)
     return q

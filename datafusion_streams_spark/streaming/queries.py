@@ -557,45 +557,14 @@ FROM numbered GROUP BY user_id, session_seq
 """
 
 
-@query(
-    "streaming_sessionize_state",
-    oracle=_sessionize_state_oracle(),
-    tags=("streaming", "stateful", "session", "events"),
-)
-def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSTOM stateful sessionization via applyInPandasWithState — the
-    imperative twin of the built-in session_window aggregate
-    (streaming_session_window): per-user state machine carrying
-    (last_ts, session_seq, session_start, n_events) across
-    micro-batches, closing a session and emitting its final summary
-    when a 30-minute gap arrives, and snapshotting the open session
-    each batch. This is the extension-point shape for session logic
-    session_window CANNOT express (e.g. dynamic gaps, per-session
-    feature accumulation) — the reference has no stateful surface at
-    all, so this is pure Spark upside.
-
-    Correctness under micro-batching: each batch's timestamps are
-    sorted per user (ts alone drives the session math — segment
-    counts/min/max are insensitive to the ordering of equal
-    timestamps); across batches the file source delivers time-ordered
-    files (its documented modification-time order), so per-user
-    arrival is monotone and the state machine's output is
-    prefix-consistent. The final answer takes max_by(n_events) per
-    (user, session) — completed sessions emit once, open-session
-    snapshots are superseded monotonically, so the result equals the
-    batch gaps-and-islands oracle whatever the batch splits were.
-
-    Scale: state is four longs per ACTIVE user (closed sessions leave
-    state immediately via emission), shuffles once on user_id per
-    batch — the canonical keyed-state layout. Within a batch the
-    session breaks are found VECTORIZED (one numpy column sort +
-    shift-compare; segments are contiguous runs of the sorted array,
-    read off with boundary arithmetic — no per-group pandas
-    sort/groupby, which measured 30x the numpy cost and dominated
-    1M-row triggers, r12); only the cross-batch carry — a handful of
-    segment summaries per user per batch — runs imperatively, so a
-    hot user's million-event batch costs one numpy pass, not a
-    million interpreted iterations.
+def sessionize_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sessionize stateful pipeline WITHOUT a sink: events stream →
+    applyInPandasWithState per-user session state machine → update-mode
+    emissions. Shared verbatim by the registered query (memory-sink
+    drain + final dedup agg) and the sink-isolated scale probe
+    (foreachBatch parquet drain, tools/scale_probe.py — r12 verdict
+    item 4: the 100× state-path claim must not carry a driver
+    memory-sink asterisk), so the probed plan IS the registered plan.
     """
     import numpy as np
     import pandas as pd
@@ -651,13 +620,57 @@ def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
-    updates = ev.groupBy("user_id").applyInPandasWithState(
+    return ev.groupBy("user_id").applyInPandasWithState(
         sessionize,
         outputStructType="user_id long, session_seq long, n_events long, s_start_us long, s_end_us long",
         stateStructType="last_us long, seq long, start_us long, n long",
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+@query(
+    "streaming_sessionize_state",
+    oracle=_sessionize_state_oracle(),
+    tags=("streaming", "stateful", "session", "events"),
+)
+def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful sessionization via applyInPandasWithState — the
+    imperative twin of the built-in session_window aggregate
+    (streaming_session_window): per-user state machine carrying
+    (last_ts, session_seq, session_start, n_events) across
+    micro-batches, closing a session and emitting its final summary
+    when a 30-minute gap arrives, and snapshotting the open session
+    each batch. This is the extension-point shape for session logic
+    session_window CANNOT express (e.g. dynamic gaps, per-session
+    feature accumulation) — the reference has no stateful surface at
+    all, so this is pure Spark upside. Pipeline construction lives in
+    ``sessionize_updates`` (shared with the sink-isolated scale probe).
+
+    Correctness under micro-batching: each batch's timestamps are
+    sorted per user (ts alone drives the session math — segment
+    counts/min/max are insensitive to the ordering of equal
+    timestamps); across batches the file source delivers time-ordered
+    files (its documented modification-time order), so per-user
+    arrival is monotone and the state machine's output is
+    prefix-consistent. The final answer takes max_by(n_events) per
+    (user, session) — completed sessions emit once, open-session
+    snapshots are superseded monotonically, so the result equals the
+    batch gaps-and-islands oracle whatever the batch splits were.
+
+    Scale: state is four longs per ACTIVE user (closed sessions leave
+    state immediately via emission), shuffles once on user_id per
+    batch — the canonical keyed-state layout. Within a batch the
+    session breaks are found VECTORIZED (one numpy column sort +
+    shift-compare; segments are contiguous runs of the sorted array,
+    read off with boundary arithmetic — no per-group pandas
+    sort/groupby, which measured 30x the numpy cost and dominated
+    1M-row triggers, r12); only the cross-batch carry — a handful of
+    segment summaries per user per batch — runs imperatively, so a
+    hot user's million-event batch costs one numpy pass, not a
+    million interpreted iterations.
+    """
+    updates = sessionize_updates(spark, sf_dir)
     name, _ = run_drain_to_memory(updates, output_mode="update", state_partitions=8)
     emitted = spark.table(name)
     final = F.max_by(
