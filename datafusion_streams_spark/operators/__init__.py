@@ -813,10 +813,79 @@ ROTATED_IN_R12: tuple[str, ...] = (
     "multimodal_frame_sample",
 )
 
-# r13 window plan (steady state): lead with anything r13 changes, then
-# the remaining r7 rows (multimodal_jpeg_decode onward, ~24), then
-# oldest-green fill from the alphabetical head of the r8 rows.
-VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R12
+# r13 window (executes the plan written above + r12 verdict item 2):
+# lead with the 5 queries r13 changes — the components fixpoint's
+# pointer-doubling round now caches the propagation relation so both
+# doubling legs read one execution (dedup.min_label_components, r12
+# ADVICE; same fixpoint, but the driver re-hashes every label consumer
+# first) and streaming_sessionize_state's pipeline construction moved
+# into the shared sessionize_updates helper (byte-identical plan; the
+# sink-isolated scale probe now drains the same builder) — then ALL 24
+# remaining r7 rows, then oldest-green fill from the alphabetical head
+# of the 40 r8 rows. After this window lands green, no driver row
+# anywhere predates r8 and the 6-round refresh period (COVERAGE.md)
+# holds exactly.
+# Registry growth this round: 0 (freeze, round 9 of the discipline).
+ROTATED_IN_R13: tuple[str, ...] = (
+    # changed this round (5)
+    "dedup_components",
+    "dedup_component_stats",
+    "dedup_rewrite_map",
+    "dedup_embedding_cosine",
+    "streaming_sessionize_state",
+    # all 24 remaining r7 rows (alphabetical)
+    "multimodal_jpeg_decode",
+    "multimodal_png_decode",
+    "multimodal_simhash_neardup",
+    "multimodal_wav_decode",
+    "pipeline_curation",
+    "pipeline_curation_v2",
+    "pipeline_curation_v3",
+    "q1_pricing_summary",
+    "q6_revenue_forecast",
+    "q9_product_profit",
+    "ref_kafka_pipeline",
+    "sample_stratified",
+    "scalar_map_pack",
+    "scalar_regexp_pack",
+    "set_ops_all",
+    "similarity_pairs_vectorized",
+    "sql_entry_point",
+    "streaming_ref_pipeline",
+    "text_bm25_search",
+    "text_bpe_merges",
+    "text_contamination",
+    "text_gopher_rules",
+    "text_quality_score",
+    "text_repetition_filter",
+    # oldest-green fill: alphabetical head of the 40 r8 rows (21)
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_rollup",
+    "ann_lsh_bucketed",
+    "ann_topk_filtered",
+    "events_tumbling_hour",
+    "join_broadcast_dim",
+    "join_range_bands",
+    "q10_returned_items",
+    "q12_priority_classes",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q16_parts_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+)
+
+# r14 window plan (steady state): lead with anything r14 changes, then
+# the remaining 19 r8 rows (q3_shipping_priority onward), then
+# oldest-green fill from the alphabetical head of the r9 rows.
+VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R13
 
 
 def _prioritize() -> None:

@@ -46,23 +46,24 @@ def test_registry_complete():
     assert set(o) <= set(q)
 
 
-def test_verified_prefix_is_the_r12_rotation():
+def test_verified_prefix_is_the_r13_rotation():
     """The driver hard-verifies only the first 50 registry slots. The
-    round-12 window (r11 verdict item #1) leads with the four queries
-    r12 changed (the connected-components fixpoint gained a
-    pointer-doubling step — same fixpoint, re-hash every label
-    consumer first), then all 31 remaining r6 rows, then the
-    alphabetical head of the r7 rows — after CORRECTNESS_r12 lands,
-    no driver row anywhere predates r7, holding the ~6-round
-    full-refresh cadence documented in COVERAGE.md."""
+    round-13 window (r12 verdict item #2) leads with the five queries
+    r13 changed (the doubling round's propagation relation is now
+    cached so both legs read one execution, and sessionize's pipeline
+    construction moved into the shared sessionize_updates helper —
+    same results, re-hash every consumer first), then all 24 remaining
+    r7 rows, then the alphabetical head of the r8 rows — after
+    CORRECTNESS_r13 lands, no driver row anywhere predates r8, holding
+    the ~6-round full-refresh cadence documented in COVERAGE.md."""
     import json
     import os
 
-    from datafusion_streams_spark.operators import ROTATED_IN_R12, VERIFIED_FIRST
+    from datafusion_streams_spark.operators import ROTATED_IN_R13, VERIFIED_FIRST
 
     names = list(REGISTRY)
     assert len(VERIFIED_FIRST) == 50
-    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R12)
+    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R13)
 
     window = names[:50]
     # r9 milestone, held: NOTHING in the registry is rows-only —
@@ -70,17 +71,18 @@ def test_verified_prefix_is_the_r12_rotation():
     rows_only = [n for n in REGISTRY if REGISTRY[n].oracle is None]
     assert rows_only == [], rows_only
 
-    # changed-first discipline: the queries r12 touched lead the window
-    assert window[:4] == [
+    # changed-first discipline: the queries r13 touched lead the window
+    assert window[:5] == [
         "dedup_components",
         "dedup_component_stats",
         "dedup_rewrite_map",
         "dedup_embedding_cosine",
+        "streaming_sessionize_state",
     ]
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_green: dict = {}
-    for rnd in range(1, 12):
+    for rnd in range(1, 13):
         f = os.path.join(repo, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(f):
             for name, row in json.load(open(f)).items():
@@ -91,9 +93,9 @@ def test_verified_prefix_is_the_r12_rotation():
         # hash-never-green any more
         never_hash = set(REGISTRY) - set(last_green)
         assert never_hash == set(), sorted(never_hash)
-        # the r6 drain: every row whose last driver green predates
-        # r7 must sit inside this window
-        stale = [n for n, r in last_green.items() if r <= 6 and n in REGISTRY]
+        # the r7 drain: every row whose last driver green predates
+        # r8 must sit inside this window
+        stale = [n for n, r in last_green.items() if r <= 7 and n in REGISTRY]
         assert set(stale) <= set(window), sorted(set(stale) - set(window))
 
 
