@@ -814,6 +814,17 @@ def main() -> int:
                     "cc_chain): run just these")
     args = ap.parse_args()
 
+    # Host-speed denominators, measured BEFORE the SparkSession exists
+    # (bench.py's rule — JVM background threads pollute them). r13: the
+    # full r13 probe run read walls ~2x the r12 run at IDENTICAL
+    # single-core calib (0.1075 vs 0.1077) — exactly the parallel-
+    # throughput drift pcalib exists to expose; probe walls are only
+    # cross-round comparable next to this pair.
+    import bench
+
+    host_calib = bench.cpu_calibration()
+    host_pcalib = bench.parallel_cpu_calibration()
+
     from datafusion_streams_spark import get_session
 
     spark = get_session(app_name="scale-probe", cpus=args.cpus)
@@ -852,6 +863,8 @@ def main() -> int:
         "sf_dir": args.sf_dir,
         "cpus": args.cpus,
         "reps": args.reps,
+        "calib": host_calib,
+        "pcalib": host_pcalib,
     }
     print(json.dumps(result, separators=(",", ":")))
     return 0
