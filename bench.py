@@ -226,6 +226,75 @@ def parallel_cpu_calibration() -> float:
     return round(best, 4)
 
 
+# Memory-bandwidth calibration buffer: 256 MiB — far past any L3 slice,
+# so a copy is DRAM-bandwidth-bound. Held in a module global so the
+# parallel pool's initializer allocates it once per worker and the
+# timed reps measure copies, not first-touch page faults.
+_MEMBW_WORDS = 32 * 1024 * 1024  # int64 words = 256 MiB
+# parallel variant: 64 MiB per worker — the AGGREGATE (N x 64 MiB = 2
+# GiB per copy round at N=32) is what must exceed L3, and the 32-wide
+# 8 GiB first-touch of the 256 MiB buffers measured 164 s under live
+# co-tenant pressure (r13) — setup cost, not signal
+_MEMBW_WORDS_PARALLEL = 8 * 1024 * 1024
+_MEMBW_BUF = None
+
+
+def _membw_init(words: int = _MEMBW_WORDS) -> None:
+    global _MEMBW_BUF
+    import numpy as np
+
+    _MEMBW_BUF = np.ones(words, dtype=np.int64)
+
+
+def _membw_spin(_arg: int = 0) -> None:
+    b = _MEMBW_BUF.copy()
+    del b
+
+
+def mem_calibration() -> float:
+    """Single-process memory-BANDWIDTH denominator (r13): seconds to
+    copy a 256 MiB buffer, min-of-3. Motivation: the r13 quiet run
+    measured walls 1.27x the r12 run with BOTH cpu calibs flat (calib
+    0.1057 vs 0.1077; pcalib stable +-2% across four same-day samples)
+    while untouched shuffle/scan-heavy queries shifted worst and
+    streaming replay halved — the drift lives in a resource a pure-
+    Python L1-resident loop cannot see. Shared-host memory-bandwidth
+    steal is the remaining candidate; this field measures it."""
+    global _MEMBW_BUF
+    _membw_init()
+    try:
+        best = float("inf")
+        _membw_spin()  # warm: the buffer's own first-touch faults
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _membw_spin()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+    finally:
+        _MEMBW_BUF = None
+
+
+def parallel_mem_calibration() -> float:
+    """Aggregate memory-bandwidth denominator: os.cpu_count() processes
+    each copying their own 256 MiB buffer concurrently, min-of-3 wall.
+    Saturates the socket's memory controllers the way a 32-wide Spark
+    shuffle does; a co-tenant streaming through DRAM shows up here
+    when it is invisible to every CPU-bound calib."""
+    import multiprocessing as mp
+
+    n = os.cpu_count() or 1
+    with mp.Pool(
+        n, initializer=_membw_init, initargs=(_MEMBW_WORDS_PARALLEL,)
+    ) as pool:
+        pool.map(_membw_spin, range(n))  # warm: fork + first-touch out
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pool.map(_membw_spin, range(n))
+            best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     # calibrate BEFORE the SparkSession exists: measured in-process
     # right after session warmup the same workload read 0.194 s vs
@@ -233,6 +302,8 @@ def main() -> None:
     # threads (GC, codegen) pollute the host-speed denominator
     calib = cpu_calibration()
     pcalib = parallel_cpu_calibration()
+    mcalib = mem_calibration()
+    pmcalib = parallel_mem_calibration()
     spark = get_session(app_name="dfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -363,6 +434,8 @@ def main() -> None:
                 "cpu_calibration_sec": calib,
                 "cpu_parallel_calibration_sec": pcalib,
                 "cpu_parallel_calibration_nproc": os.cpu_count(),
+                "mem_calibration_sec": mcalib,
+                "mem_parallel_calibration_sec": pmcalib,
             },
             f,
             indent=1,
@@ -379,6 +452,8 @@ def main() -> None:
             spread=worst_spread,
             calib=calib,
             pcalib=pcalib,
+            mcalib=mcalib,
+            pmcalib=pmcalib,
         )
     )
 
@@ -387,7 +462,8 @@ BUDGET = 1900  # driver captures only the LAST 2000 bytes of stdout
 
 
 def build_compact_line(total, timings, reps, streaming, sf, load=None,
-                       spread=None, calib=None, pcalib=None) -> str:
+                       spread=None, calib=None, pcalib=None, mcalib=None,
+                       pmcalib=None) -> str:
     """Compact single line, truncation-proof: emit per-query timings in
     HEADLINE order until the serialized line would exceed the budget,
     then record how many were folded into the detail file. The BASE
@@ -425,6 +501,13 @@ def build_compact_line(total, timings, reps, streaming, sf, load=None,
         # the single-core calib cannot see co-tenant CPU steal hitting
         # PARALLEL throughput (r12 forensics); never shed either
         base["pcalib"] = pcalib
+    if mcalib is not None:
+        # memory-bandwidth denominators (r13): the r13 quiet run showed
+        # a 1.27x wall shift at FLAT cpu calibs — shared-host DRAM
+        # bandwidth is the remaining resource; never shed
+        base["mcalib"] = mcalib
+    if pmcalib is not None:
+        base["pmcalib"] = pmcalib
     compact = lambda obj: json.dumps(obj, separators=(",", ":"))  # noqa: E731
     if len(compact(base)) > BUDGET:
         # base alone overflows (streaming detail grew): keep only the
@@ -467,6 +550,10 @@ def build_compact_line(total, timings, reps, streaming, sf, load=None,
                 slim["calib"] = calib  # never shed either
             if pcalib is not None:
                 slim["pcalib"] = pcalib  # never shed either
+            if mcalib is not None:
+                slim["mcalib"] = mcalib  # never shed either
+            if pmcalib is not None:
+                slim["pmcalib"] = pmcalib  # never shed either
             line = compact(slim)
     return line
 

@@ -109,38 +109,38 @@ def test_high_variance_queries_get_three_base_reps():
     assert bench.ADAPTIVE_SPREAD == 1.15
 
 
-def test_calib_pair_survives_every_shed_tier(monkeypatch):
-    """r13 (r12 verdict item 1): the parallel calibration pcalib rides
-    next to calib in the printed line and both are never-shed — the
-    quiet series is only cross-host comparable divided by them, so a
-    shed tier that dropped either would re-open the r12 forensic
-    ambiguity (CPU steal invisible at constant single-core calib)."""
+def test_calib_quartet_survives_every_shed_tier(monkeypatch):
+    """r13 (r12 verdict item 1 + its first data point): the four host
+    denominators — calib/pcalib (CPU, 1-wide and N-wide) and
+    mcalib/pmcalib (DRAM bandwidth, same pair) — ride in the printed
+    line and are never shed. The quiet series is only cross-host
+    comparable next to them: r12 proved single-core calib blind to the
+    drift, and r13's first pcalib point proved the CPU pair blind too
+    (1.27x wall shift at flat calib AND pcalib), leaving bandwidth."""
     timings = {n: 1.234 for n in bench.HEADLINE}
-    # normal budget: both fields present alongside full queries
+    kw = dict(load=LOAD, spread=SPREAD, calib=0.1077, pcalib=0.2512,
+              mcalib=0.021, pmcalib=0.38)
+    # normal budget: all four present alongside full queries
     line = bench.build_compact_line(
-        99.9, timings, 2, {"events_replay_rows_per_sec": 1.0}, 0.1,
-        load=LOAD, spread=SPREAD, calib=0.1077, pcalib=0.2512,
-    )
+        99.9, timings, 2, {"events_replay_rows_per_sec": 1.0}, 0.1, **kw)
     obj = json.loads(line)
-    assert obj["calib"] == 0.1077
-    assert obj["pcalib"] == 0.2512
-    # pathological metric-triple tier: still both present
-    monkeypatch.setattr(bench, "BUDGET", 280)
+    assert (obj["calib"], obj["pcalib"], obj["mcalib"], obj["pmcalib"]) == (
+        0.1077, 0.2512, 0.021, 0.38)
+    # pathological metric-triple tier: still all four present
+    monkeypatch.setattr(bench, "BUDGET", 320)
     line = bench.build_compact_line(
-        99.9, timings, 2, {"events_replay_rows_per_sec": 1.0}, 0.1,
-        load=LOAD, spread=SPREAD, calib=0.1077, pcalib=0.2512,
-    )
-    assert len(line) <= 280
+        99.9, timings, 2, {"events_replay_rows_per_sec": 1.0}, 0.1, **kw)
+    assert len(line) <= 320
     obj = json.loads(line)
-    assert obj["calib"] == 0.1077
-    assert obj["pcalib"] == 0.2512
+    assert (obj["calib"], obj["pcalib"], obj["mcalib"], obj["pmcalib"]) == (
+        0.1077, 0.2512, 0.021, 0.38)
     assert "queries" not in obj
 
 
-def test_parallel_calibration_runs_and_is_plausible():
-    """pcalib must execute the same workload as calib, N-wide: on any
-    box the parallel wall is at least ~the single-core wall (it cannot
-    beat one unloaded core running one task) and finite."""
+def test_calibrations_run_and_are_plausible():
+    """The four denominators must execute and sit in sane ranges: the
+    parallel CPU wall cannot beat one unloaded core running one task,
+    and the bandwidth copies are strictly positive and bounded."""
     pcalib = bench.parallel_cpu_calibration()
     calib = bench.cpu_calibration()
     assert 0 < calib < 10
@@ -148,6 +148,13 @@ def test_parallel_calibration_runs_and_is_plausible():
     # parallel round marginally faster than the later single-core rep
     assert pcalib > calib * 0.8
     assert pcalib < 120
+    mcalib = bench.mem_calibration()
+    pmcalib = bench.parallel_mem_calibration()
+    assert 0 < mcalib < 10
+    assert pmcalib > mcalib * 0.8
+    assert pmcalib < 120
+    # the buffer global must not leak a 256 MiB array into the process
+    assert bench._MEMBW_BUF is None
 
 
 def test_pathological_fallback_tier_keeps_load_and_spread(monkeypatch):
