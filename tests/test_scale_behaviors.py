@@ -125,6 +125,58 @@ def test_components_chain_converges_in_log_rounds(spark):
     assert dedup.LAST_CONVERGENCE_ROUNDS <= 8
 
 
+def test_components_match_union_find_on_random_graphs(spark):
+    """min_label_components must equal a driver-side union-find oracle
+    on ARBITRARY graph shapes, not just the chain/star cases the other
+    pins cover: three seeded random graphs mixing sparse random edges
+    (hubs, triangles, isolated pairs emerge at this density) with one
+    embedded 30-node chain so the doubling path is exercised alongside
+    the propagation path in the same fixpoint."""
+    import random
+
+    from datafusion_streams_spark.operators import dedup
+
+    for seed in (7, 41, 1913):
+        rng = random.Random(seed)
+        n = 120
+        edges = set()
+        for _ in range(90):
+            a, b = rng.sample(range(n), 2)
+            edges.add((min(a, b), max(a, b)))
+        base = rng.randrange(0, n - 30)
+        for i in range(base, base + 29):
+            edges.add((i, i + 1))
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = sorted({x for e in edges for x in e})
+        members: dict[int, list[int]] = {}
+        for x in touched:
+            members.setdefault(find(x), []).append(x)
+        expect = {
+            x: min(group) for group in members.values() for x in group
+        }
+
+        pairs = spark.createDataFrame(
+            sorted(edges), "a_id long, b_id long"
+        )
+        got = {
+            r.doc_id: r.canonical_id
+            for r in dedup.min_label_components(pairs, "doc_id").collect()
+        }
+        assert got == expect, f"seed {seed}"
+
+
 def test_pairs_vectorized_never_collects_corpus(spark):
     """The block-partitioned scorer must build its plan without any
     driver-side materialization of the embeddings table (round-1

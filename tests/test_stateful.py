@@ -175,3 +175,50 @@ def test_transform_with_state_in_pandas(spark):
     q.awaitTermination(120)
     got = sorted((r.user_id, r.n) for r in spark.table("tws_test").collect())
     assert got == [(0, 4), (1, 4), (2, 4)]
+
+
+def test_sessionize_sink_independence(spark, tmp_path):
+    """The sink-isolated scale probe (tools/scale_probe.py, r13) drains
+    the SHARED pipeline builder (streaming.queries.sessionize_updates)
+    through a foreachBatch parquet sink instead of the registered
+    query's memory sink. Pin the contract that makes the probe's
+    numbers stand for the registered operator: the same final
+    aggregation over the parquet-sunk update-mode emissions must equal
+    the registered query's result exactly — the sink changes where
+    emissions land, never what they say."""
+    from datafusion_streams_spark.operators import REGISTRY
+    from datafusion_streams_spark.streaming.microbatch import run_microbatch
+    from datafusion_streams_spark.streaming.queries import sessionize_updates
+
+    sink_dir = str(tmp_path / "sessionize_parquet")
+    run_microbatch(
+        sessionize_updates(spark, SF_DIR_SMALL),
+        lambda df, _eid: df.write.mode("append").parquet(sink_dir),
+        output_mode="update",
+        state_partitions=8,
+        timeout_sec=240,
+    )
+    emitted = spark.read.parquet(sink_dir)
+    final = F.max_by(
+        F.struct("n_events", "s_start_us", "s_end_us"), F.col("n_events")
+    ).alias("f")
+    via_parquet = sorted(
+        (r.user_id, r.session_seq, r.n_events, r.s_start_us, r.s_end_us)
+        for r in emitted.groupBy("user_id", "session_seq")
+        .agg(final)
+        .select(
+            "user_id",
+            "session_seq",
+            F.col("f.n_events").alias("n_events"),
+            F.col("f.s_start_us").alias("s_start_us"),
+            F.col("f.s_end_us").alias("s_end_us"),
+        )
+        .collect()
+    )
+    via_memory = sorted(
+        (r.user_id, r.session_seq, r.n_events, r.s_start_us, r.s_end_us)
+        for r in REGISTRY["streaming_sessionize_state"]
+        .fn(spark, SF_DIR_SMALL)
+        .collect()
+    )
+    assert via_parquet == via_memory
