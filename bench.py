@@ -251,48 +251,79 @@ def _membw_spin(_arg: int = 0) -> None:
     del b
 
 
-def mem_calibration() -> float:
-    """Single-process memory-BANDWIDTH denominator (r13): seconds to
-    copy a 256 MiB buffer, min-of-3. Motivation: the r13 quiet run
-    measured walls 1.27x the r12 run with BOTH cpu calibs flat (calib
-    0.1057 vs 0.1077; pcalib stable +-2% across four same-day samples)
-    while untouched shuffle/scan-heavy queries shifted worst and
-    streaming replay halved — the drift lives in a resource a pure-
-    Python L1-resident loop cannot see. Shared-host memory-bandwidth
-    steal is the remaining candidate; this field measures it."""
+def mem_calibrations() -> tuple[float, float]:
+    """Single-process memory denominator PAIR (r13): ``(fault, copy)``.
+
+    ``copy`` is the min-of-3 resident-buffer copy of 256 MiB — DRAM
+    bandwidth. Motivation: the r13 quiet run measured walls 1.27x the
+    r12 run with BOTH cpu calibs flat (calib 0.1057 vs 0.1077; pcalib
+    stable +-2% across four same-day samples) while untouched
+    shuffle/scan-heavy queries shifted worst and streaming replay
+    halved — the drift lives in a resource a pure-Python L1-resident
+    loop cannot see.
+
+    ``fault`` is the setup that was being paid anyway, now timed:
+    allocate + first-touch the fresh 256 MiB buffer and its copy
+    destination — PAGE-ALLOCATION throughput. Measured the same r13
+    afternoon: first-touch collapsed ~400x (np.ones of 256 MiB took
+    39.7 s, the first copy 31.7 s) while RESIDENT copies stayed at
+    0.063 s and cpu calibs at idle values — a host-memory pathology
+    (overcommit/ballooning) that hits everything allocating fresh
+    pages (JVM young gen, Arrow batches, shuffle buffers) and nothing
+    resident. The two numbers separate 'DRAM is saturated' from 'the
+    hypervisor is slow-walking page supply'."""
     global _MEMBW_BUF
+    t0 = time.perf_counter()
     _membw_init()
+    _membw_spin()  # warm: first-touch of buffer AND copy-dest arena
+    fault = time.perf_counter() - t0
     try:
         best = float("inf")
-        _membw_spin()  # warm: the buffer's own first-touch faults
         for _ in range(3):
             t0 = time.perf_counter()
             _membw_spin()
             best = min(best, time.perf_counter() - t0)
-        return round(best, 4)
+        return round(fault, 4), round(best, 4)
     finally:
         _MEMBW_BUF = None
 
 
-def parallel_mem_calibration() -> float:
-    """Aggregate memory-bandwidth denominator: os.cpu_count() processes
-    each copying their own 256 MiB buffer concurrently, min-of-3 wall.
-    Saturates the socket's memory controllers the way a 32-wide Spark
-    shuffle does; a co-tenant streaming through DRAM shows up here
-    when it is invisible to every CPU-bound calib."""
+def mem_calibration() -> float:
+    """The copy half of mem_calibrations() (kept for callers that want
+    the bandwidth denominator alone)."""
+    return mem_calibrations()[1]
+
+
+def parallel_mem_calibrations() -> tuple[float, float]:
+    """Aggregate memory denominator pair: ``(fault, copy)`` with
+    os.cpu_count() processes each working a 64 MiB buffer concurrently.
+    ``copy`` (min-of-3 wall for N simultaneous resident copies)
+    saturates the socket's memory controllers the way a 32-wide Spark
+    shuffle does. ``fault`` times pool fork + N-wide first-touch —
+    the parallel page-allocation path, which measured 164 s under live
+    co-tenant pressure vs ~10 s idle. A co-tenant streaming through
+    DRAM (or a hypervisor rationing pages) shows up here when it is
+    invisible to every CPU-bound calib."""
     import multiprocessing as mp
 
     n = os.cpu_count() or 1
+    t0 = time.perf_counter()
     with mp.Pool(
         n, initializer=_membw_init, initargs=(_MEMBW_WORDS_PARALLEL,)
     ) as pool:
-        pool.map(_membw_spin, range(n))  # warm: fork + first-touch out
+        pool.map(_membw_spin, range(n))  # warm: first-touch copy arenas
+        fault = time.perf_counter() - t0
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             pool.map(_membw_spin, range(n))
             best = min(best, time.perf_counter() - t0)
-    return round(best, 4)
+    return round(fault, 4), round(best, 4)
+
+
+def parallel_mem_calibration() -> float:
+    """The copy half of parallel_mem_calibrations()."""
+    return parallel_mem_calibrations()[1]
 
 
 def main() -> None:
@@ -302,8 +333,8 @@ def main() -> None:
     # threads (GC, codegen) pollute the host-speed denominator
     calib = cpu_calibration()
     pcalib = parallel_cpu_calibration()
-    mcalib = mem_calibration()
-    pmcalib = parallel_mem_calibration()
+    fcalib, mcalib = mem_calibrations()
+    pfcalib, pmcalib = parallel_mem_calibrations()
     spark = get_session(app_name="dfs-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -436,6 +467,8 @@ def main() -> None:
                 "cpu_parallel_calibration_nproc": os.cpu_count(),
                 "mem_calibration_sec": mcalib,
                 "mem_parallel_calibration_sec": pmcalib,
+                "mem_fault_calibration_sec": fcalib,
+                "mem_parallel_fault_calibration_sec": pfcalib,
             },
             f,
             indent=1,
@@ -454,6 +487,8 @@ def main() -> None:
             pcalib=pcalib,
             mcalib=mcalib,
             pmcalib=pmcalib,
+            fcalib=fcalib,
+            pfcalib=pfcalib,
         )
     )
 
@@ -463,7 +498,7 @@ BUDGET = 1900  # driver captures only the LAST 2000 bytes of stdout
 
 def build_compact_line(total, timings, reps, streaming, sf, load=None,
                        spread=None, calib=None, pcalib=None, mcalib=None,
-                       pmcalib=None) -> str:
+                       pmcalib=None, fcalib=None, pfcalib=None) -> str:
     """Compact single line, truncation-proof: emit per-query timings in
     HEADLINE order until the serialized line would exceed the budget,
     then record how many were folded into the detail file. The BASE
@@ -508,6 +543,13 @@ def build_compact_line(total, timings, reps, streaming, sf, load=None,
         base["mcalib"] = mcalib
     if pmcalib is not None:
         base["pmcalib"] = pmcalib
+    if fcalib is not None:
+        # page-allocation (first-touch) denominators (r13): measured
+        # collapsing ~400x on this host class while resident-copy and
+        # cpu calibs stayed flat; never shed
+        base["fcalib"] = fcalib
+    if pfcalib is not None:
+        base["pfcalib"] = pfcalib
     compact = lambda obj: json.dumps(obj, separators=(",", ":"))  # noqa: E731
     if len(compact(base)) > BUDGET:
         # base alone overflows (streaming detail grew): keep only the
@@ -554,6 +596,10 @@ def build_compact_line(total, timings, reps, streaming, sf, load=None,
                 slim["mcalib"] = mcalib  # never shed either
             if pmcalib is not None:
                 slim["pmcalib"] = pmcalib  # never shed either
+            if fcalib is not None:
+                slim["fcalib"] = fcalib  # never shed either
+            if pfcalib is not None:
+                slim["pfcalib"] = pfcalib  # never shed either
             line = compact(slim)
     return line
 

@@ -109,38 +109,42 @@ def test_high_variance_queries_get_three_base_reps():
     assert bench.ADAPTIVE_SPREAD == 1.15
 
 
-def test_calib_quartet_survives_every_shed_tier(monkeypatch):
-    """r13 (r12 verdict item 1 + its first data point): the four host
-    denominators — calib/pcalib (CPU, 1-wide and N-wide) and
-    mcalib/pmcalib (DRAM bandwidth, same pair) — ride in the printed
-    line and are never shed. The quiet series is only cross-host
-    comparable next to them: r12 proved single-core calib blind to the
-    drift, and r13's first pcalib point proved the CPU pair blind too
-    (1.27x wall shift at flat calib AND pcalib), leaving bandwidth."""
+def test_calib_sextet_survives_every_shed_tier(monkeypatch):
+    """r13 (r12 verdict item 1 + its first data points): the six host
+    denominators — calib/pcalib (CPU, 1-wide and N-wide),
+    mcalib/pmcalib (resident DRAM bandwidth, same pair), and
+    fcalib/pfcalib (page-allocation first-touch, same pair) — ride in
+    the printed line and are never shed. The quiet series is only
+    cross-host comparable next to them: r12 proved single-core calib
+    blind to the drift; r13's first pcalib point proved the CPU pair
+    blind too (1.27x wall shift at flat calib AND pcalib); and the
+    same afternoon measured first-touch collapsing ~400x while
+    resident copies and both CPU calibs sat at idle values."""
     timings = {n: 1.234 for n in bench.HEADLINE}
     kw = dict(load=LOAD, spread=SPREAD, calib=0.1077, pcalib=0.2512,
-              mcalib=0.021, pmcalib=0.38)
-    # normal budget: all four present alongside full queries
+              mcalib=0.021, pmcalib=0.38, fcalib=0.31, pfcalib=9.5)
+    expect = (0.1077, 0.2512, 0.021, 0.38, 0.31, 9.5)
+    keys = ("calib", "pcalib", "mcalib", "pmcalib", "fcalib", "pfcalib")
+    # normal budget: all six present alongside full queries
     line = bench.build_compact_line(
         99.9, timings, 2, {"events_replay_rows_per_sec": 1.0}, 0.1, **kw)
     obj = json.loads(line)
-    assert (obj["calib"], obj["pcalib"], obj["mcalib"], obj["pmcalib"]) == (
-        0.1077, 0.2512, 0.021, 0.38)
-    # pathological metric-triple tier: still all four present
-    monkeypatch.setattr(bench, "BUDGET", 320)
+    assert tuple(obj[k] for k in keys) == expect
+    # pathological metric-triple tier: still all six present
+    monkeypatch.setattr(bench, "BUDGET", 360)
     line = bench.build_compact_line(
         99.9, timings, 2, {"events_replay_rows_per_sec": 1.0}, 0.1, **kw)
-    assert len(line) <= 320
+    assert len(line) <= 360
     obj = json.loads(line)
-    assert (obj["calib"], obj["pcalib"], obj["mcalib"], obj["pmcalib"]) == (
-        0.1077, 0.2512, 0.021, 0.38)
+    assert tuple(obj[k] for k in keys) == expect
     assert "queries" not in obj
 
 
 def test_calibrations_run_and_are_plausible():
-    """The four denominators must execute and sit in sane ranges: the
+    """The six denominators must execute and sit in sane ranges: the
     parallel CPU wall cannot beat one unloaded core running one task,
-    and the bandwidth copies are strictly positive and bounded."""
+    the fault time strictly contains the work of at least one copy,
+    and everything is strictly positive and bounded."""
     pcalib = bench.parallel_cpu_calibration()
     calib = bench.cpu_calibration()
     assert 0 < calib < 10
@@ -148,11 +152,14 @@ def test_calibrations_run_and_are_plausible():
     # parallel round marginally faster than the later single-core rep
     assert pcalib > calib * 0.8
     assert pcalib < 120
-    mcalib = bench.mem_calibration()
-    pmcalib = bench.parallel_mem_calibration()
+    fcalib, mcalib = bench.mem_calibrations()
+    pfcalib, pmcalib = bench.parallel_mem_calibrations()
     assert 0 < mcalib < 10
     assert pmcalib > mcalib * 0.8
     assert pmcalib < 120
+    # fault includes alloc + fill + one warm copy of the same buffer
+    assert fcalib > mcalib * 0.8
+    assert pfcalib > 0
     # the buffer global must not leak a 256 MiB array into the process
     assert bench._MEMBW_BUF is None
 
