@@ -22,15 +22,24 @@ def _fake_line(end_load1: float) -> str:
     })
 
 
-def _setup(monkeypatch, tmp_path, ambient_loads, start_quiet=True):
+def _setup(monkeypatch, tmp_path, ambient_loads, start_quiet=True,
+           faults=None):
     """ambient_loads: the post-cool-down 1-min loadavg samples the gate
     sees, one per attempt. The in-run end load in the fake line is
     always HIGH (7.9) — it is the bench's own load and must not be
     what the gate reads (the r11 lesson: r10's quiet run 'ended at
-    7.36' because load1 at run end is self-load)."""
+    7.36' because load1 at run end is self-load). ``faults``: the
+    post-cool-down fcalib samples, one per attempt (default: healthy
+    1.2 s every time)."""
     (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps({"queries": {}}))
     monkeypatch.setattr(quiet_bench, "REPO", str(tmp_path))
-    monkeypatch.setattr(quiet_bench, "wait_quiet", lambda *a, **k: start_quiet)
+    monkeypatch.setattr(
+        quiet_bench, "wait_quiet", lambda *a, **k: (start_quiet, 1.2)
+    )
+    fault_calls = iter(faults or [1.2] * len(ambient_loads))
+    monkeypatch.setattr(
+        quiet_bench, "measure_fault", lambda: next(fault_calls)
+    )
     monkeypatch.setattr(quiet_bench, "run_bench", lambda: (_fake_line(7.9), ""))
     monkeypatch.setattr(quiet_bench.time, "sleep", lambda s: None)
     calls = iter(ambient_loads)
@@ -47,6 +56,7 @@ def test_quiet_run_accepted_first_try(monkeypatch, tmp_path, capsys):
     assert out["quiet_gate"] == {
         "gate_load1": 1.5, "gate_met": True, "attempts": 1,
         "ambient_after_cooldown": 0.8, "cooldown_sec": 180,
+        "fault_gate_sec": 10.0, "fcalib_before": 1.2, "fcalib_after": 1.2,
     }
     assert out["printed_line"]["value"] == 65.4
     assert out["detail"] == {"queries": {}}
@@ -63,6 +73,37 @@ def test_loud_end_retries_then_accepts(monkeypatch, tmp_path):
     out = json.loads((tmp_path / "BENCH_QUIET_r11.json").read_text())
     assert out["quiet_gate"]["gate_met"] is True
     assert out["quiet_gate"]["attempts"] == 2
+
+
+def test_fault_pathology_retries_at_quiet_load(monkeypatch, tmp_path):
+    """r13: the load gate is BLIND to the page-supply pathology (fcalib
+    measured 114 s at load1 0.11). An attempt whose post-cool-down
+    fcalib breaches the fault gate must retry even though ambient load
+    is pristine, and the accepted attempt's samples are recorded."""
+    _setup(monkeypatch, tmp_path, [0.3, 0.4], faults=[87.2, 1.4])
+    monkeypatch.setattr(sys, "argv", ["quiet_bench.py", "--round", "13"])
+    assert quiet_bench.main() == 0
+    out = json.loads((tmp_path / "BENCH_QUIET_r13.json").read_text())
+    assert out["quiet_gate"]["gate_met"] is True
+    assert out["quiet_gate"]["attempts"] == 2
+    assert out["quiet_gate"]["fcalib_after"] == 1.4
+
+
+def test_fault_gate_disabled_skips_probe(monkeypatch, tmp_path):
+    """--fault-gate 0 must never call the probe (a 256 MiB alloc)."""
+    _setup(monkeypatch, tmp_path, [0.8])
+    monkeypatch.setattr(
+        quiet_bench, "measure_fault",
+        lambda: (_ for _ in ()).throw(AssertionError("probe called")),
+    )
+    monkeypatch.setattr(
+        sys, "argv",
+        ["quiet_bench.py", "--round", "13", "--fault-gate", "0"],
+    )
+    assert quiet_bench.main() == 0
+    out = json.loads((tmp_path / "BENCH_QUIET_r13.json").read_text())
+    assert out["quiet_gate"]["gate_met"] is True
+    assert out["quiet_gate"]["fcalib_after"] is None
 
 
 def test_never_quiet_persists_honest_flag(monkeypatch, tmp_path):

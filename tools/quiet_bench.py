@@ -44,15 +44,45 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def wait_quiet(gate: float, max_wait_sec: int, poll_sec: int = 30) -> bool:
+def measure_fault() -> float | None:
+    """First-touch page-allocation probe (bench.py's fcalib): seconds
+    to alloc + first-touch a fresh 256 MiB buffer and its copy dest.
+    The r13 discovery this gate exists for: page-supply throughput on
+    this host class collapses 10-400x at load1 ~0.1 — the LOAD gate is
+    blind to the single biggest distorter of Spark walls (a query
+    engine faults fresh pages continuously: JVM young gen, Arrow
+    batches, shuffle buffers). Under pathology the probe itself takes
+    ~1-2 min, which doubles as poll backoff. None = probe unavailable
+    (never blocks persisting a measurement)."""
+    try:
+        sys.path.insert(0, REPO)
+        import bench
+
+        return bench.mem_calibrations()[0]
+    except Exception as e:
+        print(f"fault probe unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return None
+
+
+def wait_quiet(gate: float, fault_gate: float, max_wait_sec: int,
+               poll_sec: int = 30) -> tuple[bool, float | None]:
+    """Wait until the box is quiet on BOTH axes: 1-min loadavg below
+    ``gate`` AND first-touch fault probe below ``fault_gate`` seconds
+    (0 disables the fault axis). Returns (quiet, last fault sample)."""
     t0 = time.time()
     while True:
         load1 = os.getloadavg()[0]
-        if load1 < gate:
-            return True
+        fault = measure_fault() if fault_gate > 0 else None
+        load_ok = load1 < gate
+        fault_ok = fault is None or fault < fault_gate
+        if load_ok and fault_ok:
+            return True, fault
         if time.time() - t0 > max_wait_sec:
-            return False
-        print(f"load1={load1:.2f} >= gate {gate}; waiting...", file=sys.stderr)
+            return False, fault
+        print(f"load1={load1:.2f} (gate {gate}) fcalib="
+              f"{'n/a' if fault is None else f'{fault:.1f}s'} "
+              f"(gate {fault_gate}s); waiting...", file=sys.stderr)
         time.sleep(poll_sec)
 
 
@@ -92,13 +122,20 @@ def main() -> int:
                     help="idle seconds before sampling post-run ambient "
                     "load (lets the bench's own load1 contribution "
                     "decay to ~5%)")
+    ap.add_argument("--fault-gate", type=float, default=10.0,
+                    help="first-touch page-allocation gate in seconds "
+                    "(bench fcalib probe; healthy ~0.5-2 s on this VM "
+                    "class, pathological 60-114 s — clearly bimodal). "
+                    "The run must start AND end under it. 0 disables.")
     args = ap.parse_args()
 
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
     attempt, line, detail, gate_met, ambient_after = 0, None, None, False, None
+    fault_before = fault_after = None
     while attempt <= args.retries:
         attempt += 1
-        started_quiet = wait_quiet(args.gate, args.max_wait_sec)
+        started_quiet, fault_before = wait_quiet(
+            args.gate, args.fault_gate, args.max_wait_sec)
         # Keep the last non-None line: a retry whose run prints no JSON
         # must not erase an earlier attempt's valid (possibly
         # gate-passing) measurement.
@@ -122,9 +159,14 @@ def main() -> int:
             continue
         time.sleep(args.cooldown_sec)
         ambient_after = round(os.getloadavg()[0], 2)
-        gate_met = bool(started_quiet and ambient_after < args.gate)
+        fault_after = measure_fault() if args.fault_gate > 0 else None
+        fault_ok = fault_after is None or fault_after < args.fault_gate
+        gate_met = bool(
+            started_quiet and ambient_after < args.gate and fault_ok
+        )
         print(f"attempt {attempt}: start_quiet={started_quiet} "
-              f"ambient_after_cooldown={ambient_after} gate_met={gate_met}",
+              f"ambient_after_cooldown={ambient_after} "
+              f"fcalib_after={fault_after} gate_met={gate_met}",
               file=sys.stderr)
         if gate_met:
             break
@@ -140,6 +182,9 @@ def main() -> int:
             "attempts": attempt,
             "ambient_after_cooldown": ambient_after,
             "cooldown_sec": args.cooldown_sec,
+            "fault_gate_sec": args.fault_gate,
+            "fcalib_before": fault_before,
+            "fcalib_after": fault_after,
         },
         "printed_line": json.loads(line),
         "detail": detail,
