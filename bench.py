@@ -25,6 +25,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one representative per operator family (full inventory
 # runs in the correctness gate; bench tracks the scale-relevant ones).
+# Emission order = print priority: the compact line sheds from the TAIL
+# when the budget bites (~47-51 printed of 105). r13 verdict item 8:
+# the three most expensive detail-file queries (files_avro_snappy,
+# text_bpe_fertility, streaming_checkpoint_recovery) sat past the shed
+# point, so the printed line missed the true top of the cost
+# distribution — they were SWAPPED in place with three cheap early
+# slots (sort_topk_global, join_asof, sample_weighted), which is why
+# three names sit outside their round-comment blocks below.
 HEADLINE = [
     "ref_kafka_pipeline",
     "q1_pricing_summary",
@@ -37,10 +45,10 @@ HEADLINE = [
     "agg_rollup",
     "join_broadcast_dim",
     "window_topk_per_group",
-    "sort_topk_global",
+    "streaming_checkpoint_recovery",
     "events_tumbling_hour",
     "events_session_window",
-    "join_asof",
+    "text_bpe_fertility",
     "rollup_multiresolution",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -64,7 +72,7 @@ HEADLINE = [
     "ann_ivf_pq",
     "text_gopher_rules",
     "events_path_analysis",
-    "sample_weighted",
+    "files_avro_snappy",
     "streaming_static_join",
     "text_domain_mix",
     "dedup_source_overlap",
@@ -84,7 +92,7 @@ HEADLINE = [
     "files_partitioned_pruning",
     "streaming_parquet_sink",
     "agg_histogram",
-    "streaming_checkpoint_recovery",
+    "sort_topk_global",
     "text_seq_dedup",
     "text_source_contrast",
     "pipeline_curation_v3",
@@ -128,11 +136,11 @@ HEADLINE = [
     "pipeline_drift_psi",
     "sample_importance_dsir",
     "streaming_drift_psi",
-    "text_bpe_fertility",
+    "join_asof",
     "multimodal_bmp_decode",
     # round-6 additions
     "files_avro_deflate",
-    "files_avro_snappy",
+    "sample_weighted",
     "multimodal_png_decode",
     "multimodal_wav_decode",
     "multimodal_jpeg_decode",

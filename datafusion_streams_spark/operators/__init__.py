@@ -747,72 +747,6 @@ ROTATED_IN_R11: tuple[str, ...] = (
     "events_hysteresis_alerts",
 )
 
-# r12 window (executes the plan the r11 verdict pinned): lead with the
-# 4 queries r12 changes — the connected-components fixpoint gained a
-# pointer-doubling step (dedup.min_label_components: O(log diameter)
-# rounds instead of O(diameter); same fixpoint, but the driver should
-# re-hash every label consumer first) — then the 31 remaining r6 rows
-# (the whole tail), then oldest-green fill from the alphabetical head
-# of the r7 rows. After this window lands green, no driver row
-# anywhere predates r7 and the 6-round refresh period (COVERAGE.md)
-# holds exactly.
-# Registry growth this round: 0 (freeze, round 8 of the discipline).
-ROTATED_IN_R12: tuple[str, ...] = (
-    # changed this round (4): pointer-doubling components fixpoint
-    "dedup_components",
-    "dedup_component_stats",
-    "dedup_rewrite_map",
-    "dedup_embedding_cosine",
-    # all 31 remaining r6 rows (alphabetical)
-    "events_inter_arrival",
-    "events_markov_transitions",
-    "events_new_vs_returning",
-    "events_pattern_match",
-    "events_peak_concurrency",
-    "events_rfm_segmentation",
-    "events_scd2_compress",
-    "events_seasonality",
-    "events_time_to_convert",
-    "events_value_trend",
-    "graph_pagerank_transitions",
-    "join_asof_forward",
-    "join_asof_nearest",
-    "join_asof_tolerance",
-    "join_interval_overlap",
-    "join_market_basket",
-    "join_point_in_time",
-    "sql_lateral_topk",
-    "text_code_detect",
-    "text_collocations_pmi",
-    "text_dataset_card",
-    "text_feature_hashing",
-    "text_line_dedup",
-    "text_readability",
-    "text_source_contrast",
-    "text_zipf_fit",
-    "timeseries_gap_fill",
-    "timeseries_ohlc_bars",
-    "timeseries_resample_interpolate",
-    "window_equidepth_buckets",
-    "window_moving_avg",
-    # oldest-green fill: alphabetical head of the r7 rows
-    "agg_boolean_battery",
-    "agg_grouping_id",
-    "agg_mode_tiebreak",
-    "agg_string_concat_ordered",
-    "ann_topk_bruteforce",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_sessionize",
-    "files_pysink_manifest",
-    "join_full_outer",
-    "join_null_safe",
-    "multimodal_bmp_decode",
-    "multimodal_frame_sample",
-)
-
 # r13 window (executes the plan written above + r12 verdict item 2):
 # lead with the 5 queries r13 changes — the components fixpoint's
 # pointer-doubling round now caches the propagation relation so both
@@ -882,10 +816,75 @@ ROTATED_IN_R13: tuple[str, ...] = (
     "q2_min_cost_supplier",
 )
 
-# r14 window plan (steady state): lead with anything r14 changes, then
-# the remaining 19 r8 rows (q3_shipping_priority onward), then
-# oldest-green fill from the alphabetical head of the r9 rows.
-VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R13
+# r14 window (executes the plan written above, verbatim): r14 changed
+# NO query code (the round's edits are bench/tooling — quiet-bench gate
+# hygiene, the scale-probe calibration sextet, and the HEADLINE print
+# priority — none touch a plan or a result), so the changed-first slot
+# count is 0 and the window is pure rotation: all 19 remaining r8 rows
+# (q3_shipping_priority onward — the r8 drain completes), then
+# oldest-green fill from the alphabetical head of the 48 r9 rows (31).
+# After this window lands green, no driver row anywhere predates r9 and
+# the 6-round refresh period (COVERAGE.md) holds exactly.
+# Registry growth this round: 0 (freeze, round 10 of the discipline).
+ROTATED_IN_R14: tuple[str, ...] = (
+    # all 19 remaining r8 rows (alphabetical)
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "ref_kafka_datasource_pipeline",
+    "scalar_array_pack",
+    "scalar_conditional_pack",
+    "scalar_date_pack",
+    "scalar_math_pack",
+    "set_except",
+    "set_intersect",
+    "sql_grouping_sets",
+    "streaming_dedup_keys",
+    "text_fingerprint",
+    "text_langid",
+    "text_tfidf_topterms",
+    "text_token_stats",
+    "window_topk_per_group",
+    # oldest-green fill: alphabetical head of the 48 r9 rows (31)
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_approx_top_k",
+    "agg_heavy_hitters",
+    "agg_hll_mergeable",
+    "agg_salted_skew",
+    "agg_skew_kurtosis",
+    "ann_ivf_probe",
+    "ann_pq_adc",
+    "dedup_containment",
+    "dedup_minhash_estimate_error",
+    "dedup_novelty_curve",
+    "dedup_semantic_clusters",
+    "dedup_source_overlap",
+    "embedding_norm_audit",
+    "events_anomaly_mad",
+    "events_anomaly_zscore",
+    "events_audience_overlap",
+    "events_funnel",
+    "events_session_window",
+    "events_sliding_window",
+    "files_avro_deflate",
+    "files_avro_roundtrip",
+    "files_avro_snappy",
+    "filter_project_pushdown",
+    "join_left_anti",
+    "join_left_outer_agg",
+    "join_left_semi",
+    "lateral_explode_tokens",
+    "multimodal_audio_windows",
+    "pipeline_token_packing",
+)
+
+# r15 window plan (steady state): lead with anything r15 changes, then
+# the remaining 17 r9 rows (q11_important_stock onward), then
+# oldest-green fill from the alphabetical head of the r10 rows.
+VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R14
 
 
 def _prioritize() -> None:

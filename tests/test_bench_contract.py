@@ -141,25 +141,24 @@ def test_calib_sextet_survives_every_shed_tier(monkeypatch):
 
 
 def test_calibrations_run_and_are_plausible():
-    """The six denominators must execute and sit in sane ranges: the
-    parallel CPU wall cannot beat one unloaded core running one task,
-    the fault time strictly contains the work of at least one copy,
-    and everything is strictly positive and bounded."""
+    """The six denominators must execute, return strictly positive
+    bounded numbers, and not leak the 256 MiB buffer. NO cross-pair
+    ordering assertions (r13 ADVICE): calib/pcalib and mcalib/pmcalib
+    are sampled at different instants, so a co-tenant burst during the
+    single-core reps — the exact drift r12/r13 document — can inflate
+    calib past pcalib and flake the suite. The denominators exist to
+    MEASURE that noise, not to be stable under it; only positivity and
+    generous upper bounds are contract."""
     pcalib = bench.parallel_cpu_calibration()
     calib = bench.cpu_calibration()
-    assert 0 < calib < 10
-    # allow 20% jitter below: scheduler placement can make the timed
-    # parallel round marginally faster than the later single-core rep
-    assert pcalib > calib * 0.8
-    assert pcalib < 120
+    assert 0 < calib < 60
+    assert 0 < pcalib < 600
     fcalib, mcalib = bench.mem_calibrations()
     pfcalib, pmcalib = bench.parallel_mem_calibrations()
-    assert 0 < mcalib < 10
-    assert pmcalib > mcalib * 0.8
-    assert pmcalib < 120
-    # fault includes alloc + fill + one warm copy of the same buffer
-    assert fcalib > mcalib * 0.8
-    assert pfcalib > 0
+    assert 0 < mcalib < 60
+    assert 0 < pmcalib < 600
+    assert 0 < fcalib < 600
+    assert 0 < pfcalib < 600
     # the buffer global must not leak a 256 MiB array into the process
     assert bench._MEMBW_BUF is None
 

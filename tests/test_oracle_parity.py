@@ -46,24 +46,23 @@ def test_registry_complete():
     assert set(o) <= set(q)
 
 
-def test_verified_prefix_is_the_r13_rotation():
+def test_verified_prefix_is_the_r14_rotation():
     """The driver hard-verifies only the first 50 registry slots. The
-    round-13 window (r12 verdict item #2) leads with the five queries
-    r13 changed (the doubling round's propagation relation is now
-    cached so both legs read one execution, and sessionize's pipeline
-    construction moved into the shared sessionize_updates helper —
-    same results, re-hash every consumer first), then all 24 remaining
-    r7 rows, then the alphabetical head of the r8 rows — after
-    CORRECTNESS_r13 lands, no driver row anywhere predates r8, holding
-    the ~6-round full-refresh cadence documented in COVERAGE.md."""
+    round-14 window (r13 verdict item #2) is pure rotation — r14
+    changed no query code (the round's edits are bench/tooling), so
+    the changed-first slot count is 0: all 19 remaining r8 rows
+    (q3_shipping_priority onward — the r8 drain completes), then the
+    alphabetical head of the r9 rows (31). After CORRECTNESS_r14
+    lands, no driver row anywhere predates r9, holding the ~6-round
+    full-refresh cadence documented in COVERAGE.md."""
     import json
     import os
 
-    from datafusion_streams_spark.operators import ROTATED_IN_R13, VERIFIED_FIRST
+    from datafusion_streams_spark.operators import ROTATED_IN_R14, VERIFIED_FIRST
 
     names = list(REGISTRY)
     assert len(VERIFIED_FIRST) == 50
-    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R13)
+    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R14)
 
     window = names[:50]
     # r9 milestone, held: NOTHING in the registry is rows-only —
@@ -71,18 +70,12 @@ def test_verified_prefix_is_the_r13_rotation():
     rows_only = [n for n in REGISTRY if REGISTRY[n].oracle is None]
     assert rows_only == [], rows_only
 
-    # changed-first discipline: the queries r13 touched lead the window
-    assert window[:5] == [
-        "dedup_components",
-        "dedup_component_stats",
-        "dedup_rewrite_map",
-        "dedup_embedding_cosine",
-        "streaming_sessionize_state",
-    ]
+    # pure-rotation discipline: the r8 drain leads the window
+    assert window[0] == "q3_shipping_priority"
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_green: dict = {}
-    for rnd in range(1, 13):
+    for rnd in range(1, 14):
         f = os.path.join(repo, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(f):
             for name, row in json.load(open(f)).items():
@@ -93,9 +86,9 @@ def test_verified_prefix_is_the_r13_rotation():
         # hash-never-green any more
         never_hash = set(REGISTRY) - set(last_green)
         assert never_hash == set(), sorted(never_hash)
-        # the r7 drain: every row whose last driver green predates
-        # r8 must sit inside this window
-        stale = [n for n, r in last_green.items() if r <= 7 and n in REGISTRY]
+        # the r8 drain: every row whose last driver green predates
+        # r9 must sit inside this window
+        stale = [n for n, r in last_green.items() if r <= 8 and n in REGISTRY]
         assert set(stale) <= set(window), sorted(set(stale) - set(window))
 
 

@@ -57,6 +57,7 @@ def test_quiet_run_accepted_first_try(monkeypatch, tmp_path, capsys):
         "gate_load1": 1.5, "gate_met": True, "attempts": 1,
         "ambient_after_cooldown": 0.8, "cooldown_sec": 180,
         "fault_gate_sec": 10.0, "fcalib_before": 1.2, "fcalib_after": 1.2,
+        "fault_probe_ok": True,
     }
     assert out["printed_line"]["value"] == 65.4
     assert out["detail"] == {"queries": {}}
@@ -104,6 +105,23 @@ def test_fault_gate_disabled_skips_probe(monkeypatch, tmp_path):
     out = json.loads((tmp_path / "BENCH_QUIET_r13.json").read_text())
     assert out["quiet_gate"]["gate_met"] is True
     assert out["quiet_gate"]["fcalib_after"] is None
+    # disabled gate: the null fcalib is EXPECTED, not a probe failure
+    assert out["quiet_gate"]["fault_probe_ok"] is True
+
+
+def test_probe_failure_is_distinguishable(monkeypatch, tmp_path):
+    """r13 ADVICE: fault gate ENABLED but measure_fault() fails (e.g.
+    numpy import error) -> the run must still persist (the probe can
+    never block a measurement), but the record must NOT read like a
+    passed or disabled fault gate: fault_probe_ok=False tells a judge
+    the fault axis went unverified on this run."""
+    _setup(monkeypatch, tmp_path, [0.8], faults=[None])
+    monkeypatch.setattr(sys, "argv", ["quiet_bench.py", "--round", "14"])
+    assert quiet_bench.main() == 0
+    out = json.loads((tmp_path / "BENCH_QUIET_r14.json").read_text())
+    assert out["quiet_gate"]["gate_met"] is True  # load axis still held
+    assert out["quiet_gate"]["fcalib_after"] is None
+    assert out["quiet_gate"]["fault_probe_ok"] is False
 
 
 def test_never_quiet_persists_honest_flag(monkeypatch, tmp_path):

@@ -55,7 +55,8 @@ def measure_fault() -> float | None:
     ~1-2 min, which doubles as poll backoff. None = probe unavailable
     (never blocks persisting a measurement)."""
     try:
-        sys.path.insert(0, REPO)
+        if REPO not in sys.path:  # r13 ADVICE: polled every ~30 s —
+            sys.path.insert(0, REPO)  # don't grow sys.path unbounded
         import bench
 
         return bench.mem_calibrations()[0]
@@ -73,8 +74,13 @@ def wait_quiet(gate: float, fault_gate: float, max_wait_sec: int,
     t0 = time.time()
     while True:
         load1 = os.getloadavg()[0]
-        fault = measure_fault() if fault_gate > 0 else None
         load_ok = load1 < gate
+        # r13 ADVICE: check the free load axis FIRST — when load is
+        # already over the gate each poll must not pay the 256 MiB
+        # first-touch probe (up to ~1-2 min under the very pathology
+        # being gated). The probe runs only once load passes, where its
+        # pathological duration still doubles as poll backoff.
+        fault = measure_fault() if (load_ok and fault_gate > 0) else None
         fault_ok = fault is None or fault < fault_gate
         if load_ok and fault_ok:
             return True, fault
@@ -185,6 +191,16 @@ def main() -> int:
             "fault_gate_sec": args.fault_gate,
             "fcalib_before": fault_before,
             "fcalib_after": fault_after,
+            # r13 ADVICE: with the fault gate ENABLED, a failed probe
+            # (measure_fault -> None) leaves fault_ok True and
+            # fcalib_after null — indistinguishable from a disabled
+            # gate. This flag separates 'probe passed' (True, value
+            # present) / 'gate disabled' (True, gate 0) from 'probe
+            # never ran' (False): gate_met then rode the load axis
+            # alone and the fault axis is UNVERIFIED for this run.
+            "fault_probe_ok": bool(
+                args.fault_gate <= 0 or fault_after is not None
+            ),
         },
         "printed_line": json.loads(line),
         "detail": detail,

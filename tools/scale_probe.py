@@ -54,6 +54,31 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+CALIB_FIELDS = ("calib", "pcalib", "mcalib", "pmcalib", "fcalib", "pfcalib")
+
+
+def host_calibrations() -> dict:
+    """The full calibration sextet (bench.py's denominators), measured
+    BEFORE the SparkSession exists (bench.py's rule — JVM background
+    threads pollute them). r13 taught this twice: the full r13 probe
+    run read walls ~1.5-2x the r12 run at IDENTICAL single-core calib
+    (0.1075 vs 0.1077) — the parallel-throughput drift pcalib exposes —
+    and the same afternoon first-touch page allocation collapsed ~400x
+    (fcalib 0.5 s -> 39.7 s) at flat CPU calibs, the host page-supply
+    pathology no CPU-bound denominator can see. Probe walls are only
+    cross-round comparable next to ALL SIX (r13 verdict item 3: bench
+    lines already carry the sextet; probe artifacts get the same
+    annotation so a pathological host is attributable in-artifact)."""
+    import bench
+
+    calib = bench.cpu_calibration()
+    pcalib = bench.parallel_cpu_calibration()
+    fcalib, mcalib = bench.mem_calibrations()
+    pfcalib, pmcalib = bench.parallel_mem_calibrations()
+    vals = (calib, pcalib, mcalib, pmcalib, fcalib, pfcalib)
+    return dict(zip(CALIB_FIELDS, vals))
+
+
 def _min_of(n: int, fn) -> float:
     runs = []
     for _ in range(n):
@@ -814,16 +839,7 @@ def main() -> int:
                     "cc_chain): run just these")
     args = ap.parse_args()
 
-    # Host-speed denominators, measured BEFORE the SparkSession exists
-    # (bench.py's rule — JVM background threads pollute them). r13: the
-    # full r13 probe run read walls ~2x the r12 run at IDENTICAL
-    # single-core calib (0.1075 vs 0.1077) — exactly the parallel-
-    # throughput drift pcalib exists to expose; probe walls are only
-    # cross-round comparable next to this pair.
-    import bench
-
-    host_calib = bench.cpu_calibration()
-    host_pcalib = bench.parallel_cpu_calibration()
+    host = host_calibrations()
 
     from datafusion_streams_spark import get_session
 
@@ -863,8 +879,7 @@ def main() -> int:
         "sf_dir": args.sf_dir,
         "cpus": args.cpus,
         "reps": args.reps,
-        "calib": host_calib,
-        "pcalib": host_pcalib,
+        **host,
     }
     print(json.dumps(result, separators=(",", ":")))
     return 0
