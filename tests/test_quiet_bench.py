@@ -14,23 +14,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 import quiet_bench  # noqa: E402
 
 
-def _fake_line(end_load1: float) -> str:
+def _fake_line(end_load1: float, total: float = 65.4) -> str:
     return json.dumps({
-        "metric": "headline_queries_total_wall_clock", "value": 65.4,
+        "metric": "headline_queries_total_wall_clock", "value": total,
         "unit": "sec", "sf": 0.1,
         "load": [0.4, 0.5, 0.6, end_load1, 1.0, 1.1],
     })
 
 
 def _setup(monkeypatch, tmp_path, ambient_loads, start_quiet=True,
-           faults=None):
+           faults=None, totals=None):
     """ambient_loads: the post-cool-down 1-min loadavg samples the gate
     sees, one per attempt. The in-run end load in the fake line is
     always HIGH (7.9) — it is the bench's own load and must not be
     what the gate reads (the r11 lesson: r10's quiet run 'ended at
     7.36' because load1 at run end is self-load). ``faults``: the
     post-cool-down fcalib samples, one per attempt (default: healthy
-    1.2 s every time)."""
+    1.2 s every time). ``totals``: per-attempt bench totals (default:
+    65.4 every time)."""
     (tmp_path / "BENCH_DETAIL.json").write_text(json.dumps({"queries": {}}))
     monkeypatch.setattr(quiet_bench, "REPO", str(tmp_path))
     monkeypatch.setattr(
@@ -40,7 +41,11 @@ def _setup(monkeypatch, tmp_path, ambient_loads, start_quiet=True,
     monkeypatch.setattr(
         quiet_bench, "measure_fault", lambda: next(fault_calls)
     )
-    monkeypatch.setattr(quiet_bench, "run_bench", lambda: (_fake_line(7.9), ""))
+    total_calls = iter(totals or [65.4] * len(ambient_loads))
+    monkeypatch.setattr(
+        quiet_bench, "run_bench",
+        lambda: (_fake_line(7.9, next(total_calls)), ""),
+    )
     monkeypatch.setattr(quiet_bench.time, "sleep", lambda s: None)
     calls = iter(ambient_loads)
     monkeypatch.setattr(
@@ -55,6 +60,8 @@ def test_quiet_run_accepted_first_try(monkeypatch, tmp_path, capsys):
     out = json.loads((tmp_path / "BENCH_QUIET_r11.json").read_text())
     assert out["quiet_gate"] == {
         "gate_load1": 1.5, "gate_met": True, "attempts": 1,
+        "kept_attempt": 1,
+        "attempt_totals": [{"attempt": 1, "total": 65.4, "gate_met": True}],
         "ambient_after_cooldown": 0.8, "cooldown_sec": 180,
         "fault_gate_sec": 10.0, "fcalib_before": 1.2, "fcalib_after": 1.2,
         "fault_probe_ok": True,
@@ -133,3 +140,36 @@ def test_never_quiet_persists_honest_flag(monkeypatch, tmp_path):
     out = json.loads((tmp_path / "BENCH_QUIET_r11.json").read_text())
     assert out["quiet_gate"]["gate_met"] is False
     assert out["quiet_gate"]["attempts"] == 3
+
+
+def test_gate_failed_attempts_keep_min_total(monkeypatch, tmp_path, capsys):
+    """r14 (mechanizing the r13 close-out's hand-applied policy): when
+    every attempt fails the gate, the persisted run is the MINIMUM
+    total, not the last (the r14 close-out lost two attempts' totals
+    to last-wins), and every attempt's total stays recorded."""
+    _setup(monkeypatch, tmp_path, [7.2, 6.8, 9.1],
+           totals=[88.3, 71.2, 95.0])
+    monkeypatch.setattr(sys, "argv", ["quiet_bench.py", "--round", "14"])
+    assert quiet_bench.main() == 3
+    out = json.loads((tmp_path / "BENCH_QUIET_r14.json").read_text())
+    assert out["printed_line"]["value"] == 71.2
+    assert out["quiet_gate"]["kept_attempt"] == 2
+    assert [t["total"] for t in out["quiet_gate"]["attempt_totals"]] == \
+        [88.3, 71.2, 95.0]
+    # the re-printed stdout line is the kept (min) one
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(last)["value"] == 71.2
+
+
+def test_gate_met_beats_faster_gate_failed(monkeypatch, tmp_path):
+    """A gate-met run wins over a FASTER gate-failed one: the gate
+    exists because loud totals aren't trustworthy numbers — a lucky-
+    looking low total measured under a breached gate must not
+    outrank a clean measurement."""
+    _setup(monkeypatch, tmp_path, [7.2, 0.9], totals=[60.1, 70.5])
+    monkeypatch.setattr(sys, "argv", ["quiet_bench.py", "--round", "14"])
+    assert quiet_bench.main() == 0
+    out = json.loads((tmp_path / "BENCH_QUIET_r14.json").read_text())
+    assert out["quiet_gate"]["gate_met"] is True
+    assert out["quiet_gate"]["kept_attempt"] == 2
+    assert out["printed_line"]["value"] == 70.5

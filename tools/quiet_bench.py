@@ -25,9 +25,14 @@ load-CONTROLLED:
      erases the quiet truth: BENCH_QUIET_r{N}.json (full detail +
      printed line + gate metadata) at the repo root.
 
-If the box never goes quiet within the budget, the LAST run is
+If the box never goes quiet within the budget, the BEST run is
 persisted with ``"gate_met": false`` — an honest loud number beats no
-number, and the flag tells the judge which it was.
+number, and the flag tells the judge which it was. Across attempts
+the wrapper applies run-level min-of-N (r14, mechanizing the policy
+the r13 close-out applied by hand): a gate-met run wins over any
+gate-failed one, and among gate-equivalent runs the lowest total wins
+(ambient noise only ever adds wall time); every attempt's total stays
+recorded in ``attempt_totals`` so nothing is lost to last-wins.
 
     python tools/quiet_bench.py --round 11
 """
@@ -136,33 +141,31 @@ def main() -> int:
     args = ap.parse_args()
 
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
-    attempt, line, detail, gate_met, ambient_after = 0, None, None, False, None
-    fault_before = fault_after = None
+    attempt = 0
+    candidates: list[dict] = []
     while attempt <= args.retries:
         attempt += 1
         started_quiet, fault_before = wait_quiet(
             args.gate, args.fault_gate, args.max_wait_sec)
-        # Keep the last non-None line: a retry whose run prints no JSON
-        # must not erase an earlier attempt's valid (possibly
-        # gate-passing) measurement.
+        # A retry whose run prints no JSON must not erase an earlier
+        # attempt's valid measurement — only line-bearing attempts
+        # become candidates.
         new_line, _tail = run_bench()
-        if new_line is not None:
-            line = new_line
-            # Snapshot BENCH_DETAIL.json NOW, paired with this line: a
-            # later attempt can overwrite the detail file and then die
-            # before printing its own line (crash/timeout between
-            # bench.py's detail write and print), and re-reading at the
-            # end would pair this line with a different run's detail
-            # (r12 ADVICE).
-            try:
-                with open(detail_path) as f:
-                    detail = json.load(f)
-            except Exception as e:  # keep the line even if detail is gone
-                detail = {"DETAIL_UNAVAILABLE": f"{type(e).__name__}: {e}"}
         if new_line is None:
             print(f"attempt {attempt}: bench printed no JSON line",
                   file=sys.stderr)
             continue
+        # Snapshot BENCH_DETAIL.json NOW, paired with this line: a
+        # later attempt can overwrite the detail file and then die
+        # before printing its own line (crash/timeout between
+        # bench.py's detail write and print), and re-reading at the
+        # end would pair this line with a different run's detail
+        # (r12 ADVICE).
+        try:
+            with open(detail_path) as f:
+                detail = json.load(f)
+        except Exception as e:  # keep the line even if detail is gone
+            detail = {"DETAIL_UNAVAILABLE": f"{type(e).__name__}: {e}"}
         time.sleep(args.cooldown_sec)
         ambient_after = round(os.getloadavg()[0], 2)
         fault_after = measure_fault() if args.fault_gate > 0 else None
@@ -170,27 +173,54 @@ def main() -> int:
         gate_met = bool(
             started_quiet and ambient_after < args.gate and fault_ok
         )
+        parsed = json.loads(new_line)
+        candidates.append({
+            "attempt": attempt,
+            "line": new_line,
+            "parsed": parsed,
+            "detail": detail,
+            "total": float(parsed.get("value", float("inf"))),
+            "gate_met": gate_met,
+            "ambient_after": ambient_after,
+            "fault_before": fault_before,
+            "fault_after": fault_after,
+        })
         print(f"attempt {attempt}: start_quiet={started_quiet} "
               f"ambient_after_cooldown={ambient_after} "
-              f"fcalib_after={fault_after} gate_met={gate_met}",
-              file=sys.stderr)
+              f"fcalib_after={fault_after} gate_met={gate_met} "
+              f"total={parsed.get('value')}", file=sys.stderr)
         if gate_met:
             break
 
-    if line is None:
+    if not candidates:
         print("no bench line produced; nothing persisted", file=sys.stderr)
         return 1
+
+    # Run-level min-of-N (the r13 close-out applied this by hand; r14
+    # mechanizes it after losing two attempts' totals to last-wins):
+    # a gate-met run beats any gate-failed one regardless of total —
+    # the gate exists because loud totals aren't trustworthy numbers —
+    # and among gate-equivalent runs the lowest total wins (ambient
+    # noise only ever ADDS wall time; the minimum is the least
+    # contaminated sample).
+    gate_ok = [c for c in candidates if c["gate_met"]]
+    best = min(gate_ok or candidates, key=lambda c: c["total"])
 
     out = {
         "quiet_gate": {
             "gate_load1": args.gate,
-            "gate_met": gate_met,
+            "gate_met": best["gate_met"],
             "attempts": attempt,
-            "ambient_after_cooldown": ambient_after,
+            "kept_attempt": best["attempt"],
+            "attempt_totals": [
+                {"attempt": c["attempt"], "total": c["total"],
+                 "gate_met": c["gate_met"]} for c in candidates
+            ],
+            "ambient_after_cooldown": best["ambient_after"],
             "cooldown_sec": args.cooldown_sec,
             "fault_gate_sec": args.fault_gate,
-            "fcalib_before": fault_before,
-            "fcalib_after": fault_after,
+            "fcalib_before": best["fault_before"],
+            "fcalib_after": best["fault_after"],
             # r13 ADVICE: with the fault gate ENABLED, a failed probe
             # (measure_fault -> None) leaves fault_ok True and
             # fcalib_after null — indistinguishable from a disabled
@@ -199,20 +229,21 @@ def main() -> int:
             # never ran' (False): gate_met then rode the load axis
             # alone and the fault axis is UNVERIFIED for this run.
             "fault_probe_ok": bool(
-                args.fault_gate <= 0 or fault_after is not None
+                args.fault_gate <= 0 or best["fault_after"] is not None
             ),
         },
-        "printed_line": json.loads(line),
-        "detail": detail,
+        "printed_line": best["parsed"],
+        "detail": best["detail"],
     }
     quiet_path = os.path.join(REPO, f"BENCH_QUIET_r{args.round:02d}.json")
     with open(quiet_path, "w") as f:
         json.dump(out, f, indent=1)
     # the driver parses the LAST line of stdout; print the accepted line
     # so this wrapper can stand in for bench.py in the round-close loop
-    print(line)
-    print(f"persisted {quiet_path} (gate_met={gate_met})", file=sys.stderr)
-    return 0 if gate_met else 3
+    print(best["line"])
+    print(f"persisted {quiet_path} (gate_met={best['gate_met']}, "
+          f"kept attempt {best['attempt']} of {attempt})", file=sys.stderr)
+    return 0 if best["gate_met"] else 3
 
 
 if __name__ == "__main__":
