@@ -161,6 +161,47 @@ def test_gate_failed_attempts_keep_min_total(monkeypatch, tmp_path, capsys):
     assert json.loads(last)["value"] == 71.2
 
 
+def test_malformed_line_discarded_keeps_earlier(monkeypatch, tmp_path):
+    """r14 ADVICE: a truncated/malformed JSON line (bench killed
+    mid-print) must not crash the wrapper — it is discarded like the
+    no-line path and earlier valid candidates still persist."""
+    _setup(monkeypatch, tmp_path, [7.2, 7.2])
+    lines = iter([_fake_line(7.9, 88.3),
+                  '{"metric": "headline_quer',  # truncated mid-print
+                  _fake_line(7.9, 92.0)])
+    monkeypatch.setattr(quiet_bench, "run_bench",
+                        lambda: (next(lines), ""))
+    monkeypatch.setattr(sys, "argv", ["quiet_bench.py", "--round", "15"])
+    assert quiet_bench.main() == 3
+    out = json.loads((tmp_path / "BENCH_QUIET_r15.json").read_text())
+    assert out["printed_line"]["value"] == 88.3
+    assert [t["total"] for t in out["quiet_gate"]["attempt_totals"]] == \
+        [88.3, 92.0]
+
+
+def test_nonnumeric_value_ranks_last_serializes_null(monkeypatch, tmp_path):
+    """r14 ADVICE: a line whose "value" is missing/non-numeric must not
+    raise mid-loop, must rank LAST (never outrank a measured total),
+    and must serialize as null — never the non-standard `Infinity`
+    token that breaks strict-JSON consumers of the artifact."""
+    _setup(monkeypatch, tmp_path, [7.2, 7.2])
+    bad = json.dumps({"metric": "headline_queries_total_wall_clock",
+                      "value": "oops", "unit": "sec", "sf": 0.1})
+    lines = iter([bad, _fake_line(7.9, 90.0)])
+    monkeypatch.setattr(quiet_bench, "run_bench",
+                        lambda: (next(lines), ""))
+    monkeypatch.setattr(sys, "argv", ["quiet_bench.py", "--round", "15",
+                                      "--retries", "1"])
+    assert quiet_bench.main() == 3
+    raw = (tmp_path / "BENCH_QUIET_r15.json").read_text()
+    assert "Infinity" not in raw
+    out = json.loads(raw)
+    assert out["printed_line"]["value"] == 90.0
+    assert out["quiet_gate"]["kept_attempt"] == 2
+    assert [t["total"] for t in out["quiet_gate"]["attempt_totals"]] == \
+        [None, 90.0]
+
+
 def test_gate_met_beats_faster_gate_failed(monkeypatch, tmp_path):
     """A gate-met run wins over a FASTER gate-failed one: the gate
     exists because loud totals aren't trustworthy numbers — a lucky-

@@ -155,6 +155,17 @@ def main() -> int:
             print(f"attempt {attempt}: bench printed no JSON line",
                   file=sys.stderr)
             continue
+        # r14 ADVICE: a truncated/malformed line (bench killed
+        # mid-print) must not crash the wrapper and lose earlier valid
+        # candidates — treat it like the no-line path (before paying
+        # the cooldown) and keep waiting.
+        try:
+            parsed = json.loads(new_line)
+        except ValueError as e:
+            print(f"attempt {attempt}: unparseable bench line "
+                  f"({type(e).__name__}: {e}); discarding attempt",
+                  file=sys.stderr)
+            continue
         # Snapshot BENCH_DETAIL.json NOW, paired with this line: a
         # later attempt can overwrite the detail file and then die
         # before printing its own line (crash/timeout between
@@ -173,13 +184,24 @@ def main() -> int:
         gate_met = bool(
             started_quiet and ambient_after < args.gate and fault_ok
         )
-        parsed = json.loads(new_line)
+        # r14 ADVICE: a missing/non-numeric "value" must neither raise
+        # mid-loop nor inject the non-standard `Infinity` token into the
+        # persisted JSON. total=None ranks LAST (a totalless line is a
+        # worse keep than any measured one) and serializes as null.
+        raw_total = parsed.get("value")
+        if isinstance(raw_total, bool) or not isinstance(
+                raw_total, (int, float)):
+            total = None
+        else:
+            total = float(raw_total)
+            if total != total or total in (float("inf"), float("-inf")):
+                total = None
         candidates.append({
             "attempt": attempt,
             "line": new_line,
             "parsed": parsed,
             "detail": detail,
-            "total": float(parsed.get("value", float("inf"))),
+            "total": total,
             "gate_met": gate_met,
             "ambient_after": ambient_after,
             "fault_before": fault_before,
@@ -204,7 +226,10 @@ def main() -> int:
     # noise only ever ADDS wall time; the minimum is the least
     # contaminated sample).
     gate_ok = [c for c in candidates if c["gate_met"]]
-    best = min(gate_ok or candidates, key=lambda c: c["total"])
+    best = min(
+        gate_ok or candidates,
+        key=lambda c: float("inf") if c["total"] is None else c["total"],
+    )
 
     out = {
         "quiet_gate": {
