@@ -881,10 +881,76 @@ ROTATED_IN_R14: tuple[str, ...] = (
     "pipeline_token_packing",
 )
 
-# r15 window plan (steady state): lead with anything r15 changes, then
-# the remaining 17 r9 rows (q11_important_stock onward), then
-# oldest-green fill from the alphabetical head of the r10 rows.
-VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R14
+# r15 window (steady state, executing the plan recorded above at the
+# r14 close): r15 again changed NO query code (the round's edits are
+# the quiet-bench ADVICE hardening, tools/bench_diff.py, and PLANS.md
+# capture-order determinism — none touch a plan or a result), so the
+# changed-first slot count is 0 and the window is pure rotation: all
+# 17 remaining r9 rows (q11_important_stock onward — the r9 drain
+# completes), then oldest-green fill from the alphabetical head of the
+# 50 r10 rows (33). After this window lands green, no driver row
+# anywhere predates r10 and the 6-round refresh period (COVERAGE.md)
+# holds exactly.
+# Registry growth this round: 0 (freeze, round 11 of the discipline).
+ROTATED_IN_R15: tuple[str, ...] = (
+    # all 17 remaining r9 rows (alphabetical)
+    "q11_important_stock",
+    "sample_deterministic",
+    "sample_importance_dsir",
+    "sample_temperature_rebalance",
+    "scalar_json_extract",
+    "set_union",
+    "similarity_recall_lsh",
+    "sql_window_functions",
+    "streaming_avro_source",
+    "text_bigram_logprob",
+    "text_bpe_fertility",
+    "text_classifier_score",
+    "text_domain_mix",
+    "text_lang_confusion",
+    "text_perplexity_buckets",
+    "text_unigram_logprob",
+    "window_gaps_islands",
+    # oldest-green fill: alphabetical head of the 50 r10 rows (33)
+    "agg_histogram",
+    "agg_unpivot",
+    "ann_ivf_pq",
+    "ann_topk_vectorized",
+    "cluster_kmeans_embeddings",
+    "embedding_int8_quantize",
+    "events_active_users",
+    "events_attribution",
+    "events_path_analysis",
+    "events_retention",
+    "files_csv_roundtrip",
+    "files_json_roundtrip",
+    "files_orc_roundtrip",
+    "files_partitioned_pruning",
+    "join_asof",
+    "join_fuzzy_match",
+    "join_salted_skew",
+    "multimodal_binary_meta",
+    "q15_top_supplier",
+    "q22_sales_opportunity",
+    "rollup_multiresolution",
+    "sample_quality_tiers",
+    "sample_topk_per_stratum",
+    "sample_uniform_topk",
+    "sample_weighted",
+    "scalar_bitwise_pack",
+    "scalar_string_pack",
+    "similarity_pairs",
+    "sort_topk_global",
+    "sql_correlated_subquery",
+    "sql_in_subquery",
+    "sql_recursive_date_spine",
+    "streaming_cdc_upsert",
+)
+
+# r16 window plan (steady state): lead with anything r16 changes, then
+# the remaining 17 r10 rows (streaming_checkpoint_recovery onward),
+# then oldest-green fill from the alphabetical head of the r11 rows.
+VERIFIED_FIRST: tuple[str, ...] = ROTATED_IN_R15
 
 
 def _prioritize() -> None:

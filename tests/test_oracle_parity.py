@@ -46,23 +46,23 @@ def test_registry_complete():
     assert set(o) <= set(q)
 
 
-def test_verified_prefix_is_the_r14_rotation():
+def test_verified_prefix_is_the_r15_rotation():
     """The driver hard-verifies only the first 50 registry slots. The
-    round-14 window (r13 verdict item #2) is pure rotation — r14
+    round-15 window (r14 verdict item #2) is pure rotation — r15
     changed no query code (the round's edits are bench/tooling), so
-    the changed-first slot count is 0: all 19 remaining r8 rows
-    (q3_shipping_priority onward — the r8 drain completes), then the
-    alphabetical head of the r9 rows (31). After CORRECTNESS_r14
-    lands, no driver row anywhere predates r9, holding the ~6-round
+    the changed-first slot count is 0: all 17 remaining r9 rows
+    (q11_important_stock onward — the r9 drain completes), then the
+    alphabetical head of the r10 rows (33). After CORRECTNESS_r15
+    lands, no driver row anywhere predates r10, holding the 6-round
     full-refresh cadence documented in COVERAGE.md."""
     import json
     import os
 
-    from datafusion_streams_spark.operators import ROTATED_IN_R14, VERIFIED_FIRST
+    from datafusion_streams_spark.operators import ROTATED_IN_R15, VERIFIED_FIRST
 
     names = list(REGISTRY)
     assert len(VERIFIED_FIRST) == 50
-    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R14)
+    assert names[:50] == list(VERIFIED_FIRST) == list(ROTATED_IN_R15)
 
     window = names[:50]
     # r9 milestone, held: NOTHING in the registry is rows-only —
@@ -70,12 +70,12 @@ def test_verified_prefix_is_the_r14_rotation():
     rows_only = [n for n in REGISTRY if REGISTRY[n].oracle is None]
     assert rows_only == [], rows_only
 
-    # pure-rotation discipline: the r8 drain leads the window
-    assert window[0] == "q3_shipping_priority"
+    # pure-rotation discipline: the r9 drain leads the window
+    assert window[0] == "q11_important_stock"
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last_green: dict = {}
-    for rnd in range(1, 14):
+    for rnd in range(1, 15):
         f = os.path.join(repo, f"CORRECTNESS_r{rnd:02d}.json")
         if os.path.exists(f):
             for name, row in json.load(open(f)).items():
@@ -86,9 +86,9 @@ def test_verified_prefix_is_the_r14_rotation():
         # hash-never-green any more
         never_hash = set(REGISTRY) - set(last_green)
         assert never_hash == set(), sorted(never_hash)
-        # the r8 drain: every row whose last driver green predates
-        # r9 must sit inside this window
-        stale = [n for n, r in last_green.items() if r <= 8 and n in REGISTRY]
+        # the r9 drain: every row whose last driver green predates
+        # r10 must sit inside this window
+        stale = [n for n, r in last_green.items() if r <= 9 and n in REGISTRY]
         assert set(stale) <= set(window), sorted(set(stale) - set(window))
 
 
