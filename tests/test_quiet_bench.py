@@ -202,6 +202,83 @@ def test_nonnumeric_value_ranks_last_serializes_null(monkeypatch, tmp_path):
         [None, 90.0]
 
 
+def _write_prior(tmp_path, rnd, total, gate_met, detail=None):
+    (tmp_path / f"BENCH_QUIET_r{rnd:02d}.json").write_text(json.dumps({
+        "quiet_gate": {
+            "gate_load1": 1.5, "gate_met": gate_met, "attempts": 1,
+            "kept_attempt": 1,
+            "attempt_totals": [
+                {"attempt": 1, "total": total, "gate_met": gate_met}],
+            "ambient_after_cooldown": 0.7, "cooldown_sec": 180,
+            "fault_gate_sec": 10.0, "fcalib_before": 1.1,
+            "fcalib_after": 1.3, "fault_probe_ok": True,
+        },
+        "printed_line": {"metric": "headline_queries_total_wall_clock",
+                         "value": total, "unit": "sec", "sf": 0.1},
+        "detail": detail or {"queries": {"prior": True}},
+    }))
+
+
+def test_prior_gate_met_artifact_survives_loud_rerun(monkeypatch, tmp_path):
+    """r15: the round policy is 'run quiet_bench early, re-run
+    opportunistically' — so a later loud invocation must never clobber
+    an earlier gate-met artifact via last-wins. The prior run is
+    folded into the min-of-N as a candidate under the same keep rule
+    (gate-met beats gate-failed regardless of total)."""
+    _write_prior(tmp_path, 15, 85.0, True)
+    _setup(monkeypatch, tmp_path, [7.2, 7.2, 7.2],
+           totals=[60.0, 61.0, 62.0])  # faster but loud
+    monkeypatch.setattr(sys, "argv", ["quiet_bench.py", "--round", "15"])
+    assert quiet_bench.main() == 0  # the KEPT run is gate-met
+    out = json.loads((tmp_path / "BENCH_QUIET_r15.json").read_text())
+    assert out["quiet_gate"]["gate_met"] is True
+    assert out["quiet_gate"]["kept_attempt"] == "prior:1"
+    assert out["printed_line"]["value"] == 85.0
+    assert out["detail"] == {"queries": {"prior": True}}
+    assert [t["total"] for t in out["quiet_gate"]["attempt_totals"]] == \
+        [60.0, 61.0, 62.0, 85.0]
+    assert [t["attempt"] for t in out["quiet_gate"]["attempt_totals"]] == \
+        [1, 2, 3, "prior:1"]
+
+
+def test_new_gate_met_run_replaces_prior_loud_artifact(monkeypatch, tmp_path):
+    """The symmetric case: an early loud artifact yields to a later
+    gate-met run, and among gate-equivalent runs the lower total wins."""
+    _write_prior(tmp_path, 15, 70.0, False)
+    _setup(monkeypatch, tmp_path, [0.8], totals=[86.0])
+    monkeypatch.setattr(sys, "argv", ["quiet_bench.py", "--round", "15"])
+    assert quiet_bench.main() == 0
+    out = json.loads((tmp_path / "BENCH_QUIET_r15.json").read_text())
+    assert out["quiet_gate"]["gate_met"] is True
+    assert out["quiet_gate"]["kept_attempt"] == 1
+    assert out["printed_line"]["value"] == 86.0
+    # the prior attempt's total stays in the provenance trail
+    assert {"attempt": "prior:1", "total": 70.0, "gate_met": False} in \
+        out["quiet_gate"]["attempt_totals"]
+
+
+def test_prior_gate_met_min_total_wins(monkeypatch, tmp_path):
+    """Among gate-MET runs across invocations the lowest total wins."""
+    _write_prior(tmp_path, 15, 82.0, True)
+    _setup(monkeypatch, tmp_path, [0.8], totals=[79.5])
+    monkeypatch.setattr(sys, "argv", ["quiet_bench.py", "--round", "15"])
+    assert quiet_bench.main() == 0
+    out = json.loads((tmp_path / "BENCH_QUIET_r15.json").read_text())
+    assert out["printed_line"]["value"] == 79.5
+    assert out["quiet_gate"]["kept_attempt"] == 1
+
+
+def test_corrupt_prior_artifact_never_blocks(monkeypatch, tmp_path):
+    """A corrupt/truncated prior artifact is ignored, never fatal."""
+    (tmp_path / "BENCH_QUIET_r15.json").write_text('{"quiet_gate": {tr')
+    _setup(monkeypatch, tmp_path, [0.8])
+    monkeypatch.setattr(sys, "argv", ["quiet_bench.py", "--round", "15"])
+    assert quiet_bench.main() == 0
+    out = json.loads((tmp_path / "BENCH_QUIET_r15.json").read_text())
+    assert out["quiet_gate"]["gate_met"] is True
+    assert out["printed_line"]["value"] == 65.4
+
+
 def test_gate_met_beats_faster_gate_failed(monkeypatch, tmp_path):
     """A gate-met run wins over a FASTER gate-failed one: the gate
     exists because loud totals aren't trustworthy numbers — a lucky-

@@ -97,6 +97,19 @@ def wait_quiet(gate: float, fault_gate: float, max_wait_sec: int,
         time.sleep(poll_sec)
 
 
+def _numeric_total(raw) -> float | None:
+    """r14 ADVICE: a missing/non-numeric/non-finite "value" must
+    neither raise mid-loop nor inject the non-standard `Infinity`
+    token into the persisted JSON. None ranks LAST in the min-of-N
+    keep and serializes as null."""
+    if isinstance(raw, bool) or not isinstance(raw, (int, float)):
+        return None
+    total = float(raw)
+    if total != total or total in (float("inf"), float("-inf")):
+        return None
+    return total
+
+
 def run_bench() -> tuple[str | None, str]:
     """Run bench.py; return (last JSON line or None, full stdout tail)."""
     try:
@@ -184,18 +197,7 @@ def main() -> int:
         gate_met = bool(
             started_quiet and ambient_after < args.gate and fault_ok
         )
-        # r14 ADVICE: a missing/non-numeric "value" must neither raise
-        # mid-loop nor inject the non-standard `Infinity` token into the
-        # persisted JSON. total=None ranks LAST (a totalless line is a
-        # worse keep than any measured one) and serializes as null.
-        raw_total = parsed.get("value")
-        if isinstance(raw_total, bool) or not isinstance(
-                raw_total, (int, float)):
-            total = None
-        else:
-            total = float(raw_total)
-            if total != total or total in (float("inf"), float("-inf")):
-                total = None
+        total = _numeric_total(parsed.get("value"))
         candidates.append({
             "attempt": attempt,
             "line": new_line,
@@ -213,6 +215,40 @@ def main() -> int:
               f"total={parsed.get('value')}", file=sys.stderr)
         if gate_met:
             break
+
+    quiet_path = os.path.join(REPO, f"BENCH_QUIET_r{args.round:02d}.json")
+    # Cross-INVOCATION min-of-N (r15): the round-close policy is "run
+    # early, re-run opportunistically" — so a later invocation must
+    # never clobber a better artifact (a gate-met morning run losing to
+    # a loud evening one via last-wins). Fold the already-persisted
+    # run back in as a candidate under the same keep rule.
+    if os.path.exists(quiet_path):
+        try:
+            with open(quiet_path) as f:
+                prior = json.load(f)
+            pg = prior["quiet_gate"]
+            pt = pg.get("attempt_totals",
+                        [{"attempt": pg.get("kept_attempt", 1),
+                          "total": prior["printed_line"].get("value"),
+                          "gate_met": pg["gate_met"]}])
+            candidates.append({
+                "attempt": f"prior:{pg.get('kept_attempt', 1)}",
+                "line": json.dumps(prior["printed_line"]),
+                "parsed": prior["printed_line"],
+                "detail": prior.get("detail", {}),
+                "total": _numeric_total(prior["printed_line"].get("value")),
+                "gate_met": bool(pg["gate_met"]),
+                "ambient_after": pg.get("ambient_after_cooldown"),
+                "fault_before": pg.get("fcalib_before"),
+                "fault_after": pg.get("fcalib_after"),
+                "prior_attempt_totals": pt,
+            })
+            print(f"prior artifact folded in: gate_met={pg['gate_met']} "
+                  f"total={prior['printed_line'].get('value')}",
+                  file=sys.stderr)
+        except Exception as e:  # a corrupt artifact never blocks a run
+            print(f"prior artifact unreadable, ignoring: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
 
     if not candidates:
         print("no bench line produced; nothing persisted", file=sys.stderr)
@@ -237,9 +273,22 @@ def main() -> int:
             "gate_met": best["gate_met"],
             "attempts": attempt,
             "kept_attempt": best["attempt"],
+            # full provenance: this invocation's attempts plus, for a
+            # folded-in prior artifact, ITS attempt history re-labeled
+            # "prior:<attempt>" (nesting across 3+ invocations stacks
+            # the prefix — depth is the invocation distance)
             "attempt_totals": [
-                {"attempt": c["attempt"], "total": c["total"],
-                 "gate_met": c["gate_met"]} for c in candidates
+                t
+                for c in candidates
+                for t in (
+                    [{"attempt": f"prior:{p['attempt']}",
+                      "total": _numeric_total(p.get("total")),
+                      "gate_met": p.get("gate_met")}
+                     for p in c["prior_attempt_totals"]]
+                    if "prior_attempt_totals" in c
+                    else [{"attempt": c["attempt"], "total": c["total"],
+                           "gate_met": c["gate_met"]}]
+                )
             ],
             "ambient_after_cooldown": best["ambient_after"],
             "cooldown_sec": args.cooldown_sec,
@@ -260,7 +309,6 @@ def main() -> int:
         "printed_line": best["parsed"],
         "detail": best["detail"],
     }
-    quiet_path = os.path.join(REPO, f"BENCH_QUIET_r{args.round:02d}.json")
     with open(quiet_path, "w") as f:
         json.dump(out, f, indent=1)
     # the driver parses the LAST line of stdout; print the accepted line
