@@ -320,3 +320,34 @@ def test_scalar_threshold_family_reuses_fact_exchange_at_runtime(spark):
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "ReusedExchange" in plan, f"{name} lost exchange reuse:\n{plan}"
+
+
+def test_plan_audit_rows_capture_order_invariant(spark):
+    """r14 verdict item 4: the five shingle-cache consumers
+    (dedup.py:80-90 — a plan-keyed shared .cache()) made PLANS.md
+    capture-order sensitive: whichever query a regen explained first
+    showed the full subtree, the rest showed InMemoryRelation, so
+    registry rotations produced spurious exchange-count diffs.
+    tools/plan_audit.py now explains in pinned ALPHABETICAL order from
+    a CLEARED cache; two audits at one HEAD must emit byte-identical
+    rows regardless of the order the names arrive in — and regardless
+    of whatever cache state the previous audit left behind."""
+    import sys as _sys
+    from pathlib import Path
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from plan_audit import audit_rows
+
+    family = [
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_containment",
+        "dedup_source_overlap",
+        "dedup_minhash_estimate_error",
+    ]
+    rows_forward = audit_rows(spark, family)
+    # a rotation reorder: reversed arrival order AND a warm cache left
+    # by the first audit — both must be invisible in the output
+    rows_reversed = audit_rows(spark, list(reversed(family)))
+    assert rows_forward == rows_reversed
+    assert [r.split("|")[1].strip() for r in rows_forward] == sorted(family)
