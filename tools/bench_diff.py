@@ -149,6 +149,8 @@ def main() -> int:
     )
     result["old"] = args.old
     result["new"] = args.new
+    result["plans_old"] = args.plans_old
+    result["plans_new"] = args.plans_new
 
     print(f"compared {result['queries_compared']} queries; "
           f"median ratio {result['median_ratio']}; "
