@@ -660,11 +660,19 @@ def similarity_pairs_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)],
         "bi INT, bj INT",
     )
+    # cached: the L and R branches below each consume this relation, so
+    # without the cache the parquet scan + block tagging runs twice per
+    # action (measured r15: two 32-task scan jobs -> one; 3.36 s ->
+    # 2.83 s min-of-4 interleaved). Corpus-sized but narrow (id, vector,
+    # block tag); at 100 TB the same two-consumer shape would persist
+    # with StorageLevel.DISK_ONLY or materialize to a scratch table —
+    # either way the scan+decode happens once, not per branch.
+    # release_shared_caches() frees it between sweeps.
     rows = raw.select(
         "vec_id",
         "embedding",
         (F.col("vec_id") % n_blocks).cast("int").alias("blk"),
-    )
+    ).cache()
     # side L = the row's block is the combo's bi; side R = bj. The
     # diagonal combo (bi == bj) takes the row once, as L.
     left = rows.join(F.broadcast(combos), F.col("blk") == F.col("bi")).withColumn(

@@ -2400,20 +2400,21 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
-def _bpe_chain(spark: SparkSession, sf_dir: str):
-    """The unrolled merge recursion shared by `text_bpe_merges` (which
-    emits the per-round winners) and `text_bpe_fertility` (which
-    consumes the final segmentation). Returns (per-round winner
-    DataFrames, the (word, f, sym) relation after all merges)."""
+def _bpe_words_seg0(spark: SparkSession, sf_dir: str):
+    """Shared vocabulary + initial segmentation for the BPE queries:
+    returns (words, seg0) where words is the cached (word, f)
+    vocabulary and seg0 its character segmentation.
+
+    The vocabulary is vocabulary-sized and consumed by every merge
+    round's branch (each round AND its output row share this lineage):
+    cache it so the corpus tokenization runs once, not once per
+    downstream branch. Intentionally left persisted (same rationale as
+    the simhash sig cache in multimodal.py): lazy-DataFrame contract
+    means no post-action unpersist hook; CacheManager canonical-plan
+    dedup keeps it to ONE vocabulary-sized entry per sf_dir across
+    sweeps, and operators.release_shared_caches(spark) frees it
+    between them."""
     docs = load_documents(spark, sf_dir)
-    # vocabulary-sized and consumed by every round's branch (each merge
-    # round AND its output row share this lineage): cache it so the
-    # corpus tokenization runs once, not once per downstream branch.
-    # Intentionally left persisted (same rationale as the simhash sig
-    # cache in multimodal.py): lazy-DataFrame contract means no
-    # post-action unpersist hook; CacheManager canonical-plan dedup
-    # keeps it to ONE vocabulary-sized entry per sf_dir across sweeps,
-    # and operators.release_shared_caches(spark) frees it between them
     words = (
         docs.select(F.explode(tokens("text")).alias("word"))
         .filter(F.length("word") > 0)
@@ -2436,6 +2437,19 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
             F.lit(" "),
         ).alias("sym"),
     )
+    return words, seg
+
+
+def _bpe_chain(spark: SparkSession, sf_dir: str):
+    """The unrolled merge recursion for `text_bpe_merges` (which emits
+    the per-round winners). Returns (per-round winner DataFrames, the
+    (word, f, sym) relation after all merges) — all lazy: the whole
+    3-round recursion is ONE Catalyst DAG whose triangular winner
+    recompute Spark collapses via exchange reuse (measured r15: the
+    collected-winner variant was SLOWER for merges, 1.47 s vs 1.11 s
+    min-of-4 interleaved, because 3 sequential collect round trips cost
+    more than the reused exchanges they replace)."""
+    _, seg = _bpe_words_seg0(spark, sf_dir)
     outs = []
     for r in range(1, _BPE_ROUNDS + 1):
         best = (
@@ -2470,6 +2484,47 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
             ).alias("sym"),
         )
     return outs, seg
+
+
+def _bpe_seg_flat(spark: SparkSession, sf_dir: str):
+    """The final BPE segmentation with each round's winner COLLECTED
+    (one 1-row driver fetch per round — model-sized, the k-means
+    centroid precedent) and re-applied as literal replace arguments,
+    so the returned relation's lineage is flat: words cache -> 3
+    literal replaces. Used by `text_bpe_fertility`, whose consumer
+    plan (broadcast into the corpus rollup) re-executed the
+    declarative chain's nested winner lineages once per broadcast —
+    22 AQE jobs; flattening measured 1.55 s -> 1.25 s min-of-4
+    interleaved at sf0.1 with bit-identical output. `text_bpe_merges`
+    keeps the declarative chain (collects measured SLOWER there — see
+    `_bpe_chain`). Winner selection is the identical aggregate +
+    (count desc, pair asc) tie-break, so the segmentation is the same
+    pure function of the corpus."""
+    _, seg = _bpe_words_seg0(spark, sf_dir)
+    for _r in range(1, _BPE_ROUNDS + 1):
+        win = (
+            seg.select("f", F.explode(_bpe_adjacent_pairs(F.col("sym"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not win:
+            # empty vocabulary: the declarative chain's crossJoin with
+            # an empty broadcast empties seg from this round on
+            return seg.filter(F.lit(False))
+        pair = win[0]["pair"]
+        seg = seg.select(
+            "word",
+            "f",
+            F.replace(
+                F.col("sym"),
+                F.lit(" " + pair.replace(" ", "  ") + " "),
+                F.lit(" " + pair.replace(" ", "") + " "),
+            ).alias("sym"),
+        )
+    return seg
 
 
 _BPE_FERTILITY_ORACLE = (
@@ -2526,10 +2581,11 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-dominant language inflates every other language's sequence
     lengths (and training cost) proportionally.
 
-    The learned segmentation comes from the shared `_bpe_chain`, so
-    this query hash-checks the APPLICATION of the merges, composing
-    with the merge-table query exactly like the curation suites
-    compose their stages. All aggregates are exact integer sums
+    The learned segmentation applies the same merges as
+    `text_bpe_merges` (identical winner aggregate and tie-break, via
+    `_bpe_seg_flat`), so this query hash-checks the APPLICATION of the
+    merges, composing with the merge-table query exactly like the
+    curation suites compose their stages. All aggregates are exact integer sums
     (freq x chars, freq x symbols); the two ratios are single
     int/int divisions rounded to 6 dp.
 
@@ -2538,7 +2594,7 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned once for that rollup and never reshuffled; the report is
     |lang|-sized.
     """
-    _, seg = _bpe_chain(spark, sf_dir)
+    seg = _bpe_seg_flat(spark, sf_dir)
     fin = seg.select(
         "word",
         F.size(F.split(F.trim(F.col("sym")), "  ")).cast("long").alias("n_sym"),

@@ -1225,3 +1225,33 @@ def test_round6_domain_guard_boundary_exact_both_engines(spark):
                 f"(SELECT * FROM bad_t LIMIT 1 OFFSET {i})"
             ).fetchdf()
     con.close()
+
+
+def test_bpe_flat_seg_matches_declarative_chain(spark, tmp_path):
+    """r15 optimization invariant: `_bpe_seg_flat` (collected winners,
+    flat lineage — what text_bpe_fertility consumes) must produce the
+    exact segmentation of the declarative `_bpe_chain` (what
+    text_bpe_merges emits winners from), including on a corpus with
+    self-pair runs and multi-round interactions."""
+    from datafusion_streams_spark.operators.text import _bpe_chain, _bpe_seg_flat
+
+    rows = [
+        (1, "aaaa aaaa aaa baaaab", "en", "t", 19),
+        (2, "aaaaa caaac aaaa", "en", "t", 16),
+        (3, "xy xy zaaz erer ere", "en", "t", 19),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    _, seg_decl = _bpe_chain(spark, str(tmp_path))
+    seg_flat = _bpe_seg_flat(spark, str(tmp_path))
+    a = sorted(map(tuple, seg_decl.collect()))
+    b = sorted(map(tuple, seg_flat.collect()))
+    assert a == b
+    # dtypes must match; nullability may differ (literal replace args
+    # are provably non-null, the crossJoin-derived ones are not) — the
+    # registered query's FINAL schema is pinned by the oracle-parity
+    # suite either way
+    assert seg_decl.dtypes == seg_flat.dtypes
