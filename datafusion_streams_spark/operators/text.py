@@ -1967,7 +1967,14 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_documents(spark, sf_dir).withColumn("tk", tokens("text"))
     uni = docs.select(F.explode("tk").alias("w"))
     uni_c = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    t_uni = uni.agg(F.count(F.lit(1)).alias("t_uni"))
+    # corpus totals FOLD from the count tables (sum of group counts ==
+    # total count, exactly, in the same long type) instead of
+    # re-scanning the corpus: r15 opt — 4 corpus tokenize passes -> 2.
+    # Bench-neutral at sf0.1 (pass cost is noise-bound there) but 2
+    # fewer full passes at 100 TB, and the totals become vocab-sized
+    # aggregations (guide §1.2 order-1: fewer passes beats per-pass
+    # tuning).
+    t_uni = uni_c.agg(F.sum("c").alias("t_uni"))
     bi = docs.select(
         F.explode(
             F.expr(
@@ -1977,7 +1984,7 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.w1", "p.w2")
     bi_c = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
-    t_bi = bi.agg(F.count(F.lit(1)).alias("t_bi"))
+    t_bi = bi_c.agg(F.sum("n_ab").alias("t_bi"))
     ca = uni_c.select(F.col("w").alias("w1"), F.col("c").alias("n_a"))
     cb = uni_c.select(F.col("w").alias("w2"), F.col("c").alias("n_b"))
     scored = (
@@ -2135,10 +2142,15 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("t").cast("double").alias("vocab"))
     )
     c12 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("n12"))
+    # prefix totals FOLD from the bigram counts (n1(w1) = sum of n12
+    # over every bigram starting with w1 — the same occurrences,
+    # grouped coarser, in the same long type) instead of re-exploding
+    # the corpus: r15 opt — one fewer corpus pass; the prefix count
+    # becomes a vocabulary-bounded aggregation of the already-shuffled
+    # bigram table (guide §1.2 order-1).
     pref = (
-        big.select(F.substring_index("bg", " ", 1).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("n1"))
+        c12.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("n12").alias("n1"))
     )
     lm = c12.join(
         pref, F.substring_index(c12["bg"], " ", 1) == pref["w1"]
