@@ -342,8 +342,20 @@ IVFPQ_COARSE = 8  # coarse cells (deterministic init: lowest vec_ids)
 IVFPQ_PROBE = 2  # cells scanned per query (the recall/cost dial)
 
 
+# PQ codebook memo — the _KMEANS_MODEL_MEMO discipline applied to the
+# PQ fit (r15 opt): repeated ADC queries in one session reuse the
+# fitted codebooks instead of re-running the subspace Lloyd update
+# (init collect + mapInPandas assign + m×k reduce + collect) each.
+# Holds only the model (m×k×subdim floats + code ids) — never a
+# DataFrame; the ADC scan itself recomputes from parquet every call.
+_PQ_MODEL_MEMO: dict[
+    tuple[str, int], tuple[dict[int, list[int]], dict[int, list[list[float]]]]
+] = {}
+
+
 def _pq_train(
     qdf: DataFrame,
+    memo_key: tuple[str, int] | None = None,
 ) -> tuple[dict[int, list[int]], dict[int, list[list[float]]]]:
     """One Lloyd update per subspace codebook (init: the PQ_K lowest
     vec_ids' subvectors).
@@ -351,7 +363,13 @@ def _pq_train(
     Returns (per-subspace code ids, per-subspace centroids). All model
     state is m×k×subdim floats — driver/closure-sized at any corpus
     scale; the only exchange is the codebook update reduce (m×k rows).
+    With ``memo_key`` (sf_dir, n) the fit is memoized per corpus, the
+    same contract as ``_KMEANS_MODEL_MEMO``.
     """
+    if memo_key is not None:
+        hit = _PQ_MODEL_MEMO.get(memo_key)
+        if hit is not None:
+            return hit
     subs = qdf.select(
         "vec_id",
         F.explode(
@@ -425,6 +443,8 @@ def _pq_train(
         cents[r["sub"]].append(
             [r[f"s{d}"] / (r["n"] * float(QSCALE)) for d in range(PQ_SUBDIM)]
         )
+    if memo_key is not None:
+        _PQ_MODEL_MEMO[memo_key] = (cids, cents)
     return cids, cents
 
 
@@ -694,7 +714,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (elementwise numpy adds, s=0..m-1) — the same left fold as
     the oracle's nested (((d0+d1)+d2)+...)."""
     qdf = _quantized(spark, sf_dir).cache()
-    cids, cents = _pq_train(qdf)
+    cids, cents = _pq_train(qdf, memo_key=(sf_dir, qdf.count()))
 
     # query subvectors (tiny by construction) -> exact ADC lookup table,
     # computed with the same per-dimension fold as the oracle
@@ -732,7 +752,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cell assignment); ADC inherits ann_pq_adc's left-fold discipline.
     """
     qdf = _quantized(spark, sf_dir).cache()
-    cids, cents = _pq_train(qdf)
+    cids, cents = _pq_train(qdf, memo_key=(sf_dir, qdf.count()))
     coarse_rows = qdf.orderBy("vec_id").limit(IVFPQ_COARSE).collect()
     coarse = [[v / float(QSCALE) for v in r["vq"]] for r in coarse_rows]
     q_rows = qdf.filter(F.col("vec_id") < PQ_QUERY_MAX_ID).collect()
