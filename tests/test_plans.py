@@ -344,6 +344,12 @@ def test_plan_audit_rows_capture_order_invariant(spark):
         "dedup_containment",
         "dedup_source_overlap",
         "dedup_minhash_estimate_error",
+        # r15: text_bpe_fertility now EXECUTES (collected winners)
+        # during its own explain capture, materializing the shared
+        # words cache — the bpe pair joins the pinned family so a
+        # regen stays order-invariant for it too
+        "text_bpe_fertility",
+        "text_bpe_merges",
     ]
     rows_forward = audit_rows(spark, family)
     # a rotation reorder: reversed arrival order AND a warm cache left
