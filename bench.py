@@ -370,6 +370,18 @@ def main() -> None:
     # (first-run) number is reported alongside — it includes one-time
     # cache materialization and matches the round-1 methodology.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Measurement fix (r15 verdict item 1): the driver-side fitted-model
+    # memos (PQ codebooks, k-means model, minhash component labels)
+    # persist across reps AND across queries sharing a fit, so under
+    # min-of-reps the reported numbers for ann_pq_adc / ann_ivf_pq /
+    # cluster_kmeans_embeddings / dedup_semantic_clusters /
+    # dedup_rewrite_map never included the model fit. Clearing the
+    # memos before every timed rep makes each rep pay the fit
+    # end-to-end; the memos stay in the engine for genuine session
+    # reuse outside the bench. (Numbers for those five queries rise
+    # relative to r15 — that is the fix, not a regression.)
+    from datafusion_streams_spark.operators import release_model_memos
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
@@ -383,6 +395,7 @@ def main() -> None:
         runs: list[float] = []
 
         def _one_run() -> None:
+            release_model_memos(spark)  # every rep pays the model fit
             t0 = time.perf_counter()
             spec.fn(spark, SF_DIR).count()
             runs.append(round(time.perf_counter() - t0, 3))

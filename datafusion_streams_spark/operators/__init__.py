@@ -110,6 +110,38 @@ def release_shared_caches(spark: SparkSession) -> None:
         pass  # JVM bridge shape changed — cache cleanup is best-effort
 
 
+def release_model_memos(spark: SparkSession | None = None) -> None:
+    """Drop the driver-side fitted-model memos — the k-means model
+    (``clustering._KMEANS_MODEL_MEMO``), the PQ codebooks
+    (``clustering._PQ_MODEL_MEMO``) and the minhash component-label
+    handles (``dedup._MINHASH_LABELS_MEMO``) — so the next invocation
+    re-pays the model fit.
+
+    The memos are a legitimate session-reuse pattern (a long-lived
+    service fits once and serves many lookups), but min-of-reps
+    benchmarking plus a warm memo reports per-query numbers that
+    EXCLUDE the fit (r15 verdict: bench-inflating). ``bench.py`` calls
+    this before every timed rep so every reported number includes the
+    model fit end-to-end; nothing outside the bench path calls it, so
+    ordinary sessions keep the reuse.
+
+    With ``spark`` given, only that session's minhash label handles are
+    evicted (the model dicts hold plain floats, not session state, and
+    are always cleared). Evicted label handles are NOT unpersisted here
+    — their localCheckpoint blocks are freed by the
+    ``release_shared_caches`` JVM sweep at the end of the bench run;
+    within a run the leak is bounded by the rep count of the one
+    consumer query and the labels relation is cluster-member-sized.
+    """
+    from datafusion_streams_spark.operators import clustering, dedup
+
+    clustering._KMEANS_MODEL_MEMO.clear()
+    clustering._PQ_MODEL_MEMO.clear()
+    for key, (sess, _df) in list(dedup._MINHASH_LABELS_MEMO.items()):
+        if spark is None or sess is spark:
+            dedup._MINHASH_LABELS_MEMO.pop(key, None)
+
+
 def _populate() -> None:
     # Import for side effects: each module registers its queries.
     from datafusion_streams_spark.operators import (  # noqa: F401

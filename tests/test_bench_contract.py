@@ -109,6 +109,53 @@ def test_high_variance_queries_get_three_base_reps():
     assert bench.ADAPTIVE_SPREAD == 1.15
 
 
+def test_release_model_memos_clears_fit_state():
+    """r15 verdict item 1: the driver-side fitted-model memos must be
+    clearable so bench reps pay the model fit. No Spark needed — the
+    memos are plain driver dicts."""
+    from datafusion_streams_spark.operators import (
+        clustering,
+        dedup,
+        release_model_memos,
+    )
+
+    clustering._KMEANS_MODEL_MEMO[("t", 1)] = ([0], [[0.0]])
+    clustering._PQ_MODEL_MEMO[("t", 1)] = ({0: [0]}, {0: [[0.0]]})
+    mine, other = object(), object()
+    dedup._MINHASH_LABELS_MEMO["t1"] = (mine, "df1")
+    dedup._MINHASH_LABELS_MEMO["t2"] = (other, "df2")
+    try:
+        # session-scoped: only the matching session's label handles drop;
+        # the model dicts (plain floats, no session state) always clear
+        release_model_memos(mine)
+        assert clustering._KMEANS_MODEL_MEMO == {}
+        assert clustering._PQ_MODEL_MEMO == {}
+        assert "t1" not in dedup._MINHASH_LABELS_MEMO
+        assert "t2" in dedup._MINHASH_LABELS_MEMO
+        # None = clear everything (bench passes the live session; None
+        # is the defensive default)
+        release_model_memos(None)
+        assert dedup._MINHASH_LABELS_MEMO == {}
+    finally:
+        clustering._KMEANS_MODEL_MEMO.clear()
+        clustering._PQ_MODEL_MEMO.clear()
+        dedup._MINHASH_LABELS_MEMO.clear()
+
+
+def test_bench_rep_loop_clears_model_memos():
+    """The measurement fix only holds if the TIMED rep path clears the
+    memos — pin the call inside main()'s per-rep runner so a refactor
+    cannot silently restore warm-memo minima."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "release_model_memos(spark)" in src
+    # and it must run before the timer starts, inside _one_run
+    one_run = src.split("def _one_run", 1)[1].split("for _ in range", 1)[0]
+    assert "release_model_memos(spark)" in one_run
+    assert one_run.index("release_model_memos") < one_run.index("perf_counter")
+
+
 def test_calib_sextet_survives_every_shed_tier(monkeypatch):
     """r13 (r12 verdict item 1 + its first data points): the six host
     denominators — calib/pcalib (CPU, 1-wide and N-wide),
