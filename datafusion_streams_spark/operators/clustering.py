@@ -128,6 +128,89 @@ def _update(assigned: DataFrame) -> tuple[list[int], list[list[float]]]:
     return cids, cents
 
 
+def _assign_update(
+    qdf: DataFrame, cids: list[int], centroids: list[list[float]]
+) -> tuple[list[int], list[list[float]]]:
+    """One fused Lloyd update: ``_update(_assign(qdf, ...))`` with the
+    per-cluster partial sums folded INSIDE the assignment pass (guide
+    §2.3 aggregate-before-you-shuffle, applied to the Python boundary):
+    each task emits at most k rows of (cluster, count, integer dim
+    sums) instead of shipping every row's quantized vector back across
+    Arrow into a 65-column JVM aggregation. The final fold runs on the
+    driver over (tasks × k) rows in arbitrary-precision Python ints.
+
+    Bit-identity with the unfused path: the assignment math is
+    ``_assign``'s verbatim (same sequential dimension fold, same argmin
+    lowest-id tie-break), and the update is a sum of exact integers —
+    associative under any grouping — divided once, so the model floats
+    are identical. (r16; measured ~0.4 s/iteration locally, and at
+    scale the corpus no longer crosses the Python→JVM boundary twice
+    per iteration.)
+    """
+    cids_local = list(cids)
+    cent_local = [list(c) for c in centroids]
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        cn = np.array(cent_local, dtype=np.float64)
+        cid_arr = np.array(cids_local, dtype=np.int64)
+        counts: dict[int, int] = {}
+        sums: dict[int, "np.ndarray"] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vq = np.array(pdf["vq"].tolist(), dtype=np.int64)
+            x = vq.astype(np.float64) / float(QSCALE)
+            acc = np.zeros((len(pdf), cn.shape[0]), dtype=np.float64)
+            for d in range(cn.shape[1]):
+                diff = x[:, d, None] - cn[None, :, d]
+                acc += diff * diff
+            lab = np.argmin(acc, axis=1)
+            cl = cid_arr[lab]
+            for c in np.unique(cl):
+                mask = cl == c
+                key = int(c)
+                s = vq[mask].sum(axis=0)  # exact int64 partial sums
+                if key in counts:
+                    counts[key] += int(mask.sum())
+                    sums[key] += s
+                else:
+                    counts[key] = int(mask.sum())
+                    sums[key] = s
+        if not counts:
+            return
+        keys = sorted(counts)
+        yield pd.DataFrame(
+            {
+                "cluster": keys,
+                "n": [counts[k] for k in keys],
+                "s": [sums[k].tolist() for k in keys],
+            }
+        )
+
+    rows = qdf.mapInPandas(fn, "cluster long, n long, s array<bigint>").collect()
+    agg_n: dict[int, int] = {}
+    agg_s: dict[int, list[int]] = {}
+    for r in rows:
+        c = int(r["cluster"])
+        if c in agg_n:
+            agg_n[c] += r["n"]
+            s = agg_s[c]
+            for d, v in enumerate(r["s"]):
+                s[d] += v
+        else:
+            agg_n[c] = int(r["n"])
+            agg_s[c] = [int(v) for v in r["s"]]
+    cids_out = sorted(agg_n)
+    cents_out = [
+        [agg_s[c][d] / (agg_n[c] * float(QSCALE)) for d in range(EMBED_DIM)]
+        for c in cids_out
+    ]
+    return cids_out, cents_out
+
+
 def _dist_sql(vq: str, c: str) -> str:
     term = f"(CAST({vq}[i] AS DOUBLE)/{QSCALE}.0 - {c}[i])"
     return (
@@ -206,7 +289,11 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes one map-only scan instead of pinning executor storage
     for the session). Fits are memoized per (sf_dir, n)."""
     qdf = _quantized(spark, sf_dir)
-    n = qdf.count()
+    # memo-key/k row count from the RAW parquet (metadata-only under
+    # aggregate pushdown): counting the quantized relation instead paid
+    # its repartition exchange for a number the scan footer already
+    # holds (r16; trivially equal — _quantized is row-preserving)
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     memo_key = (sf_dir, n)
     model = _KMEANS_MODEL_MEMO.get(memo_key)
     if model is None:
@@ -216,7 +303,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         cids = list(range(k))
         cents = [[v / float(QSCALE) for v in r["vq"]] for r in init_rows]
         for _ in range(KMEANS_ITERS):
-            cids, cents = _update(_assign(qdf, cids, cents))
+            cids, cents = _assign_update(qdf, cids, cents)
         _KMEANS_MODEL_MEMO[memo_key] = (cids, cents)
         qdf.unpersist()
     else:
@@ -370,21 +457,6 @@ def _pq_train(
         hit = _PQ_MODEL_MEMO.get(memo_key)
         if hit is not None:
             return hit
-    subs = qdf.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("sub"),
-                        F.slice("vq", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
-                    )
-                    for s in range(PQ_M)
-                ]
-            )
-        ).alias("x"),
-    ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
-
     init = qdf.orderBy("vec_id").limit(PQ_K).collect()
     cids = {s: list(range(PQ_K)) for s in range(PQ_M)}
     cents = {
@@ -395,53 +467,87 @@ def _pq_train(
         for s in range(PQ_M)
     }
 
-    def assign(sub_df, cids_in, cents_in):
-        cids_local = {s: list(v) for s, v in cids_in.items()}
-        cents_local = {s: [list(c) for c in v] for s, v in cents_in.items()}
+    # One fused codebook-update pass (r16, the _assign_update shape):
+    # the former explode(m subspaces) → mapInPandas assign → m×k-wide
+    # JVM aggregation shipped every subvector across the Python→JVM
+    # boundary twice; here each task slices the subspaces in numpy,
+    # assigns with the identical per-dimension fold + lowest-code
+    # argmin tie-break, and emits at most m×k rows of exact-integer
+    # partial sums, folded on the driver in Python ints. Same model
+    # bit-for-bit (integer sums are grouping-invariant; one final
+    # division), one pass instead of an 8× row explode.
+    cids_local = {s: list(v) for s, v in cids.items()}
+    cents_local = {s: [list(c) for c in v] for s, v in cents.items()}
 
-        def fn(batches):
-            import numpy as np
-            import pandas as pd
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
 
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                sv = np.array(pdf["sv"].tolist(), dtype=np.float64) / float(QSCALE)
-                sub = pdf["sub"].to_numpy()
-                code = np.empty(len(pdf), dtype=np.int64)
-                for s in np.unique(sub):
-                    mask = sub == s
-                    cn = np.array(cents_local[int(s)], dtype=np.float64)
-                    x = sv[mask]
-                    acc = np.zeros((x.shape[0], cn.shape[0]), dtype=np.float64)
-                    for d in range(cn.shape[1]):
-                        diff = x[:, d, None] - cn[None, :, d]
-                        acc += diff * diff
-                    lab = np.argmin(acc, axis=1)
-                    code[mask] = np.array(cids_local[int(s)], dtype=np.int64)[lab]
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"],
-                        "sub": pdf["sub"],
-                        "code": code,
-                        "sv": pdf["sv"],
-                    }
-                )
+        cn_all = {
+            s: np.array(cents_local[s], dtype=np.float64) for s in range(PQ_M)
+        }
+        cid_all = {
+            s: np.array(cids_local[s], dtype=np.int64) for s in range(PQ_M)
+        }
+        counts: dict[tuple[int, int], int] = {}
+        sums: dict[tuple[int, int], "np.ndarray"] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vq = np.array(pdf["vq"].tolist(), dtype=np.int64)
+            x = vq.astype(np.float64) / float(QSCALE)
+            for s in range(PQ_M):
+                xs = x[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                vs = vq[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                cn = cn_all[s]
+                acc = np.zeros((xs.shape[0], cn.shape[0]), dtype=np.float64)
+                for d in range(cn.shape[1]):
+                    diff = xs[:, d, None] - cn[None, :, d]
+                    acc += diff * diff
+                lab = np.argmin(acc, axis=1)
+                code_arr = cid_all[s][lab]
+                for c in np.unique(code_arr):
+                    mask = code_arr == c
+                    key = (s, int(c))
+                    sm = vs[mask].sum(axis=0)  # exact int64 partials
+                    if key in counts:
+                        counts[key] += int(mask.sum())
+                        sums[key] += sm
+                    else:
+                        counts[key] = int(mask.sum())
+                        sums[key] = sm
+        if not counts:
+            return
+        keys = sorted(counts)
+        yield pd.DataFrame(
+            {
+                "sub": [k[0] for k in keys],
+                "code": [k[1] for k in keys],
+                "n": [counts[k] for k in keys],
+                "s": [sums[k].tolist() for k in keys],
+            }
+        )
 
-        return sub_df.mapInPandas(fn, "vec_id long, sub int, code long, sv array<bigint>")
-
-    # one codebook update (exact integer sums per (sub, code))
-    a1 = assign(subs, cids, cents)
-    aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.sum(F.element_at("sv", d + 1)).alias(f"s{d}") for d in range(PQ_SUBDIM)
-    ]
-    rows = a1.groupBy("sub", "code").agg(*aggs).collect()
+    rows = qdf.mapInPandas(fn, "sub int, code long, n long, s array<bigint>").collect()
+    agg_n: dict[tuple[int, int], int] = {}
+    agg_s: dict[tuple[int, int], list[int]] = {}
+    for r in rows:
+        key = (int(r["sub"]), int(r["code"]))
+        if key in agg_n:
+            agg_n[key] += r["n"]
+            s = agg_s[key]
+            for d, v in enumerate(r["s"]):
+                s[d] += v
+        else:
+            agg_n[key] = int(r["n"])
+            agg_s[key] = [int(v) for v in r["s"]]
     cids = {s: [] for s in range(PQ_M)}
     cents = {s: [] for s in range(PQ_M)}
-    for r in sorted(rows, key=lambda r: (r["sub"], r["code"])):
-        cids[r["sub"]].append(int(r["code"]))
-        cents[r["sub"]].append(
-            [r[f"s{d}"] / (r["n"] * float(QSCALE)) for d in range(PQ_SUBDIM)]
+    for sub, code in sorted(agg_n):
+        key = (sub, code)
+        cids[sub].append(code)
+        cents[sub].append(
+            [agg_s[key][d] / (agg_n[key] * float(QSCALE)) for d in range(PQ_SUBDIM)]
         )
     if memo_key is not None:
         _PQ_MODEL_MEMO[memo_key] = (cids, cents)
@@ -714,7 +820,10 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (elementwise numpy adds, s=0..m-1) — the same left fold as
     the oracle's nested (((d0+d1)+d2)+...)."""
     qdf = _quantized(spark, sf_dir).cache()
-    cids, cents = _pq_train(qdf, memo_key=(sf_dir, qdf.count()))
+    # memo-key count from the raw parquet footer (metadata-only), not
+    # the cached quantized relation — same number, no repartition job
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    cids, cents = _pq_train(qdf, memo_key=(sf_dir, n))
 
     # query subvectors (tiny by construction) -> exact ADC lookup table,
     # computed with the same per-dimension fold as the oracle
@@ -752,7 +861,10 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cell assignment); ADC inherits ann_pq_adc's left-fold discipline.
     """
     qdf = _quantized(spark, sf_dir).cache()
-    cids, cents = _pq_train(qdf, memo_key=(sf_dir, qdf.count()))
+    # memo-key count from the raw parquet footer (metadata-only), not
+    # the cached quantized relation — same number, no repartition job
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    cids, cents = _pq_train(qdf, memo_key=(sf_dir, n))
     coarse_rows = qdf.orderBy("vec_id").limit(IVFPQ_COARSE).collect()
     coarse = [[v / float(QSCALE) for v in r["vq"]] for r in coarse_rows]
     q_rows = qdf.filter(F.col("vec_id") < PQ_QUERY_MAX_ID).collect()
