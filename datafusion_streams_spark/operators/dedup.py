@@ -574,28 +574,46 @@ def min_label_components(pairs: DataFrame, id_col: str) -> DataFrame:
     # safety bound: with doubling, rounds ~ log2(diameter) + 2, so 64
     # covers any graph that fits in an address space
     max_rounds = 64
-    cur = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
+    cur = None
     prev_sum = None
     for rounds in range(1, max_rounds + 1):
-        msgs = edges.join(cur, F.col("dst") == F.col("node")).select(
-            F.col("src").alias("node"), "label"
-        )
-        half = (
-            msgs.union(cur.select("node", "label"))
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            # both doubling legs read this relation; without a cache the
-            # join+union+groupBy propagation subtree sits on both legs
-            # and can execute twice per round unless AQE exchange reuse
-            # happens to fire (r12 ADVICE). Unpersisted right after the
-            # round's checkpoint materializes.
-            .cache()
-        )
+        if cur is None:
+            # Round 1 fused with initialization (r16): labels start at
+            # identity (label(x) = x), so the first propagation's
+            # messages are just the raw neighbor ids — min over self
+            # and neighbors is ``least(src, min(dst))`` in ONE
+            # aggregation over the edge list. Identical by definition
+            # to initializing a label relation and joining it in, but
+            # skips the |V| distinct+checkpoint pass AND round 1's
+            # edge join. Every node appears as src (edges hold both
+            # directions), so the node set is unchanged too.
+            half = (
+                edges.groupBy("src")
+                .agg(F.min("dst").alias("mn"))
+                .select(
+                    F.col("src").alias("node"),
+                    F.least("src", "mn").alias("label"),
+                )
+                # both doubling legs read this relation — see the
+                # cache note on the general-round branch below
+                .cache()
+            )
+        else:
+            msgs = edges.join(cur, F.col("dst") == F.col("node")).select(
+                F.col("src").alias("node"), "label"
+            )
+            half = (
+                msgs.union(cur.select("node", "label"))
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                # both doubling legs read this relation; without a cache
+                # the join+union+groupBy propagation subtree sits on both
+                # legs and can execute twice per round unless AQE
+                # exchange reuse happens to fire (r12 ADVICE).
+                # Unpersisted right after the round's checkpoint
+                # materializes.
+                .cache()
+            )
         # pointer doubling: label := label(label). Every label IS a
         # node id (labels are mins over node ids and every node is in
         # the relation), and label(x) <= x, so the looked-up label can
@@ -614,7 +632,8 @@ def min_label_components(pairs: DataFrame, id_col: str) -> DataFrame:
         )
         half.unpersist()
         label_sum = nxt.agg(F.sum("label")).first()[0]
-        cur.unpersist()
+        if cur is not None:
+            cur.unpersist()
         cur = nxt
         if label_sum == prev_sum:
             LAST_CONVERGENCE_ROUNDS = rounds
