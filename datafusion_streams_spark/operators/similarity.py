@@ -610,6 +610,13 @@ _BLOCK_TARGET_ROWS = 2048
 # time; a 3-rep sweep at sf0.1 picked 512 — 4 blocks / 10 tiles —
 # as the cold+warm optimum, 2.3 s cold vs 4.3 s in round 2).
 _MIN_BLOCK_ROWS = 512
+# Above this many rows the two-consumer block relation persists
+# DISK_ONLY instead of MEMORY_AND_DISK (r15 verdict item 5): a
+# corpus-sized cache must never compete with execution memory at scale,
+# while fixture-sized corpora keep the in-memory default. At 64-dim
+# float64 embeddings, 2M rows ~ 1 GiB of vectors per executor-storage
+# replica — the order where spill pressure starts to matter.
+_DISK_CACHE_ROWS = 2_000_000
 
 
 @query("similarity_pairs_vectorized", oracle=_PAIRS_ORACLE, tags=("similarity", "pandas-udf", "scale"))
@@ -660,19 +667,28 @@ def similarity_pairs_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)],
         "bi INT, bj INT",
     )
-    # cached: the L and R branches below each consume this relation, so
-    # without the cache the parquet scan + block tagging runs twice per
+    # persisted: the L and R branches below each consume this relation,
+    # so without it the parquet scan + block tagging runs twice per
     # action (measured r15: two 32-task scan jobs -> one; 3.36 s ->
     # 2.83 s min-of-4 interleaved). Corpus-sized but narrow (id, vector,
-    # block tag); at 100 TB the same two-consumer shape would persist
-    # with StorageLevel.DISK_ONLY or materialize to a scratch table —
-    # either way the scan+decode happens once, not per branch.
-    # release_shared_caches() frees it between sweeps.
+    # block tag) — so the StorageLevel is size-gated (r16, making the
+    # code match its own 100 TB posture): small corpora keep the
+    # MEMORY_AND_DISK default, anything past _DISK_CACHE_ROWS goes
+    # DISK_ONLY so a corpus-sized relation never competes with
+    # execution memory (guide §5 — cached data vs execution pressure).
+    # release_shared_caches() frees it between sweeps either way.
+    from pyspark.storagelevel import StorageLevel
+
+    level = (
+        StorageLevel.DISK_ONLY
+        if n_rows > _DISK_CACHE_ROWS
+        else StorageLevel.MEMORY_AND_DISK_DESER
+    )
     rows = raw.select(
         "vec_id",
         "embedding",
         (F.col("vec_id") % n_blocks).cast("int").alias("blk"),
-    ).cache()
+    ).persist(level)
     # side L = the row's block is the combo's bi; side R = bj. The
     # diagonal combo (bi == bj) takes the row once, as L.
     left = rows.join(F.broadcast(combos), F.col("blk") == F.col("bi")).withColumn(
