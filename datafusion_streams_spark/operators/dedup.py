@@ -121,19 +121,41 @@ def _prefix_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rn") <= F.floor(F.lit(1.0 - threshold) * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle", "n_sh")
+    ).select("doc_id", "shingle", "n_sh", "rn")
     a = prefix.alias("a")
     b = prefix.alias("b")
     # size filter (also lossless): J(A,B) >= t forces t*|B| <= |A| and
     # t*|A| <= |B|, so wildly different-sized docs never become
     # candidates — the second standard AllPairs pruning rule
+    #
+    # positional filter (PPJoin, Xiao et al. 2008 — lossless, r16): a
+    # matching prefix shingle at rank i of A and j of B bounds the
+    # overlap at 1 + min(|A|-i, |B|-j) (everything else common must
+    # rank after it in BOTH docs for the row generated by the pair's
+    # GLOBALLY-smallest common shingle — which the prefix theorem
+    # guarantees is in both prefixes). J >= t needs overlap >=
+    # t/(1+t)*(|A|+|B|), so rows whose bound falls short can never be
+    # the witnessing row of a true pair; a true pair always survives
+    # via its smallest common shingle. The 1e-9 slack keeps float
+    # roundoff from ever pruning a borderline TRUE pair (it can only
+    # let a false candidate through to verification).
+    alpha = F.lit(threshold / (1.0 + threshold)) * (
+        F.col("a.n_sh") + F.col("b.n_sh")
+    ) - F.lit(1e-9)
     return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.n_sh") >= threshold * F.col("b.n_sh"))
-            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh")),
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh"))
+            & (
+                F.least(
+                    F.col("a.n_sh") - F.col("a.rn"), F.col("b.n_sh") - F.col("b.rn")
+                )
+                + 1
+                >= alpha
+            ),
         )
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
