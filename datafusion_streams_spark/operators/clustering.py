@@ -272,12 +272,32 @@ FROM m3 JOIN sizes ON m3.cid = sizes.cid
 """
 
 
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """Cheap data fingerprint for the model memo keys (r15 ADVICE): a
+    rewrite of the parquet at the same path with the same row count —
+    e.g. a test tmp fixture regenerated within one process — must not
+    be served a stale model. (File name, size, mtime_ns) per part file;
+    driver-side stat calls only."""
+    import os as _os
+
+    p = _os.path.join(sf_dir, "embeddings.parquet")
+    if _os.path.isdir(p):
+        files = sorted(
+            _os.path.join(p, f)
+            for f in _os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    else:
+        files = [p]
+    return tuple((f, _os.stat(f).st_size, _os.stat(f).st_mtime_ns) for f in files)
+
+
 # Fitted-model memo: the Lloyd fit is deterministic in (corpus, n), so
 # consumers that compose the same clustering (cluster_kmeans_embeddings,
 # dedup_semantic_clusters, pipeline_curation_v2) share one fit per
 # session instead of re-running ITERS full corpus passes each. The memo
 # holds only the model (k×dim floats + k ids) — never a DataFrame.
-_KMEANS_MODEL_MEMO: dict[tuple[str, int], tuple[list[int], list[list[float]]]] = {}
+_KMEANS_MODEL_MEMO: dict[tuple, tuple[list[int], list[list[float]]]] = {}
 
 
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,7 +314,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its repartition exchange for a number the scan footer already
     # holds (r16; trivially equal — _quantized is row-preserving)
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    memo_key = (sf_dir, n)
+    memo_key = (sf_dir, n, _corpus_fingerprint(sf_dir))
     model = _KMEANS_MODEL_MEMO.get(memo_key)
     if model is None:
         qdf = qdf.cache()
@@ -436,13 +456,13 @@ IVFPQ_PROBE = 2  # cells scanned per query (the recall/cost dial)
 # Holds only the model (m×k×subdim floats + code ids) — never a
 # DataFrame; the ADC scan itself recomputes from parquet every call.
 _PQ_MODEL_MEMO: dict[
-    tuple[str, int], tuple[dict[int, list[int]], dict[int, list[list[float]]]]
+    tuple, tuple[dict[int, list[int]], dict[int, list[list[float]]]]
 ] = {}
 
 
 def _pq_train(
     qdf: DataFrame,
-    memo_key: tuple[str, int] | None = None,
+    memo_key: tuple | None = None,
 ) -> tuple[dict[int, list[int]], dict[int, list[list[float]]]]:
     """One Lloyd update per subspace codebook (init: the PQ_K lowest
     vec_ids' subvectors).
@@ -450,7 +470,7 @@ def _pq_train(
     Returns (per-subspace code ids, per-subspace centroids). All model
     state is m×k×subdim floats — driver/closure-sized at any corpus
     scale; the only exchange is the codebook update reduce (m×k rows).
-    With ``memo_key`` (sf_dir, n) the fit is memoized per corpus, the
+    With ``memo_key`` (sf_dir, n, data fingerprint) the fit is memoized per corpus, the
     same contract as ``_KMEANS_MODEL_MEMO``.
     """
     if memo_key is not None:
@@ -823,7 +843,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memo-key count from the raw parquet footer (metadata-only), not
     # the cached quantized relation — same number, no repartition job
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    cids, cents = _pq_train(qdf, memo_key=(sf_dir, n))
+    cids, cents = _pq_train(qdf, memo_key=(sf_dir, n, _corpus_fingerprint(sf_dir)))
 
     # query subvectors (tiny by construction) -> exact ADC lookup table,
     # computed with the same per-dimension fold as the oracle
@@ -864,7 +884,7 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # memo-key count from the raw parquet footer (metadata-only), not
     # the cached quantized relation — same number, no repartition job
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    cids, cents = _pq_train(qdf, memo_key=(sf_dir, n))
+    cids, cents = _pq_train(qdf, memo_key=(sf_dir, n, _corpus_fingerprint(sf_dir)))
     coarse_rows = qdf.orderBy("vec_id").limit(IVFPQ_COARSE).collect()
     coarse = [[v / float(QSCALE) for v in r["vq"]] for r in coarse_rows]
     q_rows = qdf.filter(F.col("vec_id") < PQ_QUERY_MAX_ID).collect()

@@ -2593,6 +2593,12 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-dominant language inflates every other language's sequence
     lengths (and training cost) proportionally.
 
+    EAGER CONTRACT (r15 ADVICE): building this DataFrame already runs
+    the `_bpe_seg_flat` winner collects (3 driver-side 1-row jobs) and
+    materializes the shared words cache — explain-only/plan-capture
+    consumers pay execution and need readable data at sf_dir
+    (tests/test_plans.py pins the known consumer).
+
     The learned segmentation applies the same merges as
     `text_bpe_merges` (identical winner aggregate and tie-break, via
     `_bpe_seg_flat`), so this query hash-checks the APPLICATION of the
